@@ -1,0 +1,191 @@
+"""Event-time window queries on the `events` table (SURVEY §2.8/§7 ph5).
+
+The reference has no streaming surface at all; these are the engine's
+event-time operators, implemented batch-first (identical DataFrame code
+runs under Structured Streaming — see streaming/events_stream.py, which
+reuses these builders on readStream inputs).
+
+Timestamps are emitted as formatted strings ('yyyy-MM-dd HH:mm:ss') so
+the oracle hash is independent of engine timezone/typing conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ecowatt_etl_spark.functions.exact import exact_sum, sql_exact_sum
+from ecowatt_etl_spark.queries.registry import query
+from ecowatt_etl_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# q40 — tumbling window
+# ---------------------------------------------------------------------------
+@query(
+    "q40_tumbling_window",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_SQL_TS_FMT}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum("value", "sum_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event type.
+
+    F.window is the same operator Structured Streaming uses with a
+    watermark; in batch it is just a projection (bucket start =
+    floor(ts)) + hash agg — shuffle on (window, type) only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — sliding window
+# ---------------------------------------------------------------------------
+@query(
+    "q41_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+      FROM events
+    )
+    SELECT strftime(ws, '{_SQL_TS_FMT}') AS window_start,
+           COUNT(*) AS n_events,
+           {sql_exact_sum("value", "sum_value")}
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2).
+
+    The generate step fans each row into window_count = size/slide
+    copies before the aggregate — at scale, slide granularity is a
+    direct row-amplification knob (size/slide ×).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — session window (gap-based)
+# ---------------------------------------------------------------------------
+@query(
+    "q42_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_SQL_TS_FMT}') AS session_start,
+           COUNT(*) AS n_events,
+           {sql_exact_sum("value", "sum_value")}
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def q42_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-minute inactivity gap) per user via
+    the native session_window operator.
+
+    session_window merges windows whose gap < 5 min (an event exactly
+    5 min after the previous one starts a NEW session — the oracle's
+    `>=` reproduces that boundary). In streaming the identical
+    expression runs with a watermark; state is per (user, open session).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — sessionization via lag + cumulative sum (gaps-and-islands)
+# ---------------------------------------------------------------------------
+@query(
+    "q43_sessionize_lag",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def q43_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting via the lag/cumsum (gaps-and-islands) pattern —
+    the composition form of q42, useful when session identity must be
+    joined back to rows. One shuffle on user_id serves both the window
+    and the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # exact integer microsecond arithmetic (mirrors the oracle's
+            # interval compare; double epoch-seconds would lose precision)
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) >= 300_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )

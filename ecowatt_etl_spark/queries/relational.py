@@ -1,0 +1,838 @@
+"""Core relational operator queries (SURVEY §2.2–§2.8 inventory).
+
+Each query exercises one (or one family of) operator(s) from the
+reference inventory on the synthetic warehouse, with a DuckDB oracle.
+All float aggregates go through exact decimal (functions/exact.py) so
+value hashes are order-independent and engine-independent.
+
+Scale notes are attached per query: what shuffles, what broadcasts,
+what pushes down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ecowatt_etl_spark.functions.cleaning import (
+    guarded_div,
+    minmax_normalize,
+    recode,
+    regexp_extract_null,
+    scrub_nonfinite,
+)
+from ecowatt_etl_spark.functions.exact import (
+    dec,
+    exact_avg,
+    exact_sum,
+    exact_sum_product,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_exact_sum_product,
+)
+from ecowatt_etl_spark.queries.registry import query
+from ecowatt_etl_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: filter → grouped multi-agg (conditional counts) → order
+# (SURVEY §7 phase 0: P5 filter, A2 multi-agg, F9-style derived ratio, O1 sort)
+# ---------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty}, {sum_base_price}, {sum_disc_price}, {avg_qty}, {avg_price},
+           {avg_disc},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=sql_exact_sum("l_quantity", "sum_qty"),
+        sum_base_price=sql_exact_sum("l_extendedprice", "sum_base_price"),
+        sum_disc_price=sql_exact_sum_product(
+            "l_extendedprice", "1 - l_discount", "sum_disc_price"
+        ),
+        avg_qty=sql_exact_avg("l_quantity", "avg_qty"),
+        avg_price=sql_exact_avg("l_extendedprice", "avg_price"),
+        avg_disc=sql_exact_avg("l_discount", "avg_disc"),
+    ),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape) — the flagship.
+
+    Reference shapes covered: post-scan filter (main.py:49), grouped
+    multi-aggregate (main.py:70-76 builds 5 separate groupbys; here one
+    hash aggregate), ordered output (app.py:182).
+
+    Scale: filter pushes to the Parquet scan (PushedFilters), the
+    aggregate is a 2-phase hash agg (map-side partial → shuffle on the
+    2 low-cardinality keys → final) — shuffle volume is O(groups), not
+    O(rows). No join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum_product(
+                "l_extendedprice", F.lit(1) - F.col("l_discount"), "sum_disc_price"
+            ),
+            exact_avg("l_quantity", "avg_qty"),
+            exact_avg("l_extendedprice", "avg_price"),
+            exact_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — IN-list filter + projection (P2, P3)
+# ---------------------------------------------------------------------------
+@query(
+    "q02_filter_in_projection",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F') AND o_totalprice > 100000
+    """,
+)
+def q02_filter_in_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership filter + column-subset projection.
+
+    Reference: FUEL_TYPE ∈ {BEV, PHEV} (main.py:49); projection
+    main.py:91. Both the IN filter and the > predicate push down to the
+    Parquet scan; only 3 of 6 columns are read (ReadSchema pruning).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F") & (F.col("o_totalprice") > 100000)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# q03 — dict-map value recode (P7)
+# ---------------------------------------------------------------------------
+@query(
+    "q03_recode_map",
+    oracle="""
+    SELECT CASE event_type
+             WHEN 'click' THEN 'engagement'
+             WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'conversion'
+             WHEN 'signup' THEN 'conversion'
+             ELSE event_type
+           END AS event_class,
+           COUNT(*) AS n_events,
+           {sum_value}
+    FROM events
+    GROUP BY 1
+    """.format(sum_value=sql_exact_sum("value", "sum_value")),
+)
+def q03_recode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value recode through a literal mapping, then aggregate.
+
+    Reference: station→suburb dict .map() (main.py:134-146). The map is
+    a Catalyst literal MAP lookup — constant-folded into the projection;
+    no join, no extra shuffle beyond the aggregate's own.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mapping = {
+        "click": "engagement",
+        "view": "engagement",
+        "purchase": "conversion",
+        "signup": "conversion",
+    }
+    return (
+        ev.withColumn("event_class", recode("event_type", mapping))
+        .groupBy("event_class")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — group-by count (A1)
+# ---------------------------------------------------------------------------
+@query(
+    "q04_groupby_count",
+    oracle="SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1, 2",
+)
+def q04_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(size) — reference main.py:67. Two-phase hash aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q05 — multi-agg with conditional counts (A2)
+# ---------------------------------------------------------------------------
+@query(
+    "q05_multiagg_conditional",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS total_customers,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000) AS rich_count,
+           COUNT(*) FILTER (WHERE c_acctbal < 0) AS debt_count,
+           {avg_bal}
+    FROM customer
+    GROUP BY c_mktsegment
+    """.format(avg_bal=sql_exact_avg("c_acctbal", "avg_bal")),
+)
+def q05_multiagg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass multi-aggregate with conditional counts.
+
+    Reference builds this from FIVE separate groupbys + merges
+    (main.py:70-76); one hash aggregate with count_if replaces them —
+    one scan, one shuffle, instead of five of each.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("total_customers"),
+        F.count_if(F.col("c_acctbal") > 5000).alias("rich_count"),
+        F.count_if(F.col("c_acctbal") < 0).alias("debt_count"),
+        exact_avg("c_acctbal", "avg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — pivot aggregation (A3, R2)
+# ---------------------------------------------------------------------------
+@query(
+    "q06_pivot_by_year",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1995) AS DOUBLE) AS sum_1995,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1996) AS DOUBLE) AS sum_1996,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1997) AS DOUBLE) AS sum_1997
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q06_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide per year) with an explicit value list.
+
+    Reference: pivot_table per (suburb, year) (main.py:155-160).
+    Explicit pivot values matter at scale: without them Spark runs an
+    extra distinct job to discover columns.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_year", [1995, 1996, 1997])
+        .agg(F.sum(dec("o_totalprice")).cast("double"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("1995").alias("sum_1995"),
+        F.col("1996").alias("sum_1996"),
+        F.col("1997").alias("sum_1997"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — global KPIs (A4) + derived ratio
+# ---------------------------------------------------------------------------
+@query(
+    "q07_global_kpis",
+    oracle="""
+    SELECT COUNT(*) AS total_orders,
+           {sum_price},
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS finished_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / COUNT(*) * 100 AS finished_pct
+    FROM orders
+    """.format(sum_price=sql_exact_sum("o_totalprice", "sum_price")),
+)
+def q07_global_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (ungrouped) KPI sums + derived percentage.
+
+    Reference: dashboard KPI row (app.py:158-175). Ungrouped agg →
+    partials from every partition reduce to one row; no wide shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("total_orders"),
+        exact_sum("o_totalprice", "sum_price"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("finished_orders"),
+        (F.count_if(F.col("o_orderstatus") == "F").cast("double") / F.count("*") * 100).alias(
+            "finished_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — sorted distinct (A5, O3)
+# ---------------------------------------------------------------------------
+@query(
+    "q08_distinct_sorted",
+    oracle="SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type",
+)
+def q08_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct — reference sorted(unique()) (main.py:226).
+
+    distinct is a hash aggregate (partial dedup map-side); the sort is
+    a final range-partitioned exchange on already-tiny data.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_brand", "p_type").distinct().orderBy("p_brand", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# q09 — distinct counts, exact + approximate (A6)
+# ---------------------------------------------------------------------------
+@query(
+    "q09_distinct_count",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    """,
+)
+def q09_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (reference nunique(), main.py:398-401).
+
+    At 100 TB prefer approx_count_distinct (HLL sketch, no expand) —
+    exposed by q09b below as a rows-only check since it is approximate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("q09b_approx_distinct")  # approximate → no value oracle (rows-only)
+def q09b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path for A6: a fixed-size
+    sketch per partition instead of an exact distinct expansion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("n_supps_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — min–max normalization (F13)
+# ---------------------------------------------------------------------------
+@query(
+    "q10_minmax_normalize",
+    oracle="""
+    WITH bal AS (
+      SELECT c_custkey, c_acctbal,
+             MIN(c_acctbal) OVER () AS lo, MAX(c_acctbal) OVER () AS hi
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN hi = lo THEN 50.0
+                ELSE (c_acctbal - lo) / (hi - lo) * 100 END AS c_acctbal_score
+    FROM bal
+    """,
+)
+def q10_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min–max scaling to [0,100], degenerate range → 50.
+
+    Reference: dashboard normalization (app.py:352-359,388-398). The
+    1-row bounds aggregate is broadcast onto the scan — two stages
+    total, no per-column driver round-trips.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return minmax_normalize(c, ["c_acctbal"])
+
+
+# ---------------------------------------------------------------------------
+# q11 — full-outer conformance join with key coalescing (J1/J2) + null fill
+# ---------------------------------------------------------------------------
+@query(
+    "q11_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def q11_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer equi-join with coalesced key + zero null-fill.
+
+    Reference: the EV⋈electricity⋈pollution conformance merges
+    (main.py:176-179) + fillna(0) (main.py:182-195). Spark's
+    named-column join form coalesces the key like pandas merge does.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cust.join(supp, "nationkey", "full_outer").na.fill(
+        {"n_customers": 0, "n_suppliers": 0}
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — star-schema broadcast join chain (J3–J6)
+# ---------------------------------------------------------------------------
+@query(
+    "q12_star_join",
+    oracle="""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           COUNT(*) AS n_orders, {revenue}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY 1, 2
+    """.format(revenue=sql_exact_sum("o_totalprice", "revenue")),
+)
+def q12_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dimension join chain, dimensions broadcast.
+
+    Reference: fact⋈dim_suburb left joins (app.py:89-104). Every dim
+    here is orders-of-magnitude smaller than the fact: broadcast-hash
+    joins keep the fact table un-shuffled — the only shuffle in the
+    whole plan is the final group-by. At 100 TB this is the difference
+    between 3 sort-merge shuffles of the fact and zero.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice", "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — semi join (the scale-out form of isin-against-keys, main.py:145)
+# ---------------------------------------------------------------------------
+@query(
+    "q13_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q13_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — customers with ≥1 urgent order.
+
+    Reference's isin-against-mapping-keys (main.py:145) is a semi-join
+    in disguise; left_semi is the distributed form (no row duplication,
+    right side reduced to distinct keys before probing).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — anti join (complement of q13; beyond-reference but core engine surface)
+# ---------------------------------------------------------------------------
+@query(
+    "q14_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — customers with no orders at all (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# q15 — unpivot / melt (R1)
+# ---------------------------------------------------------------------------
+@query(
+    "q15_unpivot",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+)
+def q15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot (pandas melt, reference main.py:121-127).
+
+    Uses the native unpivot operator (Spark ≥3.4) — a generate node,
+    no shuffle at all; NULL measures are kept, matching pandas melt.
+    """
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "p_size_d", F.col("p_size").cast("double")
+    )
+    return (
+        p.unpivot("p_partkey", ["p_retailprice", "p_size_d"], "measure", "value")
+        .withColumn(
+            "measure",
+            F.when(F.col("measure") == "p_retailprice", "retailprice").otherwise("size"),
+        )
+        .select("p_partkey", "measure", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — vertical concat / union-all (R3)
+# ---------------------------------------------------------------------------
+@query(
+    "q16_union_by_name",
+    oracle="""
+    SELECT o_orderkey, 1995 AS snapshot_year, o_totalprice FROM orders
+    WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT o_orderkey, 1996 AS snapshot_year, o_totalprice FROM orders
+    WHERE year(o_orderdate) = 1996
+    """,
+)
+def q16_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of two year slices with a literal snapshot column.
+
+    Reference: 2023 facts unioned with synthesized 2022 rows
+    (main.py:343). unionByName is position-independent — schema drift
+    between branches fails loudly instead of silently misaligning.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", F.lit(1995).alias("snapshot_year"), "o_totalprice"
+    )
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", F.lit(1996).alias("snapshot_year"), "o_totalprice"
+    )
+    return y95.unionByName(y96)
+
+
+# ---------------------------------------------------------------------------
+# q17 — sort + limit (O1, O4)
+# ---------------------------------------------------------------------------
+@query(
+    "q17_top10_revenue",
+    oracle="""
+    SELECT o_custkey, {revenue}, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 10
+    """.format(revenue=sql_exact_sum("o_totalprice", "revenue")),
+)
+def q17_top10_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by revenue (sort desc + limit, app.py:182 /
+    TOP 10 default app.py:524). Spark plans orderBy+limit as
+    TakeOrderedAndProject — per-partition top-K then a K-row merge on
+    the driver; the full sort never happens. Deterministic tie-break on
+    the key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(exact_sum("o_totalprice", "revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — deterministic surrogate keys (O5) + literal dims (O6)
+# ---------------------------------------------------------------------------
+@query(
+    "q18_surrogate_keys",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY n_name) AS id_nation, n_name AS nation_name
+    FROM (SELECT DISTINCT n_name FROM nation)
+    """,
+)
+def q18_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous surrogate keys for a dimension.
+
+    Reference: range(1, len+1) row ids (main.py:218,225,255,271).
+    row_number over a global order is exact but single-partition for
+    the final numbering — correct for dimension tables (small by
+    definition). For 100 TB fact keys use hash keys (xxhash64) or
+    zipWithIndex-style partition-offset ids instead; see
+    operators/keys.py.
+    """
+    from ecowatt_etl_spark.operators.keys import add_surrogate_key
+
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name")).distinct()
+    return add_surrogate_key(n, "id_nation", order_by=["nation_name"]).select(
+        "id_nation", "nation_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — regex extract with NULL-on-miss (F2) + safe cast (F4)
+# ---------------------------------------------------------------------------
+@query(
+    "q19_regex_extract_cast",
+    oracle="""
+    SELECT CAST(NULLIF(regexp_extract(o_orderpriority, '(\\d+)', 1), '') AS INTEGER)
+             AS priority_rank,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q19_regex_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction with pandas NaN-on-miss semantics + cast.
+
+    Reference: model-year extract (main.py:55), station-name extract
+    (main.py:130). Spark regexp_extract returns '' on miss where pandas
+    returns NaN — regexp_extract_null wraps with nullif.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "priority_rank", regexp_extract_null("o_orderpriority", r"(\d+)").cast("int")
+        )
+        .groupBy("priority_rank")
+        .agg(F.count("*").alias("n"))
+        .orderBy("priority_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — try_cast junk → NULL (F4) with junk synthesized from clean ints
+# ---------------------------------------------------------------------------
+@query(
+    "q20_try_cast_junk",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN p_size % 5 = 0 THEN 'N/A'
+                  WHEN p_size % 7 = 0 THEN CAST(p_size AS VARCHAR) || '*'
+                  ELSE CAST(p_size AS VARCHAR) END AS size_text,
+             p_partkey
+      FROM part
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(TRY_CAST(size_text AS DOUBLE)) AS n_parsed,
+           COUNT(TRY_CAST(replace(size_text, '*', '') AS DOUBLE)) AS n_parsed_after_strip,
+           CAST(SUM(CAST(COALESCE(TRY_CAST(replace(size_text,'*','') AS DOUBLE), 0)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_size
+    FROM t
+    """,
+)
+def q20_try_cast_junk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe numeric cast over dirty text (junk → NULL, '123*' → 123).
+
+    Reference: to_numeric(errors='coerce') on '*'-suffixed prices
+    (main.py:58-59) and junk ranges (main.py:62). Junk is synthesized
+    deterministically from p_size so both engines see identical text.
+    """
+    from ecowatt_etl_spark.functions.cleaning import strip_literal, try_double
+
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "size_text",
+        F.when(F.col("p_size") % 5 == 0, F.lit("N/A"))
+        .when(F.col("p_size") % 7 == 0, F.concat(F.col("p_size").cast("string"), F.lit("*")))
+        .otherwise(F.col("p_size").cast("string")),
+    )
+    cleaned = try_double(strip_literal("size_text", "*"))
+    return p.agg(
+        F.count("*").alias("n_rows"),
+        F.count(try_double("size_text")).alias("n_parsed"),
+        F.count(cleaned).alias("n_parsed_after_strip"),
+        F.sum(dec(F.coalesce(cleaned, F.lit(0.0)))).cast("double").alias("total_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — guarded division + non-finite scrub (F9, F10)
+# ---------------------------------------------------------------------------
+@query(
+    "q21_guarded_ratio",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum,
+             COUNT(*) FILTER (WHERE s_acctbal < 0) AS n_neg
+      FROM supplier GROUP BY 1
+    )
+    SELECT s_nationkey,
+           CASE WHEN n_neg <= 0 THEN 0.0
+                WHEN bal_sum IS NULL THEN 0.0
+                WHEN abs(bal_sum / n_neg) > 1e15 THEN 0.0
+                ELSE bal_sum / n_neg END AS bal_per_neg
+    FROM s
+    """,
+)
+def q21_guarded_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero/NULL/∞-guarded division as a pure `when` chain.
+
+    Reference: safe_ev_per_energy / safe_no2_per_ev applied row-wise via
+    df.apply(axis=1) (main.py:304-331) — a scalar Python loop. Here the
+    same semantics are a codegen'd Column expression: no UDF, no Python
+    in the hot path.
+    """
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(dec("s_acctbal")).cast("double").alias("bal_sum"),
+            F.count_if(F.col("s_acctbal") < 0).alias("n_neg"),
+        )
+    )
+    return s.select(
+        "s_nationkey",
+        scrub_nonfinite(guarded_div("bal_sum", "n_neg")).alias("bal_per_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — window lag: year-over-year change (§2.8)
+# ---------------------------------------------------------------------------
+@query(
+    "q22_window_yoy",
+    oracle="""
+    WITH yearly AS (
+      SELECT n_name AS nation_name, year(o_orderdate) AS order_year,
+             {revenue}
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation_name, CAST(order_year AS INTEGER) AS order_year, revenue,
+           revenue - LAG(revenue) OVER (PARTITION BY nation_name ORDER BY order_year)
+             AS revenue_delta
+    FROM yearly
+    """.format(revenue=sql_exact_sum("o_totalprice", "revenue")),
+)
+def q22_window_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue delta via a lag window.
+
+    The reference computes YoY from wide columns (main.py:104-106,
+    165-167); over a long fact table the idiomatic Spark form is
+    lag().over(partitionBy(key).orderBy(year)) — SURVEY §2.8. The window
+    reuses the aggregate's shuffle partitioning on nation_name.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(exact_sum("o_totalprice", "revenue"))
+    )
+    w = W.partitionBy("nation_name").orderBy("order_year")
+    return yearly.select(
+        "nation_name",
+        "order_year",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — top-k per group (window row_number; guide's OLAP pattern)
+# ---------------------------------------------------------------------------
+@query(
+    "q23_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, c_acctbal, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q23_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per market segment.
+
+    Window row_number + filter: Spark pushes a per-partition group
+    limit (WindowGroupLimit) before the shuffle, so only k rows per
+    group per partition move — the canonical scalable top-k.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — rollup (beyond reference: SURVEY §2.4 "not present" extensions)
+# ---------------------------------------------------------------------------
+@query(
+    "q24_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sum_qty}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.format(sum_qty=sql_exact_sum("l_quantity", "sum_qty")),
+)
+def q24_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — listed in SURVEY §2.4 as a
+    Catalyst built-in the engine surface should expose."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), exact_sum("l_quantity", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — percentile / median (SURVEY §2.4 extension)
+# ---------------------------------------------------------------------------
+@query(
+    "q25_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           median(o_totalprice) AS median_price,
+           quantile_cont(o_totalprice, 0.95) AS p95_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p95 per group (continuous interpolation).
+
+    Exact percentiles need the full value multiset per group — fine for
+    grouped data that fits per-key; the 100 TB path is
+    percentile_approx (t-digest-style sketch, bounded memory), exposed
+    as q25b rows-only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95_price"),
+    )
+
+
+@query("q25b_percentile_approx")  # sketch-based → rows-only check
+def q25b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — bounded-memory sketch, the scale path."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_price_approx"),
+    )

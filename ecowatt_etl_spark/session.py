@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+One place to encode the execution-model decisions that matter at scale:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+shuffle partitions sized to the parallelism actually available, Arrow on
+for the Pandas-UDF paths, session timezone pinned to UTC so timestamp
+semantics are stable and comparable against external oracles.
+
+On a real cluster the same builder is used — only master/memory change
+via spark-submit conf; nothing here hard-codes local mode semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "ecowatt-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Respects ``SPARK_GRAFT_CPUS`` for local parallelism. All settings are
+    declarative hints — an existing session is returned as-is by
+    ``getOrCreate`` (Spark semantics), which is what tests and the
+    driver harness rely on.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # --- scale knobs -------------------------------------------------
+        # AQE: runtime stats drive partition coalescing, skew-join split,
+        # and broadcast conversion — the per-query tuning a 1000-executor
+        # cluster cannot do statically.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Dimension tables in this workload are KB–MB: let Catalyst
+        # broadcast them (10 MB default is fine; raised a bit for dims
+        # that grow with SF).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- correctness / determinism knobs -----------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet pushdown is on by default; keep explicit so a config
+        # audit shows intent.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Some producers (pandas/arrow) write TIMESTAMP(NANOS) parquet,
+        # which Spark rejects by default; read as epoch-nanos longs and
+        # convert at the scan wrapper (sources/tables.py) — the same
+        # truncate-to-micros DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,56 @@
+"""Parquet scans over the synthetic warehouse (TPC-H-ish star schema).
+
+Spark equivalent of the reference's table-scan surface: the reference
+pulls whole tables from Azure SQL with ``SELECT * FROM t``
+(reference app.py:70-77) and re-reads CSV blobs per run
+(reference utils/datsetup.py:89-96). Here every scan is a lazy Parquet
+read — column pruning and predicate pushdown reach the file scan via
+Catalyst, so "SELECT *" pull-everything semantics never happen unless a
+query actually needs everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy columnar scan of one warehouse table.
+
+    TIMESTAMP(NANOS) columns (pandas/arrow writers) surface as
+    epoch-nano longs under spark.sql.legacy.parquet.nanosAsLong; they
+    are converted to microsecond timestamps here (truncating division —
+    bit-identical to DuckDB's nanos→micros cast).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events":
+        # runtime-settable; needed even when the caller's session was not
+        # built by get_spark (e.g. the verification driver's own session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register catalog temp views so the SQL surface (spark.sql) sees the
+    warehouse — the engine's replacement for the reference's Azure SQL
+    catalog (reference app.py:519-538 ad-hoc SQL path)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,78 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query through Spark AND its DuckDB oracle at
+sf0.01, then compares row count, column names, and an order-insensitive
+value comparison (columns sorted by name, rows sorted by all values,
+NaN==NaN, 1e-9 relative float tolerance as a debugging aid — the real
+gate hashes exact values, which is why aggregates use exact decimal).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def _values_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(abs(fa), abs(fb))
+    return a == b
+
+
+def _all_specs():
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    return sorted(all_queries().values(), key=lambda s: s.name)
+
+
+@pytest.mark.parametrize("spec", _all_specs(), ids=lambda s: s.name)
+def test_query_matches_oracle(spark, duck, spec):
+    sdf = spec.fn(spark, SF_ORACLE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if spec.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only smoke: query must execute
+        return
+
+    res = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{spec.name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{spec.name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    bad = [
+        (i, rs, rd)
+        for i, (rs, rd) in enumerate(zip(ns, nd))
+        if not all(_values_equal(a, b) for a, b in zip(rs, rd))
+    ]
+    assert not bad, f"{spec.name}: {len(bad)} mismatched rows; first: {bad[:3]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan → execute → collect); results are
+small aggregates so collect cost is negligible. Session build time is
+excluded (the driver measures engine throughput, not JVM start).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_multiagg_conditional",
+    "q09_distinct_count",
+    "q12_star_join",
+    "q13_semi_join",
+    "q17_top10_revenue",
+    "q22_window_yoy",
+    "q23_topk_per_group",
+    "q40_tumbling_window",
+    "q42_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from ecowatt_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="ecowatt-bench")
+    specs = all_queries()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in specs]
+    # one untimed warm-up on the smallest query: JIT + parquet footer cache
+    specs[names[0]].fn(spark, sf_dir).collect()
+
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -120,8 +120,13 @@ def parse_dayfirst_date(col: str | Column, fmt: str = "d/M/yyyy") -> Column:
 # F8–F11: guarded math
 # --------------------------------------------------------------------------
 def pct_change(prev: str | Column, curr: str | Column) -> Column:
-    """F8 — (curr − prev) / prev × 100 (reference main.py:104-106)."""
-    return (_c(curr) - _c(prev)) / _c(prev) * 100.0
+    """F8 — (curr − prev) / prev × 100 (reference main.py:104-106).
+
+    try_divide: NULL on a zero base (pandas yields ±inf there; both are
+    scrubbed to 0 at the fact stage). Also keeps the expression valid
+    under ANSI mode (Spark 4 default) where bare x/0 throws.
+    """
+    return F.try_divide(_c(curr) - _c(prev), _c(prev)) * 100.0
 
 
 def guarded_div(num: str | Column, denom: str | Column, cap: float = 1e15) -> Column:
@@ -129,7 +134,7 @@ def guarded_div(num: str | Column, denom: str | Column, cap: float = 1e15) -> Co
     (reference main.py:304-331): denom ≤ 0 or NULL → 0; non-finite or
     > cap result → 0. Pure ``when`` chain — codegen'd, no UDF."""
     n, d = _c(num), _c(denom)
-    ratio = n / d
+    ratio = F.try_divide(n, d)  # ANSI-safe; the when-chain masks it anyway
     return (
         F.when(d.isNull() | (d <= 0), F.lit(0.0))
         .when(n.isNull(), F.lit(0.0))

@@ -1,1 +1,148 @@
-"""Placeholder — populated in a later milestone this round."""
+"""EcoWatt serving-layer queries (SURVEY §3 EP2/EP3, §7 phase 4).
+
+Re-expresses every dashboard computation (reference app.py) as a named
+query over the star schema produced by the engine's own pipeline. The
+pipeline runs on the reference's raw CSVs (fixed location, sf-independent
+— these queries ignore sf_dir), so there is no warehouse-table oracle:
+they are registered rows-only; their value-level parity is covered by
+tests/test_ecowatt_pipeline.py against the reference goldens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecowatt_etl_spark.queries.registry import query
+
+DATA_DIR = "/root/reference/data"
+
+_STAR_CACHE: dict[int, object] = {}
+
+
+def _star(spark: SparkSession):
+    """Run the pipeline once per session and cache the (lazy) star schema
+    — the engine-side analogue of the dashboard's st.cache_data TTL
+    cache over the 6-table load (reference app.py:59-60, C1)."""
+    key = id(spark)
+    if key not in _STAR_CACHE:
+        from ecowatt_etl_spark.plans.ecowatt_pipeline import run_pipeline
+
+        star = run_pipeline(spark, DATA_DIR)
+        # cache() the two facts: every dashboard query re-reads them
+        star.fact_ev_impact.cache()
+        star.fact_energy_pollution.cache()
+        _STAR_CACHE[key] = star
+    return _STAR_CACHE[key]
+
+
+@query("qe01_ev_dashboard_base")
+def qe01_ev_dashboard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard base frame: fact_ev_impact ⋈ dim_suburb (left,
+    broadcast) — reference join_tables (app.py:85-95)."""
+    star = _star(spark)
+    return star.fact_ev_impact.join(
+        F.broadcast(star.dim_suburb), "id_suburb", "left"
+    )
+
+
+@query("qe02_energy_dashboard_base")
+def qe02_energy_dashboard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_energy_pollution ⋈ dim_suburb (reference app.py:98-104)."""
+    star = _star(spark)
+    return star.fact_energy_pollution.join(
+        F.broadcast(star.dim_suburb), "id_suburb", "left"
+    )
+
+
+@query("qe03_kpi_row")
+def qe03_kpi_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI row: total EVs / BEV / PHEV sums + BEV share
+    (reference app.py:158-175)."""
+    star = _star(spark)
+    return star.fact_ev_impact.agg(
+        F.sum("TOTAL_EVS").alias("total_evs"),
+        F.sum("BEV_COUNT").alias("bev_count"),
+        F.sum("PHEV_COUNT").alias("phev_count"),
+        (F.try_divide(F.sum("BEV_COUNT"), F.sum("TOTAL_EVS")) * 100).alias("bev_pct"),
+    )
+
+
+@query("qe04_top_suburbs")
+def qe04_top_suburbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suburbs ranked by EV count for the stacked bar
+    (reference app.py:182-194)."""
+    star = _star(spark)
+    joined = star.fact_ev_impact.join(F.broadcast(star.dim_suburb), "id_suburb", "left")
+    return joined.select("SUBURB_NAME", "TOTAL_EVS", "BEV_COUNT", "PHEV_COUNT").orderBy(
+        F.desc("TOTAL_EVS"), F.asc("SUBURB_NAME")
+    )
+
+
+@query("qe05_year_filter")
+def qe05_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year slice of the energy fact (reference app.py:231) — with
+    the star schema written partitionBy('YEAR') this is partition
+    pruning, not a scan-and-filter."""
+    star = _star(spark)
+    return star.fact_energy_pollution.filter(F.col("YEAR") == 2023)
+
+
+@query("qe06_combined_analysis")
+def qe06_combined_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined EV-impact ⋈ energy(2023 subset) analysis frame
+    (reference app.py:335-340; right side pre-projected app.py:337)."""
+    star = _star(spark)
+    energy_2023 = star.fact_energy_pollution.filter(F.col("YEAR") == 2023).select(
+        "id_suburb", "ENERGY_CONSUMPTION", "NO2_LEVEL", "EV_PER_ENERGY_UNIT"
+    )
+    return star.fact_ev_impact.join(F.broadcast(energy_2023), "id_suburb", "left")
+
+
+@query("qe07_normalized_scores")
+def qe07_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min–max-normalized comparison scores, NO2 inverted
+    (lower-is-better), degenerate range → 50 (reference
+    app.py:352-359,388-398)."""
+    from ecowatt_etl_spark.functions.cleaning import minmax_normalize
+
+    star = _star(spark)
+    joined = (
+        star.fact_ev_impact.join(F.broadcast(star.dim_suburb), "id_suburb", "left")
+        .join(
+            F.broadcast(
+                star.fact_energy_pollution.filter(F.col("YEAR") == 2023).select(
+                    "id_suburb", "NO2_LEVEL", "ENERGY_CONSUMPTION"
+                )
+            ),
+            "id_suburb",
+            "left",
+        )
+        .select("SUBURB_NAME", "TOTAL_EVS", "NO2_LEVEL", "ENERGY_CONSUMPTION")
+    )
+    return minmax_normalize(
+        joined,
+        ["TOTAL_EVS", "NO2_LEVEL", "ENERGY_CONSUMPTION"],
+        invert={"NO2_LEVEL"},
+    )
+
+
+@query("qe08_adhoc_sql")
+def qe08_adhoc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc SQL passthrough (reference app.py:519-538): user SQL runs
+    on the engine's catalog via spark.sql — Catalyst replaces Azure SQL
+    Server as parser/optimizer/executor. Dialect shift: T-SQL
+    'SELECT TOP 10' → 'LIMIT 10' (SURVEY §3 EP3)."""
+    from ecowatt_etl_spark.plans.ecowatt_pipeline import register_star_views
+
+    star = _star(spark)
+    register_star_views(star)
+    return spark.sql(
+        """
+        SELECT s.SUBURB_NAME, f.TOTAL_EVS, f.AVG_PRICE
+        FROM fact_ev_impact f
+        JOIN dim_suburb s USING (id_suburb)
+        ORDER BY f.TOTAL_EVS DESC, s.SUBURB_NAME
+        LIMIT 10
+        """
+    )

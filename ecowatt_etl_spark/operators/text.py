@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID,
+quality scoring, token counting, document fingerprinting — all as pure
+Column expressions over `documents.text` (JVM-side, codegen'd; no
+Python in the hot path, so they scale linearly with executors).
+
+Portability contract: every hash is derived from md5 hex digits
+(``conv(substr(md5(x),1,15),16,10)``), which evaluates identically in
+Spark and DuckDB — the correctness oracles replay these operators
+verbatim in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 15 hex digits = 60 bits → fits signed int64; mod a 31-bit prime keeps
+# all downstream arithmetic (×31 fold, ×position sums) overflow-free
+# under ANSI mode.
+HASH_PRIME = 1_000_000_007
+
+# deliberately small per-language marker lists; language ID at scale is
+# a pluggable scorer, this is the built-in n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "que", "es", "y"],
+    "fr": ["le", "les", "des", "est", "une", "et"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of lowercased text.
+
+    DuckDB twin: regexp_split_to_array(lower(trim(text)), '\\s+')."""
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def word_hash(col: str | Column) -> Column:
+    """Portable 31-bit word hash (md5-derived, engine-independent)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long") % HASH_PRIME
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*sw)))
+
+
+def alnum_ratio(col: str | Column) -> Column:
+    """Share of alphanumeric characters — junk/markup indicator."""
+    lowered = F.lower(_c(col))
+    return F.length(F.regexp_replace(lowered, r"[^a-z0-9]", "")).cast(
+        "double"
+    ) / F.length(lowered)
+
+
+def avg_token_len(col: str | Column) -> Column:
+    no_space = F.length(F.regexp_replace(_c(col), r"\s", ""))
+    return no_space.cast("double") / token_count(col)
+
+
+def quality_features(col: str | Column) -> dict[str, Column]:
+    """The quality-scoring feature block: length, token stats, stopword
+    density, alnum share, and a composite [0,1] score. Thresholds follow
+    common web-corpus filters (Gopher/C4-style length + stopword rules),
+    parameterized here as plain literals."""
+    tc = token_count(col)
+    swr = stopword_count(col).cast("double") / tc
+    return {
+        "n_chars": F.length(_c(col)).cast("long"),
+        "n_tokens": tc.cast("long"),
+        "avg_token_len": avg_token_len(col),
+        "stopword_ratio": swr,
+        "alnum_ratio": alnum_ratio(col),
+        "quality_score": (
+            F.least(tc.cast("double") / 100.0, F.lit(1.0)) * 0.4
+            + F.least(swr * 5.0, F.lit(1.0)) * 0.3
+            + alnum_ratio(col) * 0.3
+        ),
+    }
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Marker-hit count per candidate language."""
+    return {
+        lang: stopword_count(col, markers).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(col: str | Column) -> Column:
+    """Argmax language with deterministic tie-break (dict order); all
+    scores 0 → 'und'. A strictly-greater CASE chain in fixed order —
+    reproducible in any SQL engine."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    best = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                op = (
+                    scores[lang] >= scores[other]
+                    if langs.index(other) > langs.index(lang)
+                    else scores[lang] > scores[other]
+                )
+                cond = cond & op
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("und")
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Order-sensitive rolling document fingerprint:
+    fold(acc = (acc*31 + word_hash) mod P) over the token stream.
+    DuckDB twin: list_reduce(list_transform(tokens, hash), ...)."""
+    return F.aggregate(
+        F.transform(tokens(col), word_hash),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_PRIME,
+    )

@@ -189,3 +189,37 @@ def q43_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# q44/q45 — the SAME aggregations under Structured Streaming (rows-only:
+# streaming semantics aren't SQL-oracle-expressible; batch equivalence is
+# asserted in tests/test_streaming.py against q40/q42)
+# ---------------------------------------------------------------------------
+@query("q44_stream_tumbling")
+def q44_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40's tumbling-window aggregation executed as a Structured
+    Streaming query (file source replay → watermark → memory sink,
+    complete mode). Demonstrates batch/stream operator parity."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(read_events_stream(spark, sf_dir))
+    return run_to_completion(agg, "q44_stream_tumbling_sink", output_mode="complete")
+
+
+@query("q45_stream_sessions")
+def q45_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42's session-window aggregation under Structured Streaming with
+    a 10-minute watermark (per-user merging session state)."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+        session_aggregates,
+    )
+
+    agg = session_aggregates(read_events_stream(spark, sf_dir))
+    return run_to_completion(agg, "q45_stream_sessions_sink", output_mode="complete")

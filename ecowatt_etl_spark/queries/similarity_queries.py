@@ -1,1 +1,225 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Embedding similarity-search queries over `embeddings`.
+
+q60/q61/q62 are hash-verified against DuckDB oracles: dot products are
+fixed-order double folds over the arrays (operators/similarity.py), so
+both engines produce bit-identical doubles. q63 is the numpy-matmul
+throughput path — rows-only in the driver gate, value-verified against
+q61 in tests.
+
+Scale notes: every dot/norm is scan-local (array fold inside the
+projection — no explode of the vector dimension, no shuffle). q61
+broadcasts the tiny query set against the corpus; q62 blocks the N²
+pair space down to per-bucket candidates before any exact math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ecowatt_etl_spark.operators.similarity import (
+    cosine,
+    dot_fold,
+    l2_norm,
+    sign_block_key,
+)
+from ecowatt_etl_spark.queries.registry import query
+from ecowatt_etl_spark.sources.tables import load_table
+
+# ---- shared DuckDB fragments ----------------------------------------------
+# The fold twins of operators/similarity.py: list_reduce folds left with
+# a prepended 0.0 seed, exactly matching Spark's F.aggregate(init=0.0).
+# The CAST to DOUBLE before multiplying mirrors Spark's float→double
+# promotion (exact); bare 0.0 literals are DECIMAL in DuckDB, hence the
+# explicit CAST on the seed.
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+# ---------------------------------------------------------------------------
+# q60 — norms
+# ---------------------------------------------------------------------------
+@query(
+    "q60_embedding_norms",
+    oracle=f"SELECT vec_id, {_sql_norm('embedding')} AS l2_norm FROM embeddings",
+)
+def q60_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via the deterministic array fold — the
+    building block (and correctness anchor) for every cosine query.
+    Scan-local: one projection, zero shuffles."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select("vec_id", l2_norm(F.col("embedding")).alias("l2_norm"))
+
+
+# ---------------------------------------------------------------------------
+# q61 — brute-force cosine top-k for a query set
+# ---------------------------------------------------------------------------
+_TOPK = 3
+_NQ = 8  # query vectors: vec_id < 8
+
+
+@query(
+    "q61_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_dot('q.embedding', 'c.embedding')}
+               / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})
+               AS cosine_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_NQ}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def q61_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for 8 query vectors — the exact
+    baseline every ANN variant is validated against. The tiny query set
+    is broadcast against the corpus (BroadcastNestedLoopJoin, no
+    shuffle of the big side); each pair's cosine is one scan-local
+    fold; the window top-k prunes per-partition (WindowGroupLimit)
+    before the final per-query shuffle."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        em.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q62 — near-dup pairs via sign-bit LSH blocking
+# ---------------------------------------------------------------------------
+_SIGN_BITS = 8
+# random unit 64-dim vectors concentrate near cosine 0 (±~0.125); 0.3 is
+# ~2.4σ out — selective but non-empty on the synthetic corpus, so the
+# oracle check exercises real pairs instead of passing on 0 rows
+_COS_T = 0.3
+
+
+def _sql_sign_block() -> str:
+    terms = [
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN {2**i} ELSE 0 END"
+        for i in range(_SIGN_BITS)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
+
+
+@query(
+    "q62_embedding_neardup",
+    oracle=f"""
+    WITH blk AS (SELECT vec_id, embedding, {_sql_sign_block()} AS block_key
+                 FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_sql_dot('a.embedding', 'b.embedding')}
+               / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})
+               AS cosine_sim
+      FROM blk a JOIN blk b ON a.block_key = b.block_key AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM cand WHERE cosine_sim >= {_COS_T}
+    """,
+)
+def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.3): sign-bit LSH
+    blocking (2^8 buckets from leading-dimension signs) → exact cosine
+    verification on intra-bucket candidates only. The N² pair space is
+    reduced to Σ per-bucket n²; the shuffle key is the 4-byte block
+    key, and each surviving pair costs one scan-local fold."""
+    em = load_table(spark, sf_dir, "embeddings")
+    blk = em.select(
+        "vec_id", "embedding", sign_block_key(F.col("embedding"), _SIGN_BITS).alias("block_key")
+    )
+    a, b = blk.alias("a"), blk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _COS_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — numpy block-matmul top-k (the throughput path; rows-only)
+# ---------------------------------------------------------------------------
+@query("q63_cosine_topk_matmul")  # numpy pairwise summation ≠ fold-order → rows-only
+def q63_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN throughput path: Arrow-batched Pandas iterator UDF doing a
+    numpy block matmul of each partition's queries against the
+    broadcast corpus matrix. SIMD dot products, zero shuffle — the
+    corpus rides the broadcast. At 100 TB the corpus side becomes
+    IVF-partitioned instead of broadcast; the per-block kernel is
+    unchanged. Values match q61 to float64 eps (asserted in tests) but
+    numpy's pairwise summation is not fold-order-identical → rows-only
+    driver check."""
+    import numpy as np
+    import pandas as pd
+
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus = em.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in corpus], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in corpus], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def topk_batches(batches):
+        ids_, mat_ = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ mat_.T  # (batch, N)
+            for row_i, qid in enumerate(pdf["vec_id"].to_numpy()):
+                s = sims[row_i].copy()
+                s[ids_ == qid] = -np.inf  # exclude self
+                order = np.lexsort((ids_, -s))[:_TOPK]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids_[order],
+                        "cosine_sim": s[order],
+                        "rk": np.arange(1, len(order) + 1, dtype=np.int64),
+                    }
+                )
+
+    queries_df = em.filter(F.col("vec_id") < _NQ)
+    return queries_df.mapInPandas(
+        topk_batches,
+        schema="query_id long, neighbor_id long, cosine_sim double, rk long",
+    )

@@ -1,1 +1,179 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis queries over `documents` (beyond-reference surface).
+
+Every query has a DuckDB oracle that replays the operator's exact
+arithmetic (portable md5-derived hashes, identical regex classes) —
+these are hash-verified, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecowatt_etl_spark.operators.text import (
+    HASH_PRIME,
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    predict_lang,
+    quality_features,
+    token_count,
+)
+from ecowatt_etl_spark.queries.registry import query
+from ecowatt_etl_spark.sources.tables import load_table
+
+_SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _sql_marker_count(markers: list[str]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_SQL_TOKENS}, x -> x IN ({quoted})))"
+
+
+# ---------------------------------------------------------------------------
+# q70 — token counting + corpus stats
+# ---------------------------------------------------------------------------
+@query(
+    "q70_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len({_SQL_TOKENS}) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           MAX(n_chars) AS max_chars
+    FROM t GROUP BY lang
+    """,
+)
+def q70_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus token statistics — the budget/size pass every
+    training-data pipeline runs first. Tokenization is a codegen'd
+    split; the aggregate shuffles only (lang → 5 groups)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — quality scoring
+# ---------------------------------------------------------------------------
+_SW = ", ".join(f"'{m}'" for m in STOPWORDS)
+
+
+@query(
+    "q71_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_SQL_TOKENS}) AS n_tokens,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / len({_SQL_TOKENS}) AS avg_token_len,
+             CAST(len(list_filter({_SQL_TOKENS}, x -> x IN ({_SW}))) AS DOUBLE)
+               / len({_SQL_TOKENS}) AS stopword_ratio,
+             CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+               / length(lower(text)) AS alnum_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, alnum_ratio,
+           least(n_tokens / 100.0, 1.0) * 0.4
+             + least(stopword_ratio * 5.0, 1.0) * 0.3
+             + alnum_ratio * 0.3 AS quality_score
+    FROM t
+    """,
+)
+def q71_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (C4/Gopher-style
+    length, stopword-density and alnum-share rules). Pure expressions —
+    one scan, no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+# ---------------------------------------------------------------------------
+# q72 — language identification
+# ---------------------------------------------------------------------------
+def _sql_predict_lang() -> str:
+    langs = list(LANG_MARKERS)
+    score = {lang: f"s_{lang}" for lang in langs}
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"{score[lang]} {op} {score[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@query(
+    "q72_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(f"{_sql_marker_count(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items())}
+      FROM documents
+    )
+    SELECT labeled_lang,
+           {_sql_predict_lang()} AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def q72_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (per-language marker-token hits → argmax
+    with deterministic tie-break) crossed against the labeled lang.
+    The scorer is a fixed-size expression per language — no vocabulary
+    join, so it runs scan-local at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            predict_lang("text").alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — document fingerprinting
+# ---------------------------------------------------------------------------
+@query(
+    "q73_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_SQL_TOKENS},
+                 x -> CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)
+                      % {HASH_PRIME})),
+             (acc, x) -> (acc * 31 + x) % {HASH_PRIME}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def q73_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document
+    (fold (acc*31 + md5-word-hash) mod P over the token stream) —
+    the cheap first-pass identity for dedup and change detection."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))

@@ -1,0 +1,99 @@
+"""Structured Streaming variants of the event-time queries.
+
+The batch builders in queries/event_queries.py use F.window /
+F.session_window — the SAME operators run here under readStream with a
+watermark; only the source/sink differ. That is the engine's streaming
+story: write the aggregation once, run it batch or streaming.
+
+Local smoke path: the parquet file source replays the events table as
+a stream; a memory sink + processAllAvailable() drives the query to
+completion synchronously (no real broker in this environment — on a
+cluster the source line becomes format('kafka') and nothing else
+changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) → long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (nanos → micros ts,
+    same truncation as the batch scan wrapper)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour tumbling windows per event type with late-data handling:
+    the watermark bounds state — windows older than max(event time) −
+    10 min are finalized and evicted; later-than-watermark events are
+    dropped (the documented late-data policy)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Gap-based session windows per user under a watermark — state is
+    one open session per (user, gap) merged as events arrive."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_completion(
+    agg: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming aggregation over a bounded file source to
+    completion via a memory sink; returns the materialized result as a
+    batch DataFrame. Smoke-test harness for the streaming path."""
+    spark = agg.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)

@@ -2,9 +2,12 @@
 
 Runs every registered query through Spark AND its DuckDB oracle at
 sf0.01, then compares row count, column names, and an order-insensitive
-value comparison (columns sorted by name, rows sorted by all values,
-NaN==NaN, 1e-9 relative float tolerance as a debugging aid — the real
-gate hashes exact values, which is why aggregates use exact decimal).
+EXACT value comparison (columns sorted by name, rows sorted by all
+values, values compared as strings like the driver's hash — every
+oracle-backed query is designed to be bit-identical across engines:
+exact-decimal money aggregates, fixed-order double folds for floats).
+A tolerance here would hide exactly the 1-ulp engine divergences the
+real gate flags.
 """
 
 from __future__ import annotations
@@ -31,8 +34,8 @@ def _values_equal(a, b) -> bool:
         fa, fb = float(a), float(b)
         if math.isnan(fa) or math.isnan(fb):
             return math.isnan(fa) and math.isnan(fb)
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(abs(fa), abs(fb))
-    return a == b
+        return str(fa) == str(fb)  # exact: the driver hashes rendered values
+    return str(a) == str(b)
 
 
 def _all_specs():

@@ -1,0 +1,87 @@
+"""Streaming ↔ batch operator parity + multimodal plumbing + ANN parity.
+
+The streaming queries must produce the same windows/sessions as their
+batch twins (same F.window / F.session_window expressions); the
+numpy-matmul ANN path must agree with the exact-decimal join path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMOKE
+
+
+def _keyed(rows, keys):
+    return {tuple(r[k] for k in keys): r for r in rows}
+
+
+def test_stream_tumbling_matches_batch(spark):
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    batch = qs["q40_tumbling_window"].fn(spark, SF_SMOKE).collect()
+    stream = qs["q44_stream_tumbling"].fn(spark, SF_SMOKE).collect()
+    kb = _keyed(batch, ["window_start", "event_type"])
+    ks = _keyed(stream, ["window_start", "event_type"])
+    assert set(kb) == set(ks)
+    for k in kb:
+        assert kb[k]["n_events"] == ks[k]["n_events"]
+        # batch uses exact-decimal sums, streaming plain double — tolerance
+        assert math.isclose(kb[k]["sum_value"], ks[k]["sum_value"], rel_tol=1e-9)
+
+
+def test_stream_sessions_matches_batch(spark):
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    batch = qs["q42_session_window"].fn(spark, SF_SMOKE).collect()
+    stream = qs["q45_stream_sessions"].fn(spark, SF_SMOKE).collect()
+    kb = _keyed(batch, ["user_id", "session_start"])
+    ks = _keyed(stream, ["user_id", "session_start"])
+    assert set(kb) == set(ks)
+    for k in kb:
+        assert kb[k]["n_events"] == ks[k]["n_events"]
+
+
+def test_matmul_topk_matches_exact_topk(spark):
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    exact = qs["q61_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    fast = qs["q63_cosine_topk_matmul"].fn(spark, SF_SMOKE).collect()
+    ke = _keyed(exact, ["query_id", "rk"])
+    kf = _keyed(fast, ["query_id", "rk"])
+    assert set(ke) == set(kf)
+    for k in ke:
+        assert ke[k]["neighbor_id"] == kf[k]["neighbor_id"], k
+        assert math.isclose(ke[k]["cosine_sim"], kf[k]["cosine_sim"], rel_tol=1e-9)
+
+
+def test_multimodal_feature_extraction(spark):
+    from ecowatt_etl_spark.operators import multimodal
+
+    media = multimodal.synthesize_media_frame(spark, 48)
+    assert media.schema == multimodal.MEDIA_SCHEMA or [f.name for f in media.schema] == [
+        f.name for f in multimodal.MEDIA_SCHEMA
+    ]
+
+    # metadata-only stats never touch payload bytes
+    stats = {r["media_type"]: r for r in multimodal.media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}
+    assert stats["image"]["avg_width"] == 640.0
+
+    # no codec installed → loud NotImplementedError through the real path
+    multimodal.set_codec(None)
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|no media codec"):
+        multimodal.extract_features(media).collect()
+
+    # deterministic fake codec → full Arrow batch path, stable features
+    multimodal.set_codec(multimodal.FakeCodec())
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 48
+    assert all(len(r["feature"]) == multimodal.FakeCodec.DIM for r in feats)
+    again = multimodal.extract_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))

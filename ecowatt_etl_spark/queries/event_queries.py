@@ -223,3 +223,70 @@ def q45_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = session_aggregates(read_events_stream(spark, sf_dir))
     return run_to_completion(agg, "q45_stream_sessions_sink", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# q46 — as-of join (each purchase matched to the user's latest view ≤ ts)
+# ---------------------------------------------------------------------------
+@query(
+    "q46_asof_join",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    p AS (SELECT * FROM tagged WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM tagged WHERE event_type = 'view'),
+    matched AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             strftime(p.ts, '{_SQL_TS_FMT}') AS purchase_ts,
+             MAX(CASE WHEN v.ts IS NOT NULL
+                      THEN {{'ts': v.ts, 'id': v.event_id}} END) AS lv,
+             epoch_us(p.ts) AS p_us
+      FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+      GROUP BY 1, 2, 3, 5
+    )
+    SELECT purchase_id, user_id, purchase_ts,
+           lv.id AS view_id,
+           CASE WHEN lv.ts IS NULL THEN NULL
+                ELSE (p_us - epoch_us(lv.ts)) // 1000000 END AS gap_sec
+    FROM matched
+    """,
+)
+def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the same user's most
+    recent view at-or-before its timestamp (ties on ts broken by max
+    event_id — struct max is lexicographic in both engines).
+
+    Spark-first shape: NOT a range join (which explodes to |P|×|V| per
+    user before filtering). Both streams union into one pass, and a
+    running MAX over a RANGE window (unbounded-preceding → current ts)
+    carries the latest view forward — one shuffle on user_id, linear
+    work per user, the standard scale-out as-of. The RANGE frame (not
+    ROWS) is what admits same-timestamp views, matching the oracle's
+    `v.ts <= p.ts`."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lv = F.max(
+        F.when(F.col("event_type") == "view", F.struct("ts", "event_id"))
+    ).over(w)
+    return (
+        tagged.withColumn("lv", lv)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            F.col("lv.event_id").alias("view_id"),
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("lv.ts")) / F.lit(1_000_000)
+            ).alias("gap_sec"),
+        )
+    )

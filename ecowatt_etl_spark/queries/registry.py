@@ -45,6 +45,7 @@ def _load_all() -> None:
     import ecowatt_etl_spark.queries.dedup_queries  # noqa: F401
     import ecowatt_etl_spark.queries.ecowatt_queries  # noqa: F401
     import ecowatt_etl_spark.queries.event_queries  # noqa: F401
+    import ecowatt_etl_spark.queries.multimodal_queries  # noqa: F401
     import ecowatt_etl_spark.queries.relational  # noqa: F401
     import ecowatt_etl_spark.queries.similarity_queries  # noqa: F401
     import ecowatt_etl_spark.queries.text_queries  # noqa: F401

@@ -176,6 +176,76 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q64 — LSH-bucketed approximate top-k (the scale path for search)
+# ---------------------------------------------------------------------------
+_PROBE_BITS = _SIGN_BITS  # multi-probe: own block + each 1-bit flip
+
+
+@query(
+    "q64_lsh_topk",
+    oracle=f"""
+    WITH blk AS (SELECT vec_id, embedding, {_sql_sign_block()} AS bk FROM embeddings),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb,
+             UNNEST([bk, {", ".join(f"xor(bk, {2**i})" for i in range(_PROBE_BITS))}]) AS pk
+      FROM blk WHERE vec_id < {_NQ}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_sql_dot('p.q_emb', 'c.embedding')}
+               / ({_sql_norm('p.q_emb')} * {_sql_norm('c.embedding')}) AS cosine_sim
+      FROM probes p JOIN blk c ON c.bk = p.pk AND c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-3 via multi-probe sign-LSH: each query
+    probes its own sign-block plus the 8 one-bit-flip neighbor blocks,
+    scoring only vectors in those buckets (~9/256 of the corpus in
+    expectation) instead of all N. This is the search-side scale path:
+    the probe table is tiny and broadcast, the corpus shuffles once on
+    its 4-byte block key, and recall is tunable via probe radius —
+    the same probing scheme at 100 TB, with the block key as the
+    partition key so each probe touches one partition."""
+    em = load_table(spark, sf_dir, "embeddings")
+    blk = em.select(
+        "vec_id", "embedding", sign_block_key(F.col("embedding"), _SIGN_BITS).alias("bk")
+    )
+    probes = F.broadcast(
+        blk.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.array(
+                    F.col("bk"),
+                    *[F.col("bk").bitwiseXOR(F.lit(2**i)) for i in range(_PROBE_BITS)],
+                )
+            ).alias("pk"),
+        )
+    )
+    scored = (
+        blk.join(
+            probes,
+            (F.col("bk") == F.col("pk")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
 # q63 — numpy block-matmul top-k (the throughput path; rows-only)
 # ---------------------------------------------------------------------------
 @query("q63_cosine_topk_matmul")  # numpy pairwise summation ≠ fold-order → rows-only

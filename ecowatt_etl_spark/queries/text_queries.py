@@ -177,3 +177,56 @@ def q73_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap first-pass identity for dedup and change detection."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# q74 — BPE-ish regex subword tokenization
+# ---------------------------------------------------------------------------
+_SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@query(
+    "q74_subword_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '{_SUBWORD_RE}')) AS n_subwords,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha,
+             len(regexp_extract_all(lower(text), '[0-9]+')) AS n_num
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_subwords) AS total_subwords,
+           SUM(n_alpha) AS total_alpha,
+           SUM(n_num) AS total_num,
+           SUM(n_subwords - n_alpha - n_num) AS total_other,
+           CAST(SUM(n_subwords) AS DOUBLE) / COUNT(*) AS avg_subwords
+    FROM t GROUP BY lang
+    """,
+)
+def q74_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization budget pass: split into alpha runs,
+    digit runs, and single non-alnum symbols (the classic byte-level
+    BPE pre-split classes) and aggregate per language. A closer token
+    estimate than whitespace counting (q70) for code/punctuation-heavy
+    corpora; still a pure codegen'd projection — no vocabulary, no UDF,
+    scan-local at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    t = d.select(
+        "lang",
+        F.size(F.regexp_extract_all(lowered, F.lit(_SUBWORD_RE), 0)).alias("n_subwords"),
+        F.size(F.regexp_extract_all(lowered, F.lit("[a-z]+"), 0)).alias("n_alpha"),
+        F.size(F.regexp_extract_all(lowered, F.lit("[0-9]+"), 0)).alias("n_num"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_subwords").cast("long").alias("total_subwords"),
+        F.sum("n_alpha").cast("long").alias("total_alpha"),
+        F.sum("n_num").cast("long").alias("total_num"),
+        F.sum(F.col("n_subwords") - F.col("n_alpha") - F.col("n_num"))
+        .cast("long")
+        .alias("total_other"),
+        (F.sum("n_subwords").cast("double") / F.count("*")).alias("avg_subwords"),
+    )

@@ -290,3 +290,96 @@ def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — JSON property extraction + aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "q47_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q47_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: extract `$.k` from the JSON `props`
+    column and aggregate per event type. get_json_object is a
+    codegen'd JVM path (no UDF); for repeated multi-field access at
+    scale, from_json with an explicit schema parses once per row into
+    a struct — same plan shape, one parse instead of N."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — range-window lookback (events per user in the trailing 5 minutes)
+# ---------------------------------------------------------------------------
+@query(
+    "q48_range_lookback",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+               AS n_5min
+      FROM events
+    )
+    SELECT event_id, user_id, strftime(ts, '{_SQL_TS_FMT}') AS ts_str, n_5min
+    FROM w WHERE event_type = 'error'
+    """,
+)
+def q48_range_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: how many events (any type) did the same
+    user produce in the trailing 5 minutes (inclusive)? A RANGE window
+    over microsecond event time — the burst/rate-limit detection shape.
+    Scale: one shuffle on user_id + per-user sort; the frame is a
+    sliding pointer pair over each sorted partition, O(n) per user —
+    no self-join blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, W.currentRow)
+    )
+    return (
+        ev.withColumn("n_5min", F.count("*").over(w))
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_str"),
+            "n_5min",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — custom stateful streaming operator (rows-only; batch parity in
+# tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+@query("q49_stream_stateful_totals")
+def q49_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals via applyInPandasWithState under
+    Structured Streaming (file-source replay → explicit GroupState →
+    memory sink). The state API path for operators beyond windowed
+    aggregation; totals equal the batch groupBy (asserted in tests)."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+        stateful_user_totals,
+    )
+
+    agg = stateful_user_totals(read_events_stream(spark, sf_dir))
+    return run_to_completion(agg, "q49_stream_stateful_sink", output_mode="update")

@@ -836,3 +836,60 @@ def q25b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_price_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q26 — cube (multi-dimensional subtotal lattice)
+# ---------------------------------------------------------------------------
+@query(
+    "q26_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum("o_totalprice", "sum_price")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q26_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in ONE pass —
+    Catalyst expands the lattice map-side (Expand node), so the input
+    is scanned once and shuffled once regardless of how many subtotal
+    levels the cube adds. Subtotal rows carry NULL group keys,
+    identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), exact_sum("o_totalprice", "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — set operations (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+@query(
+    "q27_set_ops",
+    oracle="""
+    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+    finished AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'urgent_and_finished' AS tag, o_custkey
+    FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM finished)
+    UNION ALL
+    SELECT 'urgent_only', o_custkey
+    FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM finished)
+    """,
+)
+def q27_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (distinct set semantics) between two
+    filtered key sets, tagged and unioned. Catalyst rewrites both to
+    semi/anti hash joins on the key — one shuffle each on o_custkey,
+    no sort. (The reference has no set ops beyond union-all; these
+    complete the engine's set-operator surface.)"""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = urgent.intersect(finished).select(
+        F.lit("urgent_and_finished").alias("tag"), "o_custkey"
+    )
+    only = urgent.exceptAll(finished).select(F.lit("urgent_only").alias("tag"), "o_custkey")
+    return both.unionByName(only)

@@ -85,3 +85,29 @@ def test_multimodal_feature_extraction(spark):
     assert all(len(r["feature"]) == multimodal.FakeCodec.DIM for r in feats)
     again = multimodal.extract_features(media).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_stateful_totals_match_batch(spark):
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    qs = all_queries()
+    stream_rows = qs["q49_stream_stateful_totals"].fn(spark, SF_SMOKE).collect()
+    # update-mode memory sink may emit one row per key per micro-batch;
+    # the LAST emission per user carries the final running totals
+    final = {}
+    for r in stream_rows:
+        final[r["user_id"]] = r  # later batches overwrite earlier
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    kb = {r["user_id"]: r for r in batch}
+    assert set(final) == set(kb)
+    for uid, r in final.items():
+        assert r["n_events"] == kb[uid]["n"]
+        assert math.isclose(r["sum_value"], kb[uid]["s"], rel_tol=1e-9)

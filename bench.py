@@ -17,6 +17,7 @@ import time
 
 
 HEADLINE = [
+    # relational core
     "q01_pricing_summary",
     "q05_multiagg_conditional",
     "q09_distinct_count",
@@ -25,8 +26,18 @@ HEADLINE = [
     "q17_top10_revenue",
     "q22_window_yoy",
     "q23_topk_per_group",
+    # event time
     "q40_tumbling_window",
     "q42_session_window",
+    "q46_asof_join",
+    "q48_range_lookback",
+    # training-data pipeline
+    "q51_hash_dedup",
+    "q53_minhash_lsh_pairs",
+    "q61_cosine_topk",
+    "q64_lsh_topk",
+    "q71_quality_scores",
+    "q74_subword_stats",
 ]
 
 

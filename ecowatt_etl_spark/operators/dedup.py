@@ -7,12 +7,18 @@ is replayable in the DuckDB oracle.
 
 Scale design:
   - exact/hash dedup: one hash aggregate, shuffle on the (hashed) text.
-  - MinHash LSH: per-doc signature is scan-local (higher-order
-    functions over the shingle array — no explode, no shuffle); only
-    the band→candidate join shuffles, on short band keys. Candidate
-    verification touches candidate pairs only, never the N² space.
-  - SimHash: scan-local 32-bit signature via one pass of wide
-    conditional sums; near-dup pairing again via band join.
+  - Signatures (MinHash, SimHash) are computed EXPLODED: one
+    (doc, shingle-or-token) row per element, md5 evaluated once per row
+    inside whole-stage codegen, then a single hash aggregate back to
+    one row per doc. An earlier design folded over arrays with
+    higher-order functions to avoid the explode+shuffle — measured 15×+
+    slower: HOF lambdas evaluate interpreted (outside codegen) and the
+    per-permutation folds re-ran md5 over every element, so "no
+    shuffle" lost badly to "codegen'd hash once". The aggregate output
+    is also a reusable exchange: self-joins downstream (band pairing)
+    reuse the shuffle instead of recomputing the signature pipeline.
+  - Candidate pairing (LSH bands / byte bands) joins on short band
+    keys; verification touches candidate pairs only, never N².
 """
 
 from __future__ import annotations
@@ -44,9 +50,9 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the document.
 
     Built with array higher-order functions (sequence → slice →
-    concat_ws) — stays inside the projection, no explode row blowup at
-    shingling time. Shorter-than-n docs yield a single whole-doc
-    shingle."""
+    concat_ws) — pure string ops, cheap even interpreted; the expensive
+    md5 hashing happens exploded (see shingle_hashes). Shorter-than-n
+    docs yield a single whole-doc shingle."""
     t = tokens(col)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(t) - n),
@@ -56,29 +62,35 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(whole))
 
 
-def minhash_signature(col: str | Column, n: int = 3) -> list[Column]:
-    """MinHash signature: for each fixed permutation i,
-    min over shingles of (a_i·h(shingle) + b_i) mod P.
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, h) rows: one portable 31-bit hash per distinct shingle,
+    md5 evaluated exactly once per (doc, shingle) in codegen."""
+    e = df.select(id_col, F.explode(shingles(text_col, n)).alias("s"))
+    return e.select(id_col, word_hash(F.col("s")).alias("h"))
 
-    One column per hash (sig_0..sig_{k-1}) — flat columns, not an
-    array, so oracles and band keys address them directly."""
-    hashes = F.transform(shingles(col, n), word_hash)
 
-    def perm(a: int, b: int):
-        # closure factory: Spark HOFs introspect lambda arity, so the
-        # permutation params must not appear as (default) parameters
-        return lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME
-
-    return [
-        F.array_min(F.transform(hashes, perm(a, b))).alias(f"sig_{i}")
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row per doc with sig_0..sig_{k-1}: min over shingles of
+    (a_i·h + b_i) mod P per fixed permutation i. Explode → hash once →
+    ONE aggregate (all k mins in the same hash-agg pass, map-side
+    partials); the result exchange is reused by any downstream
+    self-join."""
+    e = shingle_hashes(df, id_col, text_col, n)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"sig_{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
+    return e.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Explode a signature frame into (id, band, k1, k2) band keys —
     the LSH bucketing: docs agreeing on ALL rows of any band become
-    candidates. Join on the short band key is the only shuffle."""
+    candidates. Join on the short band key is the only wide shuffle."""
     n_bands = N_HASHES // BAND_ROWS
     bands = F.array(
         *[
@@ -102,25 +114,26 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
     return F.try_divide(inter, union.cast("double"))
 
 
-def simhash(col: str | Column) -> Column:
-    """32-bit SimHash, computed scan-local in ONE expression pass:
-    for each bit j, sum over tokens of ±1 by the j-th bit of the token
-    hash; bit j of the result = (sum > 0).
-
-    The per-bit sums are a fold over the token-hash array — no explode,
-    no shuffle, O(tokens × bits) arithmetic inside codegen."""
-    hashes = F.transform(tokens(col), word_hash)
-
-    def bit_step(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    result = F.lit(0).cast("long")
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per doc with a 32-bit SimHash: per bit j, sum over token
+    occurrences of ±1 by bit j of the token hash; bit j of the result =
+    (sum > 0). Explode tokens → hash once → one aggregate computing all
+    32 bit-sums (commutative, order-independent) → recombine."""
+    t = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    h = t.select(id_col, word_hash(F.col("tok")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    g = h.groupBy(id_col).agg(*bit_aggs)
+    val = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_step(j))
-        result = result + F.when(bit_sum > 0, F.lit(2**j).cast("long")).otherwise(0)
-    return result
+        val = val + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(0)
+    return g.select(id_col, val.alias("simhash"))
 
 
 def hamming32(a: Column, b: Column) -> Column:

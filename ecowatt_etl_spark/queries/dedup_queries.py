@@ -13,14 +13,14 @@ from ecowatt_etl_spark.operators.dedup import (
     MINHASH_A,
     MINHASH_B,
     N_HASHES,
-    SIMHASH_BITS,
     hamming32,
     jaccard,
     lsh_bands,
-    minhash_signature,
+    minhash_signatures,
     normalized_text,
+    shingle_hashes,
     shingles,
-    simhash,
+    simhash_signatures,
 )
 from ecowatt_etl_spark.operators.text import HASH_PRIME
 from ecowatt_etl_spark.queries.registry import query
@@ -28,7 +28,8 @@ from ecowatt_etl_spark.sources.tables import load_table
 
 # ---- shared SQL fragments (DuckDB) ----------------------------------------
 _SQL_W = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-_SQL_HASH = f"CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % {HASH_PRIME}"
+_SQL_HASH_X = f"CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % {HASH_PRIME}"
+_SQL_HASH_S = f"CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {HASH_PRIME}"
 _SQL_SHINGLES = f"""
     list_distinct(
       CASE WHEN len({_SQL_W}) >= 3
@@ -36,14 +37,23 @@ _SQL_SHINGLES = f"""
                                i -> {_SQL_W}[i] || ' ' || {_SQL_W}[i+1] || ' ' || {_SQL_W}[i+2])
            ELSE [array_to_string({_SQL_W}, ' ')] END)
 """
+# exploded (doc_id, shingle-hash) rows — the shared base of every
+# signature oracle
+_SQL_E = f"""
+    SELECT doc_id, {_SQL_HASH_S} AS h
+    FROM (SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS s FROM documents)
+"""
 
 
 def _sql_sig(i: int) -> str:
     a, b = MINHASH_A[i], MINHASH_B[i]
-    return (
-        f"list_min(list_transform(sh, x -> ({a} * ({_SQL_HASH}) + {b}) % {HASH_PRIME}))"
-        f" AS sig_{i}"
-    )
+    return f"MIN(({a} * h + {b}) % {HASH_PRIME}) AS sig_{i}"
+
+
+_SQL_SIG_AGG = f"""
+    SELECT doc_id, {", ".join(_sql_sig(i) for i in range(N_HASHES))}
+    FROM e GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -94,18 +104,14 @@ def q51_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q52_minhash_signatures",
-    oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
-    SELECT doc_id, {", ".join(_sql_sig(i) for i in range(N_HASHES))}
-    FROM sh
-    """,
+    oracle=f"WITH e AS ({_SQL_E}) {_SQL_SIG_AGG}",
 )
 def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (8 fixed permutations over
-    distinct 3-word shingles). Entirely scan-local — shingling and the
-    min-fold are array expressions; no explode, no shuffle."""
+    distinct 3-word shingles). Explode → md5 once per (doc, shingle)
+    in codegen → one hash-agg computing all 8 mins map-side."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", *minhash_signature("text"))
+    return minhash_signatures(d)
 
 
 # ---------------------------------------------------------------------------
@@ -120,8 +126,9 @@ _SQL_BANDS = " UNION ALL ".join(
 @query(
     "q53_minhash_lsh_pairs",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
-    sig AS (SELECT doc_id, sh, {", ".join(_sql_sig(i) for i in range(N_HASHES))} FROM sh),
+    WITH e AS ({_SQL_E}),
+    sig AS ({_SQL_SIG_AGG}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
     bands AS ({_SQL_BANDS}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -139,13 +146,13 @@ _SQL_BANDS = " UNION ALL ".join(
 )
 def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, the full scale pipeline:
-    signatures (scan-local) → band bucketing (the ONLY wide shuffle, on
-    4-byte-ish band keys) → candidate pairs → exact-Jaccard
+    signatures (one explode + one agg) → band bucketing → candidate
+    pairs (join on short band keys; both sides are the SAME aggregate,
+    so Spark reuses the shuffle instead of recomputing) → exact-Jaccard
     verification on candidates only. The N² similarity space is never
-    materialized — candidates ≈ docs sharing a band."""
+    materialized."""
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select("doc_id", shingles("text").alias("sh"), *minhash_signature("text"))
-    bands = lsh_bands(sig.drop("sh"))
+    bands = lsh_bands(minhash_signatures(d))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -158,7 +165,7 @@ def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = sig.select("doc_id", "sh")
+    sh = d.select("doc_id", shingles("text").alias("sh"))
     return (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
@@ -169,17 +176,22 @@ def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q54 — n-gram Jaccard via distributed inverted index (exact, no LSH)
+# q54 — n-gram Jaccard via distributed inverted index (exact on the
+# df-capped shingle sets)
 # ---------------------------------------------------------------------------
+_DF_CAP = 50  # drop shingles appearing in more than this many docs
+
+
 @query(
     "q54_ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-    e AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    WITH e AS ({_SQL_E}),
+    keep AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= {_DF_CAP}),
+    e2 AS (SELECT e.doc_id, e.h FROM e JOIN keep USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e2 GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -191,18 +203,25 @@ def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q54_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ 0.2 via an inverted shingle
-    index: explode → self-equi-join on the shingle → per-pair
-    intersection counts. Cost is Σ per-shingle df² — cheap while
-    shingles are rare; hot shingles are exactly what the LSH path (q53)
-    avoids, which is why both are exposed."""
+    """All-pairs n-gram Jaccard ≥ 0.2 via an inverted shingle index:
+    explode → drop hot shingles (document frequency > 50) → self-join
+    on the shingle hash → per-pair intersection counts. The df cap is
+    the standard guard that keeps the join's Σ df² cost linear-ish:
+    a shingle shared by half the corpus contributes nothing to
+    discrimination but n²/4 join rows. Jaccard is computed over the
+    capped sets (sizes and intersections both post-cap, so the metric
+    is self-consistent); the join/shuffle key is the 8-byte hash, not
+    the shingle string."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles("text").alias("sh"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    e = sh.select("doc_id", F.explode("sh").alias("s"))
-    a, b = e.alias("a"), e.alias("b")
+    e = shingle_hashes(d)
+    keep = e.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _DF_CAP
+    ).select("h")
+    e2 = e.join(keep, "h")
+    sizes = e2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = e2.alias("a"), e2.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("c"))
     )
@@ -224,28 +243,32 @@ def q54_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q55 — SimHash signatures
 # ---------------------------------------------------------------------------
-def _sql_simhash() -> str:
-    hashes = f"list_transform({_SQL_W}, x -> {_SQL_HASH})"
-    bit_terms = []
-    for j in range(SIMHASH_BITS):
-        bit_sum = (
-            f"list_sum(list_transform({hashes}, "
-            f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
-        )
-        bit_terms.append(f"CASE WHEN {bit_sum} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END")
-    return "(" + " + ".join(bit_terms) + ")"
+_SQL_TOK_H = f"""
+    SELECT doc_id, {_SQL_HASH_S} AS h
+    FROM (SELECT doc_id, UNNEST({_SQL_W}) AS s FROM documents)
+"""
+_SQL_SIMHASH_AGG = (
+    "SELECT doc_id, ("
+    + " + ".join(
+        f"CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(32)
+    )
+    + ") AS simhash FROM th GROUP BY doc_id"
+)
 
 
 @query(
     "q55_simhash",
-    oracle=f"SELECT doc_id, {_sql_simhash()} AS simhash FROM documents",
+    oracle=f"WITH th AS ({_SQL_TOK_H}) {_SQL_SIMHASH_AGG}",
 )
 def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document — scan-local (per-bit ±1 folds over
-    the token-hash array, no explode). Near-dup = small Hamming
-    distance; pairing happens in q56 via byte-band LSH."""
+    """32-bit SimHash per document: explode tokens → md5 once per
+    occurrence → one aggregate computing all 32 signed bit-sums
+    (commutative, so order-independent) → recombine into the signature.
+    Near-dup = small Hamming distance; pairing happens in q56."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text").alias("simhash"))
+    return simhash_signatures(d)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +283,8 @@ _SQL_SIMHASH_BANDS = " UNION ALL ".join(
 @query(
     "q56_simhash_neardup",
     oracle=f"""
-    WITH s AS (SELECT doc_id, {_sql_simhash()} AS simhash FROM documents),
+    WITH th AS ({_SQL_TOK_H}),
+    s AS ({_SQL_SIMHASH_AGG}),
     bands AS ({_SQL_SIMHASH_BANDS}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
@@ -277,9 +301,10 @@ def q56_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 6 of 32) with 4×8-bit band
     blocking: a pair within distance d must agree exactly on ≥1 byte
     band when d < 4 bands — the classic pigeonhole LSH for Hamming
-    space. Only band-colliding pairs are compared."""
+    space. The signature aggregate is computed once and its exchange
+    reused on both sides of the band self-join."""
     d = load_table(spark, sf_dir, "documents")
-    s = d.select("doc_id", simhash("text").alias("simhash"))
+    s = simhash_signatures(d)
     bands = s.select(
         "doc_id",
         "simhash",

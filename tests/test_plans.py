@@ -57,9 +57,23 @@ def test_embedding_norms_has_no_shuffle(spark):
     assert "Exchange" not in plan, "norms must be scan-local (array fold)"
 
 
-def test_minhash_signatures_have_no_shuffle(spark):
-    plan = _plan(spark, "q52_minhash_signatures")
-    assert "Exchange" not in plan, "signatures must be scan-local (HOF fold)"
+def test_minhash_signatures_single_shuffle(spark):
+    """Explode → codegen'd md5 → ONE aggregate: exactly one shuffle
+    (on doc_id), with map-side partial mins before it."""
+    tree = _plan(spark, "q52_minhash_signatures").split("\n\n")[0]
+    shuffles = [l for l in tree.splitlines() if "Exchange" in l and "Broadcast" not in l]
+    assert len(shuffles) == 1, tree
+    assert "HashAggregate" in tree
+
+
+def test_simhash_neardup_no_cartesian(spark):
+    """Band self-join must stay an equi-join on the band key (broadcast
+    or shuffled-hash), never a cartesian/nested-loop pairing."""
+    tree = _plan(spark, "q56_simhash_neardup").split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "NestedLoop" not in tree
+    # signature pipeline appears at most twice (once per join side);
+    # anything more means the aggregate is being recomputed downstream
+    assert tree.count("Scan parquet") <= 2
 
 
 def test_topk_per_group_uses_window_group_limit(spark):

@@ -230,3 +230,74 @@ def q74_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_other"),
         (F.sum("n_subwords").cast("double") / F.count("*")).alias("avg_subwords"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — composed corpus-curation pipeline
+# ---------------------------------------------------------------------------
+_MIN_TOKENS = 10
+_MIN_QUALITY = 0.5
+
+
+@query(
+    "q75_corpus_pipeline",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang, text,
+             len({_SQL_TOKENS}) AS n_tokens,
+             least(len({_SQL_TOKENS}) / 100.0, 1.0) * 0.4
+               + least((CAST(len(list_filter({_SQL_TOKENS}, x -> x IN ({_SW}))) AS DOUBLE)
+                        / len({_SQL_TOKENS})) * 5.0, 1.0) * 0.3
+               + CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                 / length(lower(text)) * 0.3 AS quality_score
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM feat
+      WHERE n_tokens >= {_MIN_TOKENS} AND quality_score >= {_MIN_QUALITY}
+    ),
+    deduped AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+             MIN(doc_id) AS canonical_id,
+             MIN(lang) AS lang,
+             MIN(n_tokens) AS n_tokens
+      FROM kept GROUP BY 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(canonical_id) AS min_doc_id
+    FROM deduped GROUP BY lang
+    """,
+)
+def q75_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline every training corpus runs:
+    quality/length filter → exact dedup on normalized text → per-language
+    budget report. One declarative plan: Catalyst fuses the filter into
+    the scan, the dedup is one hash-agg on a digest key, the report one
+    more tiny agg — three operators, two shuffles, no materialization
+    between stages (contrast: the eager per-stage frames of a
+    pandas-style pipeline). Duplicates resolve to the smallest doc_id;
+    lang/n_tokens ride along via MIN — deterministic even if a
+    duplicate group ever disagreed on its labels."""
+    from ecowatt_etl_spark.operators.dedup import normalized_text
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    kept = d.select(
+        "doc_id", "lang", "text",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    ).filter(
+        (F.col("n_tokens") >= _MIN_TOKENS) & (F.col("quality_score") >= _MIN_QUALITY)
+    )
+    deduped = kept.groupBy(F.md5(normalized_text("text")).alias("h")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("canonical_id").alias("min_doc_id"),
+    )

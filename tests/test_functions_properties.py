@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the scalar cleaning library.
+
+These functions encode the pandas↔Spark semantic bridges (NaN vs NULL,
+empty-string regex results, guarded ratios) — the places subtle data
+bugs live. Properties are checked over one generated batch per test
+(one Spark job), not per-example round-trips."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _run(spark, values, col_builder, schema=T.StringType()):
+    df = spark.createDataFrame([(v,) for v in values], T.StructType([T.StructField("x", schema)]))
+    return [r["y"] for r in df.select(col_builder(F.col("x")).alias("y")).collect()]
+
+
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=60
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=40))
+def test_normalize_header_idempotent(spark, names):
+    from ecowatt_etl_spark.functions.cleaning import normalize_header
+
+    for n in names:
+        once = normalize_header(n)
+        assert normalize_header(once) == once, (n, once)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=True, width=64)),
+            st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=True, width=64)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_guarded_div_never_nonfinite(spark, pairs):
+    """guarded_div mirrors the reference's safe ratios (main.py:304-331):
+    whatever junk goes in, what comes out is a finite double or 0."""
+    from ecowatt_etl_spark.functions.cleaning import guarded_div
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs],
+        T.StructType(
+            [T.StructField("a", T.DoubleType()), T.StructField("b", T.DoubleType())]
+        ),
+    )
+    out = [r["y"] for r in df.select(guarded_div("a", "b").alias("y")).collect()]
+    for v in out:
+        assert v is not None
+        assert math.isfinite(v), v
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.one_of(texts, st.none()), min_size=1, max_size=50))
+def test_try_double_null_or_parse(spark, raws):
+    """try_double: every output is NULL or a float Python can also
+    parse — never an error, never a junk coercion."""
+    from ecowatt_etl_spark.functions.cleaning import try_double
+
+    out = _run(spark, raws, try_double)
+    for raw, v in zip(raws, out):
+        if v is not None:
+            assert isinstance(v, float)
+            float(raw.strip())  # would raise if Spark accepted junk Python rejects
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=50))
+def test_fingerprint_bounded_and_deterministic(spark, docs):
+    from ecowatt_etl_spark.operators.text import HASH_PRIME, fingerprint
+
+    out1 = _run(spark, docs, fingerprint)
+    out2 = _run(spark, docs, fingerprint)
+    assert out1 == out2
+    for v in out1:
+        assert 0 <= v < HASH_PRIME
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=30))
+def test_shingles_nonempty_distinct(spark, docs):
+    """Every doc yields ≥1 shingle (whole-doc fallback) and no
+    duplicates — the invariants MinHash correctness rests on."""
+    from ecowatt_etl_spark.operators.dedup import shingles
+
+    out = _run(spark, docs, lambda c: shingles(c))
+    for sh in out:
+        assert len(sh) >= 1
+        assert len(sh) == len(set(sh))

@@ -128,29 +128,38 @@ _SQL_BANDS = " UNION ALL ".join(
     oracle=f"""
     WITH e AS ({_SQL_E}),
     sig AS ({_SQL_SIG_AGG}),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
     bands AS ({_SQL_BANDS}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+      FROM cand c
+      JOIN e a ON a.doc_id = c.id_a
+      JOIN e b ON b.doc_id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
-           CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-             / (len(sa.sh) + len(sb.sh)
-                - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard_sim
-    FROM cand
-    JOIN sh sa ON sa.doc_id = id_a
-    JOIN sh sb ON sb.doc_id = id_b
+    SELECT c.id_a, c.id_b,
+           CAST(COALESCE(i.cnt, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.cnt, 0)) AS jaccard_sim
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
     """,
 )
 def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, the full scale pipeline:
     signatures (one explode + one agg) → band bucketing → candidate
-    pairs (join on short band keys; both sides are the SAME aggregate,
-    so Spark reuses the shuffle instead of recomputing) → exact-Jaccard
-    verification on candidates only. The N² similarity space is never
-    materialized."""
+    pairs (join on short band keys) → exact-Jaccard verification on
+    candidates only, computed over the exploded (doc, shingle-hash)
+    rows — 8-byte join keys instead of shuffling whole shingle arrays
+    per pair. The N² similarity space is never materialized; a
+    candidate pair that shares a band by hash luck alone still reports
+    (jaccard 0) via the left join, so LSH precision is observable."""
     d = load_table(spark, sf_dir, "documents")
     bands = lsh_bands(minhash_signatures(d))
     a, b = bands.alias("a"), bands.alias("b")
@@ -165,12 +174,29 @@ def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = d.select("doc_id", shingles("text").alias("sh"))
+    e = shingle_hashes(d)
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(e.alias("ea"), F.col("id_a") == F.col("ea.doc_id"))
+        .join(
+            e.alias("eb"),
+            (F.col("id_b") == F.col("eb.doc_id")) & (F.col("ea.h") == F.col("eb.h")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cnt"))
+    )
     return (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"cnt": 0})
+        .join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
         .select(
-            "id_a", "id_b", jaccard(F.col("sa.sh"), F.col("sb.sh")).alias("jaccard_sim")
+            "id_a",
+            "id_b",
+            (
+                F.col("cnt").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("cnt"))
+            ).alias("jaccard_sim"),
         )
     )
 

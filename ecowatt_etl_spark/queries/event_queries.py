@@ -383,3 +383,50 @@ def q49_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = stateful_user_totals(read_events_stream(spark, sf_dir))
     return run_to_completion(agg, "q49_stream_stateful_sink", output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# q49a/q49b — interval join, batch (oracle) and stream-stream (rows-only)
+# ---------------------------------------------------------------------------
+@query(
+    "q49a_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTES AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def q49a_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join: every (purchase, view-within-10-minutes)
+    pair per user — the N-match generalization of the as-of join (q46
+    keeps only the latest). Equi-join on user_id carries the shuffle;
+    the time interval is a post-join range predicate, so cost is
+    Σ per-user |P|×|V| only within the joined key, never global."""
+    from ecowatt_etl_spark.streaming.events_stream import split_views_purchases
+
+    ev = load_table(spark, sf_dir, "events")
+    v, p = split_views_purchases(ev)
+    return p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id")
+
+
+@query("q49b_stream_stream_join")
+def q49b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q49a executed as a watermarked stream-stream join (both sides
+    readStream; join state bounded by the watermark + interval).
+    Result equality with the batch join is asserted in tests."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+        stream_stream_interval_join,
+    )
+
+    joined = stream_stream_interval_join(read_events_stream(spark, sf_dir))
+    return run_to_completion(joined, "q49b_stream_stream_sink", output_mode="append")

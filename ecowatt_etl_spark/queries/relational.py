@@ -893,3 +893,35 @@ def q27_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     only = urgent.exceptAll(finished).select(F.lit("urgent_only").alias("tag"), "o_custkey")
     return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# q28 — salted two-stage aggregation (skew mitigation; same answer)
+# ---------------------------------------------------------------------------
+@query(
+    "q28_salted_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           {sql_exact_sum("o_totalprice", "total")}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q28_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count+sum per priority computed as a salted TWO-STAGE aggregate
+    (operators/skew.py): stage 1 groups (key, salt) so a hot key's rows
+    spread across 8 reducers, stage 2 merges the 8 partials per key.
+    The oracle is the plain GROUP BY — salting is pure execution
+    strategy, the answer is identical (sums stay exact-decimal through
+    both stages)."""
+    from ecowatt_etl_spark.functions.exact import dec
+    from ecowatt_etl_spark.operators.skew import SALT, with_salt
+
+    o = load_table(spark, sf_dir, "orders")
+    salted = with_salt(o, 8)
+    partial = salted.groupBy("o_orderpriority", SALT).agg(
+        F.count("*").alias("__pc"), F.sum(dec("o_totalprice")).alias("__ps")
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("__pc").alias("n"), F.sum("__ps").cast("double").alias("total")
+    )

@@ -127,3 +127,38 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def split_views_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Tag and column-rename the two event streams for the interval
+    join (distinct column names keep watermark bookkeeping explicit)."""
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return v, p
+
+
+def stream_stream_interval_join(events: DataFrame, lookback: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to ALL of the
+    same user's views in the trailing 10 minutes. Both sides carry
+    watermarks so the join state is bounded: a buffered view can be
+    evicted once the purchase-side watermark passes v_ts + lookback —
+    the state-retention bound Structured Streaming derives from the
+    interval condition. Batch twin with DuckDB oracle: q49a."""
+    v, p = split_views_purchases(events)
+    v = v.withWatermark("v_ts", lookback)
+    p = p.withWatermark("p_ts", lookback)
+    return p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id")

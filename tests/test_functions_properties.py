@@ -100,3 +100,18 @@ def test_shingles_nonempty_distinct(spark, docs):
     for sh in out:
         assert len(sh) >= 1
         assert len(sh) == len(set(sh))
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join is an execution strategy, not a semantic change."""
+    from ecowatt_etl_spark.operators.skew import salted_join
+    from ecowatt_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    c2 = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = {tuple(r) for r in o.join(c2, "o_custkey").collect()}
+    salted = {tuple(r) for r in salted_join(o, c2, "o_custkey", n_salts=4).collect()}
+    assert plain == salted and len(plain) > 0

@@ -111,3 +111,18 @@ def test_stateful_totals_match_batch(spark):
     for uid, r in final.items():
         assert r["n_events"] == kb[uid]["n"]
         assert math.isclose(r["sum_value"], kb[uid]["s"], rel_tol=1e-9)
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    batch = {
+        (r["purchase_id"], r["view_id"])
+        for r in qs["q49a_interval_join"].fn(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r["purchase_id"], r["view_id"])
+        for r in qs["q49b_stream_stream_join"].fn(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream and len(batch) > 0

@@ -113,3 +113,26 @@ def test_no_row_at_a_time_python_anywhere(spark):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
         )
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Facts written partitionBy(YEAR) must give static partition
+    pruning: a YEAR filter shows up as PartitionFilters on the scan,
+    not a post-scan filter over all partitions."""
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    out = str(tmp_path / "orders_by_year")
+    o = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "YEAR", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("YEAR").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("YEAR") == 1995)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "YEAR" in pf
+    assert df.count() > 0

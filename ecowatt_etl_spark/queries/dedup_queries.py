@@ -123,9 +123,7 @@ _SQL_BANDS = " UNION ALL ".join(
 )
 
 
-@query(
-    "q53_minhash_lsh_pairs",
-    oracle=f"""
+_Q53_ORACLE = f"""
     WITH e AS ({_SQL_E}),
     sig AS ({_SQL_SIG_AGG}),
     bands AS ({_SQL_BANDS}),
@@ -149,8 +147,10 @@ _SQL_BANDS = " UNION ALL ".join(
     LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
     JOIN sizes sa ON sa.doc_id = c.id_a
     JOIN sizes sb ON sb.doc_id = c.id_b
-    """,
-)
+"""
+
+
+@query("q53_minhash_lsh_pairs", oracle=_Q53_ORACLE)
 def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, the full scale pipeline:
     signatures (one explode + one agg) → band bucketing → candidate
@@ -365,3 +365,74 @@ def q56_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "id_a", "id_b", hamming32(F.col("sim_a"), F.col("sim_b")).alias("hamming")
     ).filter(F.col("hamming") <= 6)
+
+
+# ---------------------------------------------------------------------------
+# q57 — dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+_CLUSTER_T = 0.5  # jaccard edge threshold
+
+
+@query(
+    "q57_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_Q53_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard_sim >= {_CLUSTER_T}
+      UNION ALL
+      SELECT id_b, id_a FROM pairs WHERE jaccard_sim >= {_CLUSTER_T}
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS lbl FROM verts
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS, not just pairs: connected components over the
+    near-dup graph (MinHash-LSH pairs with verified Jaccard ≥ 0.5),
+    labeling every clustered doc with the smallest doc_id reachable
+    from it — the canonical-document assignment a curation pipeline
+    actually keeps.
+
+    Iterative min-label propagation: each round, every vertex takes the
+    min of its own and its neighbors' labels; converges in
+    graph-diameter rounds (each round one join + one aggregate,
+    distributed — no driver-side graph). localCheckpoint truncates the
+    lineage per round, the standard guard against plan blowup in
+    iterative Spark algorithms. The DuckDB oracle computes the same
+    fixpoint declaratively with a recursive CTE — an iterative
+    distributed algorithm with an EXACT cross-engine check."""
+    pairs = q53_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard_sim") >= _CLUSTER_T
+    )
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.union(rev).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; tiny vs any real cluster chain
+        neigh = (
+            labels.join(edges, labels["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), "lbl")
+        )
+        new_labels = (
+            labels.union(neigh).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -126,3 +126,16 @@ def test_stream_stream_join_matches_batch(spark):
         for r in qs["q49b_stream_stream_join"].fn(spark, SF_SMOKE).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_grouped_map_regression_matches_exact(spark):
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    exact = {r["event_type"]: r for r in qs["q90_regr_by_type"].fn(spark, SF_SMOKE).collect()}
+    gm = {r["event_type"]: r for r in qs["q91_regr_grouped_map"].fn(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(gm)
+    for k in exact:
+        assert exact[k]["n"] == gm[k]["n"]
+        assert math.isclose(exact[k]["slope"], gm[k]["slope"], rel_tol=1e-6)
+        assert math.isclose(exact[k]["intercept"], gm[k]["intercept"], rel_tol=1e-6)

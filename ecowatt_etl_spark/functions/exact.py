@@ -48,14 +48,24 @@ def exact_sum_product(a: str | Column, b: str | Column, alias: str) -> Column:
     return F.sum(dec(a) * dec(b)).cast("double").alias(alias)
 
 
+# DuckDB twins route the final decimal→double conversion through
+# VARCHAR: DuckDB's direct decimal→double computes int128 × 10^-scale in
+# floating point and can land 1 ulp off at high scale (seen at scale 12),
+# while decimal→string is exact and string→double is correctly rounded —
+# matching Spark's BigDecimal.doubleValue(), which is correctly rounded.
+
+
 def sql_exact_sum(col_expr: str, alias: str) -> str:
     """DuckDB twin of :func:`exact_sum`."""
-    return f"CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+        f" AS {alias}"
+    )
 
 
 def sql_exact_avg(col_expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT({col_expr}) AS {alias}"
     )
 
@@ -63,6 +73,6 @@ def sql_exact_avg(col_expr: str, alias: str) -> str:
 def sql_exact_sum_product(a: str, b: str, alias: str) -> str:
     """DuckDB twin of :func:`exact_sum_product`."""
     return (
-        f"CAST(SUM(CAST({a} AS DECIMAL(18,6)) * CAST({b} AS DECIMAL(18,6)))"
-        f" AS DOUBLE) AS {alias}"
+        f"CAST(CAST(SUM(CAST({a} AS DECIMAL(18,6)) * CAST({b} AS DECIMAL(18,6)))"
+        f" AS VARCHAR) AS DOUBLE) AS {alias}"
     )

@@ -406,33 +406,43 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative Spark algorithms. The DuckDB oracle computes the same
     fixpoint declaratively with a recursive CTE — an iterative
     distributed algorithm with an EXACT cross-engine check."""
-    pairs = q53_minhash_lsh_pairs(spark, sf_dir).filter(
-        F.col("jaccard_sim") >= _CLUSTER_T
-    )
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    edges = fwd.union(rev).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint()
-    )
-    for _ in range(20):  # diameter bound; tiny vs any real cluster chain
-        neigh = (
-            labels.join(edges, labels["id"] == edges["src"])
-            .select(F.col("dst").alias("id"), "lbl")
+    # the iteration executes eagerly here (localCheckpoint + count), so a
+    # scoped shuffle-partition override is safe — the candidate graph is
+    # tiny next to the corpus, and 200-partition shuffles per round are
+    # pure scheduling overhead. Restored before returning; the final
+    # frame is already materialized (checkpointed), no lazy shuffle left.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pairs = q53_minhash_lsh_pairs(spark, sf_dir).filter(
+            F.col("jaccard_sim") >= _CLUSTER_T
         )
-        new_labels = (
-            labels.union(neigh).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+        fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        edges = fwd.union(rev).localCheckpoint()
+        labels = (
+            edges.select(F.col("src").alias("id")).distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .localCheckpoint()
         )
-        labels = new_labels
-        if changed == 0:
-            break
+        for _ in range(20):  # diameter bound; tiny vs any real cluster chain
+            neigh = (
+                labels.join(edges, labels["id"] == edges["src"])
+                .select(F.col("dst").alias("id"), "lbl")
+            )
+            new_labels = (
+                labels.union(neigh).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            ).localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

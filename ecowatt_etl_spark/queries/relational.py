@@ -207,9 +207,9 @@ def q05_multiagg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_pivot_by_year",
     oracle="""
     SELECT o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1995) AS DOUBLE) AS sum_1995,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1996) AS DOUBLE) AS sum_1996,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1997) AS DOUBLE) AS sum_1997
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1995) AS VARCHAR) AS DOUBLE) AS sum_1995,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1996) AS VARCHAR) AS DOUBLE) AS sum_1996,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE year(o_orderdate)=1997) AS VARCHAR) AS DOUBLE) AS sum_1997
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -629,8 +629,8 @@ def q19_regex_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(TRY_CAST(size_text AS DOUBLE)) AS n_parsed,
            COUNT(TRY_CAST(replace(size_text, '*', '') AS DOUBLE)) AS n_parsed_after_strip,
-           CAST(SUM(CAST(COALESCE(TRY_CAST(replace(size_text,'*','') AS DOUBLE), 0)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS total_size
+           CAST(CAST(SUM(CAST(COALESCE(TRY_CAST(replace(size_text,'*','') AS DOUBLE), 0)
+                         AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_size
     FROM t
     """,
 )
@@ -666,7 +666,7 @@ def q20_try_cast_junk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT s_nationkey,
-             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum,
+             CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS bal_sum,
              COUNT(*) FILTER (WHERE s_acctbal < 0) AS n_neg
       FROM supplier GROUP BY 1
     )
@@ -924,4 +924,88 @@ def q28_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("o_orderpriority").agg(
         F.sum("__pc").alias("n"), F.sum("__ps").cast("double").alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — deep star join: revenue by nation within a region (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q30_region_nation_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {sql_exact_sum_product("l_extendedprice", "(1 - l_discount)", "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY n_name
+    """,
+)
+def q30_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-table star join (lineitem → supplier → nation → region) with
+    a region filter and exact-decimal revenue. The dims broadcast in
+    size order, so the 100 TB fact never shuffles for the join — the
+    only exchange is the final per-nation aggregate; the region filter
+    prunes through the broadcast side before any fact rows move."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            exact_sum_product(
+                "l_extendedprice", 1 - F.col("l_discount"), "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — shipping-priority revenue top-10 (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q31_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_exact_sum_product("l_extendedprice", "(1 - l_discount)", "revenue")},
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q31_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-filtered customer ⋈ orders ⋈ lineitem, revenue per order,
+    top 10. The segment filter reaches the customer scan (pushdown) and
+    shrinks that join side before the fact join; the final TopK is a
+    TakeOrderedAndProject — no global sort materialization. Exact
+    decimal revenue keeps the top-10 cut deterministic (a float sum
+    could reorder near-ties between engines)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            exact_sum_product("l_extendedprice", 1 - F.col("l_discount"), "revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
     )

@@ -77,25 +77,37 @@ def session_aggregates(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 
 
 def run_to_completion(
-    agg: DataFrame, name: str, output_mode: str = "append"
+    agg: DataFrame, name: str, output_mode: str = "append", shuffle_partitions: int = 8
 ) -> DataFrame:
     """Drive a streaming aggregation over a bounded file source to
     completion via a memory sink; returns the materialized result as a
-    batch DataFrame. Smoke-test harness for the streaming path."""
+    batch DataFrame. Smoke-test harness for the streaming path.
+
+    Streaming stages don't get AQE partition coalescing, so a session
+    default of 200 shuffle partitions means 200 state-store tasks per
+    micro-batch over tiny local data — the override (scoped; restored
+    after the run) cuts replay wall-clock ~5×. On a real cluster the
+    state-store partition count is a capacity decision fixed at first
+    checkpoint, sized to peak key cardinality, not to the default."""
     spark = agg.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    query = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        query.processAllAvailable()
+        query = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 

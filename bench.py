@@ -36,6 +36,7 @@ HEADLINE = [
     "q53_minhash_lsh_pairs",
     "q61_cosine_topk",
     "q64_lsh_topk",
+    "q65_ivf_topk",
     "q71_quality_scores",
     "q74_subword_stats",
 ]

@@ -246,6 +246,122 @@ def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q65 — IVF-partitioned approximate top-k (coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+# Deterministic coarse quantizer: every (vec_id % 31 == 7)-th vector is a
+# centroid (~N/31 cells — near the sqrt(N) IVF rule of thumb at these
+# corpus sizes). Real deployments train centroids with offline k-means;
+# a deterministic stride sample stands in so both engines derive the
+# identical quantizer from the data alone.
+_CENT_MOD, _CENT_RES = 31, 7
+_NPROBE = 4
+
+
+@query(
+    "q65_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {_CENT_MOD} = {_CENT_RES}
+    ),
+    asg AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')}
+                          / ({_sql_norm('e.embedding')} * {_sql_norm('c.c_emb')}) DESC,
+                        c.cid) AS ark
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM asg WHERE ark = 1),
+    pasg AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_dot('q.embedding', 'c.c_emb')}
+                          / ({_sql_norm('q.embedding')} * {_sql_norm('c.c_emb')}) DESC,
+                        c.cid) AS prk
+      FROM embeddings q CROSS JOIN cent c
+      WHERE q.vec_id < {_NQ}
+    ),
+    probes AS (SELECT query_id, q_emb, cid FROM pasg WHERE prk <= {_NPROBE}),
+    scored AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             {_sql_dot('p.q_emb', 'x.embedding')}
+               / ({_sql_norm('p.q_emb')} * {_sql_norm('x.embedding')}) AS cosine_sim
+      FROM probes p JOIN cells x ON x.cid = p.cid AND x.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-3 via an IVF (inverted-file) index: a
+    deterministic coarse quantizer partitions the corpus into cells
+    (each vector assigned to its nearest centroid), queries probe only
+    their ``_NPROBE`` nearest cells, and exact cosine runs on probed
+    cells only — ~nprobe/K of the corpus instead of all N.
+
+    Scale shape (100 TB): centroids are tiny and broadcast everywhere;
+    cell assignment is a map-side broadcast join + per-vector argmax
+    (the row_number window here — at scale, ``max_by`` per vector with
+    no window shuffle); the corpus is then physically partitioned by
+    ``cid``, so each query's nprobe probes touch nprobe partitions and
+    the rest of the data never moves or is read. Complements q64
+    (sign-LSH): IVF adapts to the data distribution via its centroids,
+    LSH is data-independent."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+        )
+    )
+    asg_w = W.partitionBy("vec_id").orderBy(F.desc("asg_sim"), F.asc("cid"))
+    cells = (
+        em.crossJoin(cent)
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("asg_sim"),
+        )
+        .withColumn("ark", F.row_number().over(asg_w))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    p_w = W.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("cid"))
+    probes = F.broadcast(
+        em.filter(F.col("vec_id") < _NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(cent)
+        .select(
+            "query_id",
+            "q_emb",
+            "cid",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("p_sim"),
+        )
+        .withColumn("prk", F.row_number().over(p_w))
+        .filter(F.col("prk") <= _NPROBE)
+        .select("query_id", "q_emb", "cid")
+    )
+    scored = cells.join(
+        probes,
+        (cells["cid"] == probes["cid"]) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
 # q63 — numpy block-matmul top-k (the throughput path; rows-only)
 # ---------------------------------------------------------------------------
 @query("q63_cosine_topk_matmul")  # numpy pairwise summation ≠ fold-order → rows-only

@@ -58,6 +58,24 @@ def test_matmul_topk_matches_exact_topk(spark):
         assert math.isclose(ke[k]["cosine_sim"], kf[k]["cosine_sim"], rel_tol=1e-9)
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF is approximate: require decent recall@3 vs the brute-force
+    baseline, and exact cosine values on every neighbor it does return."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    exact = qs["q61_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    ivf = qs["q65_ivf_topk"].fn(spark, SF_SMOKE).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact}
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in ivf}
+    assert len(ivf_pairs) > 0
+    hits = set(exact_pairs) & set(ivf_pairs)
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall@3 too low: {recall:.2f}"
+    for k in hits:  # same fold ⇒ bit-identical cosine on shared pairs
+        assert exact_pairs[k] == ivf_pairs[k], k
+
+
 def test_multimodal_feature_extraction(spark):
     from ecowatt_etl_spark.operators import multimodal
 

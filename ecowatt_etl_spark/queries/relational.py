@@ -1009,3 +1009,56 @@ def q31_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q32 — exchange-free fact ⋈ fact join via bucketed tables
+# ---------------------------------------------------------------------------
+@query(
+    "q32_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_exact_sum("l_extendedprice", "total_price")}
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q32_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact join on co-located bucketed tables: both sides are
+    written `bucketBy(8, orderkey)` + `sortBy` once, then the join
+    scans carry matching HashPartitioning and the planner elides the
+    join shuffle — the only Exchange left in the plan is the final
+    5-row priority aggregate (asserted in tests/test_plans.py). This is
+    the 100 TB answer for repeated fact-fact joins: the shuffle is paid
+    once at ingest, not per query. Sizing notes in
+    operators/bucketing.py."""
+    from ecowatt_etl_spark.operators.bucketing import (
+        BUCKET_ROOT,
+        bucket_token,
+        write_bucketed,
+    )
+
+    tok = bucket_token(sf_dir)
+    li = write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        f"li_bkt_{tok}",
+        "l_orderkey",
+        8,
+        f"{BUCKET_ROOT}/{tok}/lineitem",
+    )
+    o = write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        f"o_bkt_{tok}",
+        "o_orderkey",
+        8,
+        f"{BUCKET_ROOT}/{tok}/orders",
+    )
+    return (
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum("l_extendedprice", "total_price"),
+        )
+    )

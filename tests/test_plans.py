@@ -115,6 +115,18 @@ def test_no_row_at_a_time_python_anywhere(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
 
 
+def test_bucketed_join_elides_join_shuffle(spark):
+    """Fact ⋈ fact on bucketed tables: the join itself must be
+    exchange-free (co-located buckets), leaving the tiny final
+    aggregate as the plan's only shuffle."""
+    plan = _plan(spark, "q32_bucketed_join")
+    tree = plan.split("\n\n")[0]
+    shuffles = [l for l in tree.splitlines() if "Exchange" in l]
+    assert len(shuffles) == 1, tree
+    assert "SortMergeJoin" in tree
+    assert "Bucketed: true" in plan
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Facts written partitionBy(YEAR) must give static partition
     pruning: a YEAR filter shows up as PartitionFilters on the scan,

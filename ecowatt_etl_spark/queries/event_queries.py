@@ -430,3 +430,34 @@ def q49b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = stream_stream_interval_join(read_events_stream(spark, sf_dir))
     return run_to_completion(joined, "q49b_stream_stream_sink", output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q49c — streaming exact dedup under a watermark (ingest-dedup pattern)
+# ---------------------------------------------------------------------------
+@query(
+    "q49c_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q49c_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup as a streaming operator: a
+    duplicate-injected replay of `events` (purchases doubled) runs
+    through ``dropDuplicatesWithinWatermark(event_id)``; per-type counts
+    of the deduped stream must equal plain counts over the original
+    table — which is exactly the DuckDB oracle. Dedup state is bounded
+    by the watermark horizon (see streaming/events_stream.py), so this
+    is the 100 TB ingest pattern: shuffle on the dedup key once,
+    constant state per in-horizon key, nothing retained forever."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    deduped = dedup_within_watermark(read_events_stream(spark, sf_dir))
+    rows = run_to_completion(deduped, "q49c_stream_dedup_sink", output_mode="append")
+    return rows.groupBy("event_type").agg(F.count("*").alias("n_events"))

@@ -174,3 +174,20 @@ def stream_stream_interval_join(events: DataFrame, lookback: str = "10 minutes")
         ),
         "inner",
     ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id")
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: a duplicate-injected stream (every
+    purchase event appears twice via self-union) deduplicated on
+    event_id with ``dropDuplicatesWithinWatermark``. The watermark
+    bounds the dedup state: a key's fingerprint is dropped once the
+    watermark passes its event time + delay, so state is O(events per
+    watermark horizon), not O(all events ever) — the property that makes
+    exactly-once-style ingest dedup viable on an unbounded stream.
+    (Plain ``dropDuplicates`` on a stream never evicts state.)"""
+    dup = events.union(events.filter(F.col("event_type") == "purchase"))
+    return (
+        dup.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )

@@ -1062,3 +1062,70 @@ def q32_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_extendedprice", "total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q33/q34 — JSONL and ORC source/sink round-trips
+# ---------------------------------------------------------------------------
+@query(
+    "q33_jsonl_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           {sql_exact_sum("s_acctbal", "bal_sum")}
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q33_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → JSONL sink → schema-explicit JSONL source → aggregate;
+    equals the same aggregate over the parquet original (the oracle).
+    Exercises the text-format sink/source path end-to-end: doubles
+    round-trip bit-exactly (shortest-repr write, correctly-rounded
+    parse), FAILFAST read, no schema inference pass. See
+    sources/formats.py for the at-scale option rationale."""
+    from ecowatt_etl_spark.sources.formats import (
+        SCRATCH_ROOT,
+        read_jsonl,
+        write_jsonl,
+    )
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/supplier_jsonl"
+    write_jsonl(s, path)
+    back = read_jsonl(spark, path, s.schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"), exact_sum("s_acctbal", "bal_sum")
+    )
+
+
+@query(
+    "q34_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_exact_sum("o_totalprice", "price_sum")}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q34_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC sink → ORC source with a date filter → aggregate.
+    The filter is applied on the ORC scan (predicate pushdown works on
+    ORC exactly as on Parquet — PushedFilters in the plan), proving the
+    format swap loses no scan-side optimization."""
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT, read_orc, write_orc
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/orders_orc"
+    write_orc(o, path)
+    back = read_orc(spark, path)
+    return (
+        back.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice", "price_sum"))
+    )

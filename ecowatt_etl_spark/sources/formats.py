@@ -1,0 +1,53 @@
+"""Additional source/sink formats: JSON-lines and ORC.
+
+The reference ingests only CSV (utils/datsetup.py:89-96 reads whole
+blobs then pd.read_csv) and emits CSV/SQL. A Spark-native engine gets
+every columnar/text format from the same DataFrameReader/Writer
+surface; these wrappers pin the options that matter at scale:
+
+- **explicit schemas, never inference**: schema inference is an extra
+  full pass over the data (JSON) or a footer sample that can guess
+  wrong (numeric-looking strings); at 100 TB an inference pass is a
+  second scan of the lake. All readers here take a StructType.
+- **JSONL** (one object per line) is splittable — a 1 GB .jsonl file
+  parallelizes by line ranges, unlike a single multi-line JSON doc
+  which is one task. Compression should be splittable too (zstd
+  frames / bzip2), not plain gzip.
+- **ORC** ships with Spark (native vectorized reader) and supports
+  predicate pushdown + column pruning like Parquet; included so lake
+  migrations (Hive-era ORC tables) read first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SCRATCH_ROOT = "/root/repo/.scratch_io"
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Sink as JSON-lines (one object per line, splittable)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSONL source with a REQUIRED explicit schema (no inference pass).
+    FAILFAST: malformed lines are a data-quality incident, not a silent
+    null — flip to PERMISSIVE + corrupt-record column for quarantines."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Sink as ORC (native vectorized writer, zlib default)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source; schema optional because ORC is self-describing from
+    file footers (no data pass), but passing one still skips the footer
+    sample and pins types."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

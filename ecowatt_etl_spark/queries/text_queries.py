@@ -301,3 +301,77 @@ def q75_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("canonical_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q76/q77 — vocabulary heavy hitters: exact + sketch superset
+# ---------------------------------------------------------------------------
+@query(
+    "q76_vocab_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, COUNT(*) AS n_occurrences
+      FROM tok WHERE token <> '' GROUP BY token
+    ),
+    t AS (SELECT SUM(n_occurrences) AS total FROM c)
+    SELECT token, n_occurrences,
+           CAST(n_occurrences AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t
+    WHERE n_occurrences * 1000 >= total
+    """,
+)
+def q76_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: tokens with ≥ 0.1 % of all token
+    occurrences. The threshold compare is pure integer math
+    (n·1000 ≥ total) so both engines agree exactly; only the reported
+    `share` divides, and a single long→double division is deterministic.
+
+    Scale: explode → two-phase count (map-side partials make the
+    shuffle O(distinct tokens)); the total rides a broadcast 1-row
+    cross join, never a second scan. Skewed hot tokens are exactly the
+    rows this query keeps, and partial aggregation is what makes their
+    shuffle volume per-partition-bounded."""
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * 1000 >= F.col("total"))
+        .select(
+            "token",
+            "n_occurrences",
+            (
+                F.col("n_occurrences").cast("double") / F.col("total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+@query("q77_heavy_hitters_sketch")  # one-pass approximate → rows-only check
+def q77_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for heavy hitters: `DataFrame.stat.freqItems`
+    (Karp–Shenker–Papadimitriou streaming algorithm) over the exploded
+    tokens in ONE pass with O(1/support) state per partition — no
+    full vocabulary shuffle at all. KSP guarantees a SUPERSET of the
+    true ≥ support items (false positives possible, no false
+    negatives); tests assert q76 ⊆ q77. The production shape at
+    100 TB: run the sketch to get a small candidate set, then one
+    filtered exact count over candidates only."""
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    freq = tok.stat.freqItems(["token"], support=0.001)
+    return freq.select(
+        F.explode("token_freqItems").alias("candidate_token")
+    ).orderBy("candidate_token")

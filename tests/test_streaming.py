@@ -76,6 +76,21 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert exact_pairs[k] == ivf_pairs[k], k
 
 
+def test_heavy_hitter_sketch_is_superset_of_exact(spark):
+    """freqItems (KSP) may over-report but never under-report: every
+    exact ≥0.1% token must appear in the sketch candidates."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    exact = {r["token"] for r in qs["q76_vocab_heavy_hitters"].fn(spark, SF_SMOKE).collect()}
+    sketch = {
+        r["candidate_token"]
+        for r in qs["q77_heavy_hitters_sketch"].fn(spark, SF_SMOKE).collect()
+    }
+    assert exact, "exact heavy-hitter set should be non-empty on the corpus"
+    assert exact <= sketch, exact - sketch
+
+
 def test_multimodal_feature_extraction(spark):
     from ecowatt_etl_spark.operators import multimodal
 

@@ -461,3 +461,70 @@ def q49c_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(read_events_stream(spark, sf_dir))
     rows = run_to_completion(deduped, "q49c_stream_dedup_sink", output_mode="append")
     return rows.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# q49d — gap-filled hourly rollup (dense time grid, hypertable-style)
+# ---------------------------------------------------------------------------
+@query(
+    "q49d_gap_fill_rollup",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      FROM bounds
+    ),
+    grid AS (
+      SELECT hours.bucket, e.event_type
+      FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(grid.bucket, '{_SQL_TS_FMT}') AS window_start,
+           grid.event_type,
+           COALESCE(agg.n_events, 0) AS n_events
+    FROM grid LEFT JOIN agg
+      ON agg.bucket = grid.bucket AND agg.event_type = grid.event_type
+    """,
+)
+def q49d_gap_fill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (the hypertable/'time_bucket_gapfill'
+    shape): hours with no events for a type appear as explicit zero
+    rows, which downstream interpolation, charting, and anomaly jobs
+    need. The dense grid is built from a 1-row min/max aggregate
+    cross-joined with the distinct-type dim and an exploded
+    F.sequence — a 100 TB fact contributes one map-side-combined agg;
+    the grid AND the sparse rollup are both O(hours × types), tiny
+    forever, so the gap-fill join itself is broadcast (rollup side
+    built, grid preserved)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    return (
+        F.broadcast(agg).join(grid, ["bucket", "event_type"], "right")
+        .select(
+            F.date_format("bucket", _TS_FMT).alias("window_start"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )

@@ -1129,3 +1129,64 @@ def q34_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice", "price_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q35/q36 — SQL surface: correlated EXISTS/NOT EXISTS, GROUPING SETS
+# ---------------------------------------------------------------------------
+_Q35_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@query("q35_exists_subquery", oracle=_Q35_SQL)
+def q35_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the ad-hoc SQL surface
+    (SURVEY §2.1 S5) — the identical ANSI text runs on both engines.
+    Catalyst decorrelates to a LeftSemi ⋈ LeftAnti pair on c_custkey
+    (no per-row subquery execution); both probe joins shuffle on the
+    same key, so at scale they pipeline into one exchange of customer.
+    """
+    from ecowatt_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q35_SQL)
+
+
+# Shared ANSI text except the exact-sum rendering: Spark's decimal→double
+# cast is correctly rounded directly; DuckDB's must route via VARCHAR
+# (see functions/exact.py) — and Spark's parser rejects bare VARCHAR.
+_Q36_TEMPLATE = """
+SELECT c_mktsegment, c_nationkey,
+       GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat,
+       COUNT(*) AS n,
+       {bal_sum}
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+"""
+_Q36_SPARK = _Q36_TEMPLATE.format(
+    bal_sum="CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum"
+)
+
+
+@query(
+    "q36_grouping_sets",
+    oracle=_Q36_TEMPLATE.format(bal_sum=sql_exact_sum("c_acctbal", "bal_sum")),
+)
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind q24 rollup / q26
+    cube) with GROUPING() markers disambiguating real NULL keys from
+    subtotal rows. Spark expands to a single Expand + one hash
+    aggregate — one pass over the fact, one shuffle, regardless of how
+    many sets are requested."""
+    from ecowatt_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_Q36_SPARK)

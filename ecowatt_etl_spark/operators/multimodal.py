@@ -154,3 +154,96 @@ def synthesize_media_frame(spark, n: int = 64) -> DataFrame:
             F.length(payload).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+# payload-transform codec: (payload, w, h) -> resized payload bytes
+Resizer = Callable[[bytes, int, int], bytes]
+# frame sampler: (payload, ts_ms) -> frame payload bytes
+FrameGrabber = Callable[[bytes, int], bytes]
+
+
+class FakeResizer:
+    """Deterministic stand-in for an image resize codec: emits a
+    payload whose length scales with the target pixel count (slice or
+    tile of the source bytes) — enough to test batching, schema and
+    metadata propagation without PIL."""
+
+    def __call__(self, payload: bytes, w: int, h: int) -> bytes:
+        if payload is None:
+            return b""
+        target = max(1, (w * h) // 4096)
+        reps = (target // max(1, len(payload))) + 1
+        return (payload * reps)[:target]
+
+
+class FakeFrameGrabber:
+    """Deterministic frame extractor: an 8-byte slice selected by the
+    timestamp — stable across runs, no video codec needed."""
+
+    def __call__(self, payload: bytes, ts_ms: int) -> bytes:
+        if not payload:
+            return b""
+        start = ts_ms % max(1, len(payload) - 8)
+        return payload[start : start + 8]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, resizer: Resizer | None = None
+) -> DataFrame:
+    """Resize the image rows to (width, height), passing other media
+    types through untouched. Same MEDIA_SCHEMA out as in — resize is a
+    payload+meta rewrite, so downstream operators compose unchanged.
+    Arrow-batched; the resizer is captured in the closure (injected,
+    NotImplementedError without one — no real codec ships here)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            for i in pdf.index[pdf["media_type"] == "image"]:
+                if resizer is None:
+                    raise NotImplementedError(
+                        "no image resize codec installed; inject one "
+                        "(or FakeResizer() for deterministic testing)"
+                    )
+                new_payload = resizer(pdf.at[i, "payload"], width, height)
+                out.at[i, "payload"] = new_payload
+                meta = dict(pdf.at[i, "meta"])
+                meta.update(width=width, height=height, n_bytes=len(new_payload))
+                out.at[i, "meta"] = meta
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx long, ts_ms long, frame binary"
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int, grabber: FrameGrabber | None = None
+) -> DataFrame:
+    """One row per sampled video frame (every ``every_ms`` over the
+    clip's duration) — the one-to-many batch shape: a mapInPandas that
+    EXPANDS rows, which no per-row UDF can do. Output rows carry
+    (media_id, frame_idx, ts_ms, frame bytes) for downstream per-frame
+    feature extraction. At scale, repartition videos by bytes before
+    sampling so one long clip doesn't serialize a whole task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            vids = pdf[pdf["media_type"] == "video"]
+            for _, r in vids.iterrows():
+                if grabber is None:
+                    raise NotImplementedError(
+                        "no video frame codec installed; inject one "
+                        "(or FakeFrameGrabber() for deterministic testing)"
+                    )
+                duration = int(r["meta"]["duration_ms"] or 0)
+                for idx, ts in enumerate(range(0, duration, every_ms)):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(idx)
+                    rows["ts_ms"].append(ts)
+                    rows["frame"].append(grabber(r["payload"], ts))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

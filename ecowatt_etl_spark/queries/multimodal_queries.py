@@ -61,3 +61,41 @@ def q81_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@query("q82_media_resize")
+def q82_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: image payload+meta rewrite through an
+    Arrow-batched transform that preserves MEDIA_SCHEMA (so resize
+    composes with any downstream media operator), verified here by
+    re-aggregating the resized frame's metadata. Deterministic
+    FakeResizer stands in for PIL."""
+    from ecowatt_etl_spark.operators.multimodal import FakeResizer, resize_images
+
+    media = synthesize_media_frame(spark, _N_MEDIA)
+    resized = resize_images(media, 224, 224, resizer=FakeResizer())
+    return media_stats(resized).orderBy("media_type")
+
+
+@query("q83_frame_sample")
+def q83_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one output row per second of each clip —
+    the row-EXPANDING mapInPandas shape (per-row UDFs can't change
+    cardinality). Per-clip frame counts and payload checks are
+    asserted in tests; here frames roll up per media_id."""
+    from ecowatt_etl_spark.operators.multimodal import (
+        FakeFrameGrabber,
+        sample_frames,
+    )
+
+    media = synthesize_media_frame(spark, _N_MEDIA)
+    frames = sample_frames(media, every_ms=1000, grabber=FakeFrameGrabber())
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max("ts_ms").alias("last_ts_ms"),
+            F.sum(F.length("frame")).alias("frame_bytes"),
+        )
+        .orderBy("media_id")
+    )

@@ -76,6 +76,40 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert exact_pairs[k] == ivf_pairs[k], k
 
 
+def test_media_resize_and_frame_sampling(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media_frame(spark, 48)
+    resized = mm.resize_images(media, 224, 224, resizer=mm.FakeResizer())
+    assert [f.name for f in resized.schema] == [f.name for f in mm.MEDIA_SCHEMA]
+    img = resized.filter("media_type='image'").select("meta.*").collect()
+    assert img and all(r["width"] == 224 and r["height"] == 224 for r in img)
+    # non-image rows pass through byte-identical
+    aud_in = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("media_type='audio'").collect()
+    }
+    aud_out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resized.filter("media_type='audio'").collect()
+    }
+    assert aud_in == aud_out
+
+    frames = mm.sample_frames(media, 1000, grabber=mm.FakeFrameGrabber())
+    per = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    vids = media.filter("media_type='video'").select("media_id", "meta.duration_ms").collect()
+    assert vids
+    for v in vids:
+        assert per[v["media_id"]] == math.ceil(v["duration_ms"] / 1000)
+
+
 def test_heavy_hitter_sketch_is_superset_of_exact(spark):
     """freqItems (KSP) may over-report but never under-report: every
     exact ≥0.1% token must appear in the sketch candidates."""

@@ -1190,3 +1190,55 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_Q36_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# q37 — ranking/distribution window-function sampler
+# ---------------------------------------------------------------------------
+@query(
+    "q37_window_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER()   OVER w_key AS rn,
+           RANK()         OVER w_pri AS rnk,
+           DENSE_RANK()   OVER w_pri AS drnk,
+           NTILE(4)       OVER w_key AS quartile,
+           PERCENT_RANK() OVER w_key AS pct_rank,
+           CUME_DIST()    OVER w_key AS cume,
+           LAG(o_orderkey)  OVER w_key AS prev_key,
+           LEAD(o_orderkey) OVER w_key AS next_key,
+           NTH_VALUE(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_key
+    FROM orders
+    WINDOW w_key AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           w_pri AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+    """,
+)
+def q37_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/distribution window-function surface in one
+    query: row_number/rank/dense_rank/ntile/percent_rank/cume_dist/
+    lag/lead/nth_value per customer. All values are integers or exact
+    small-fraction doubles ((rank−1)/(n−1)), so the cross-engine match
+    is exact. One shuffle on o_custkey serves every function (all
+    windows share the partition key); nth_value gets an explicit
+    full-partition frame because default frames stop at CURRENT ROW.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w_key = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_pri = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w_full = w_key.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_key).alias("rn"),
+        F.rank().over(w_pri).alias("rnk"),
+        F.dense_rank().over(w_pri).alias("drnk"),
+        F.ntile(4).over(w_key).alias("quartile"),
+        F.percent_rank().over(w_key).alias("pct_rank"),
+        F.cume_dist().over(w_key).alias("cume"),
+        F.lag("o_orderkey").over(w_key).alias("prev_key"),
+        F.lead("o_orderkey").over(w_key).alias("next_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )

@@ -23,8 +23,35 @@ from ecowatt_etl_spark.queries.registry import query
 
 _N_MEDIA = 256
 
+# The synthesized media frame is pure arithmetic over media_id
+# (operators/multimodal.py:synthesize_media_frame): type = id%3 cycling
+# image/audio/video; payload is always 128 bytes (4× a 64-hex sha256);
+# image dims 640×480; non-image duration = id*100+1000. That makes the
+# metadata aggregates exactly reproducible in SQL from generate_series —
+# upgrading these from rows-only to exact-oracle checks.
+_MEDIA_CTE = f"""
+    WITH m AS (
+      SELECT g AS media_id,
+             CASE g % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type
+      FROM generate_series(0, {_N_MEDIA - 1}) t(g)
+    )
+"""
 
-@query("q80_media_stats")
+
+@query(
+    "q80_media_stats",
+    oracle=_MEDIA_CTE
+    + """
+    SELECT media_type, COUNT(*) AS n_items,
+           COUNT(*) * 128 AS total_bytes,
+           AVG(CASE WHEN media_type = 'image' THEN 640 END) AS avg_width,
+           AVG(CASE WHEN media_type <> 'image' THEN media_id * 100 + 1000 END)
+             AS avg_duration_ms
+    FROM m GROUP BY media_type
+    """,
+)
 def q80_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only media aggregation: per-type counts, byte totals,
     dimensions/durations. Reads ONLY the meta struct — at scale the
@@ -63,7 +90,20 @@ def q81_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q82_media_resize")
+@query(
+    "q82_media_resize",
+    # FakeResizer contract: image payload becomes (224*224)//4096 = 12
+    # bytes with width=height=224; non-image rows pass through (128 B).
+    oracle=_MEDIA_CTE
+    + """
+    SELECT media_type, COUNT(*) AS n_items,
+           SUM(CASE WHEN media_type = 'image' THEN 12 ELSE 128 END) AS total_bytes,
+           AVG(CASE WHEN media_type = 'image' THEN 224 END) AS avg_width,
+           AVG(CASE WHEN media_type <> 'image' THEN media_id * 100 + 1000 END)
+             AS avg_duration_ms
+    FROM m GROUP BY media_type
+    """,
+)
 def q82_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: image payload+meta rewrite through an
     Arrow-batched transform that preserves MEDIA_SCHEMA (so resize
@@ -77,7 +117,22 @@ def q82_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(resized).orderBy("media_type")
 
 
-@query("q83_frame_sample")
+@query(
+    "q83_frame_sample",
+    # duration = id*100+1000 ⇒ n_frames = ceil(duration/1000); every
+    # FakeFrameGrabber frame is exactly 8 bytes (128-byte payloads).
+    oracle=f"""
+    WITH v AS (
+      SELECT g AS media_id, (g * 100 + 1000 + 999) // 1000 AS n_frames
+      FROM generate_series(0, {_N_MEDIA - 1}) t(g)
+      WHERE g % 3 = 2
+    )
+    SELECT media_id, n_frames,
+           (n_frames - 1) * 1000 AS last_ts_ms,
+           n_frames * 8 AS frame_bytes
+    FROM v
+    """,
+)
 def q83_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one output row per second of each clip —
     the row-EXPANDING mapInPandas shape (per-row UDFs can't change

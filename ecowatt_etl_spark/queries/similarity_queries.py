@@ -261,25 +261,28 @@ _NPROBE = 4
     "q65_ivf_topk",
     oracle=f"""
     WITH cent AS (
-      SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+      SELECT vec_id AS cid, embedding AS c_emb,
+             {_sql_norm('embedding')} AS c_norm
+      FROM embeddings
       WHERE vec_id % {_CENT_MOD} = {_CENT_RES}
     ),
     asg AS (
-      SELECT e.vec_id, e.embedding, c.cid,
+      SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (
                PARTITION BY e.vec_id
-               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')}
-                          / ({_sql_norm('e.embedding')} * {_sql_norm('c.c_emb')}) DESC,
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')} / c.c_norm DESC,
                         c.cid) AS ark
       FROM embeddings e CROSS JOIN cent c
     ),
-    cells AS (SELECT vec_id, embedding, cid FROM asg WHERE ark = 1),
+    cells AS (
+      SELECT e.vec_id, e.embedding, a.cid
+      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id AND a.ark = 1
+    ),
     pasg AS (
       SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
              ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
-               ORDER BY {_sql_dot('q.embedding', 'c.c_emb')}
-                          / ({_sql_norm('q.embedding')} * {_sql_norm('c.c_emb')}) DESC,
+               ORDER BY {_sql_dot('q.embedding', 'c.c_emb')} / c.c_norm DESC,
                         c.cid) AS prk
       FROM embeddings q CROSS JOIN cent c
       WHERE q.vec_id < {_NQ}
@@ -307,33 +310,39 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     their ``_NPROBE`` nearest cells, and exact cosine runs on probed
     cells only — ~nprobe/K of the corpus instead of all N.
 
-    Scale shape (100 TB): centroids are tiny and broadcast everywhere;
-    cell assignment is a map-side broadcast join + per-vector argmax
-    (the row_number window here — at scale, ``max_by`` per vector with
-    no window shuffle); the corpus is then physically partitioned by
-    ``cid``, so each query's nprobe probes touch nprobe partitions and
-    the rest of the data never moves or is read. Complements q64
-    (sign-LSH): IVF adapts to the data distribution via its centroids,
-    LSH is data-independent."""
+    Scale shape (100 TB): centroids are tiny and broadcast everywhere
+    (with their norms precomputed ONCE — assignment ranks by
+    dot/|c|, since the vector's own norm cancels out of its argmax).
+    Per-vector assignment is a broadcast cross join emitting only
+    (vec_id, cid, score) — the embedding itself never rides the
+    K-way fan-out — reduced by a deterministic lexicographic struct
+    MAX (max score, min cid on ties), then one equi-join back to the
+    corpus; the corpus is then physically partitioned by ``cid``, so
+    each query's nprobe probes touch nprobe partitions and the rest
+    of the data never moves or is read. Complements q64 (sign-LSH):
+    IVF adapts to the data distribution via its centroids, LSH is
+    data-independent."""
     em = load_table(spark, sf_dir, "embeddings")
     cent = F.broadcast(
         em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
         )
     )
-    asg_w = W.partitionBy("vec_id").orderBy(F.desc("asg_sim"), F.asc("cid"))
-    cells = (
+    asg_score = (dot_fold(F.col("embedding"), F.col("c_emb")) / F.col("c_norm"))
+    best = (
         em.crossJoin(cent)
         .select(
             "vec_id",
-            "embedding",
-            "cid",
-            cosine(F.col("embedding"), F.col("c_emb")).alias("asg_sim"),
+            asg_score.alias("s"),
+            F.col("cid").cast("long").alias("cid"),
         )
-        .withColumn("ark", F.row_number().over(asg_w))
-        .filter(F.col("ark") == 1)
-        .select("vec_id", "embedding", "cid")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cid"))
     )
+    cells = em.join(best, "vec_id").select("vec_id", "embedding", "cid")
     p_w = W.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("cid"))
     probes = F.broadcast(
         em.filter(F.col("vec_id") < _NQ)
@@ -342,8 +351,8 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "q_emb",
-            "cid",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("p_sim"),
+            F.col("cid").cast("long").alias("cid"),
+            (dot_fold(F.col("q_emb"), F.col("c_emb")) / F.col("c_norm")).alias("p_sim"),
         )
         .withColumn("prk", F.row_number().over(p_w))
         .filter(F.col("prk") <= _NPROBE)

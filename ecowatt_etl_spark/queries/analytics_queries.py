@@ -131,3 +131,84 @@ def q91_regr_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("event_type").applyInPandas(
         fit, schema="event_type string, n long, slope double, intercept double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — statistical aggregates via exact integer moments
+# ---------------------------------------------------------------------------
+@query(
+    "q92_stats_moments",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 AS x,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(v AS HUGEINT)) AS sv,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(v AS HUGEINT) * v) AS svv,
+             SUM(CAST(x AS HUGEINT) * v) AS sxv
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST(n * svv - sv * sv AS VARCHAR) AS DOUBLE)
+             / (n * (n - 1)) / 1000000000000 AS var_value,
+           sqrt(CAST(CAST(n * svv - sv * sv AS VARCHAR) AS DOUBLE)
+             / (n * (n - 1)) / 1000000000000) AS stddev_value,
+           CAST(CAST(n * sxv - sx * sv AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                * sqrt(CAST(CAST(n * svv - sv * sv AS VARCHAR) AS DOUBLE)))
+             AS corr_ts_value
+    FROM sums
+    """,
+)
+def q92_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev of `value` and Pearson corr(ts, value)
+    per event type — the statistical-aggregate surface — with EXACT
+    cross-engine arithmetic. Built-in stddev/corr accumulate doubles in
+    partition order (non-deterministic across engines AND across runs),
+    so instead: value is fixed-point-scaled to an integer (×1e6,
+    exact via decimal), every moment (Σv, Σv², Σxv, …) accumulates in
+    38-digit integer decimals (DuckDB: HUGEINT), the variance/corr
+    numerators stay integer-exact, and only the final divisions and
+    sqrts run in double (correctly rounded ⇒ identical bits). corr is
+    affine-invariant so the ×1e6 scaling cancels; variance divides by
+    1e12 once, in double. One hash aggregate, map-side partials — the
+    same scale shape as any grouped sum."""
+    ev = load_table(spark, sf_dir, "events")
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pts = ev.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 1_000_000).alias("x"),
+        (F.col("value").cast(_DEC_Y) * 1_000_000).cast("long").alias("v"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec38(F.col("x"))).alias("sx"),
+        F.sum(dec38(F.col("v"))).alias("sv"),
+        F.sum(dec38(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec38(F.col("v")) * F.col("v")).alias("svv"),
+        F.sum(dec38(F.col("x")) * F.col("v")).alias("sxv"),
+    )
+    num_v = (dec38(F.col("n")) * F.col("svv") - F.col("sv") * F.col("sv")).cast(
+        "double"
+    )
+    num_x = (dec38(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    num_xv = (dec38(F.col("n")) * F.col("sxv") - F.col("sx") * F.col("sv")).cast(
+        "double"
+    )
+    var_v = num_v / (F.col("n") * (F.col("n") - 1)) / F.lit(1_000_000_000_000)
+    return s.select(
+        "event_type",
+        "n",
+        var_v.alias("var_value"),
+        F.sqrt(var_v).alias("stddev_value"),
+        (num_xv / (F.sqrt(num_x) * F.sqrt(num_v))).alias("corr_ts_value"),
+    )

@@ -76,6 +76,39 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert exact_pairs[k] == ivf_pairs[k], k
 
 
+def test_stats_moments_match_builtin_aggregates(spark):
+    """The exact-decimal moment formulation must agree with Spark's
+    built-in stddev_samp/corr to float tolerance (the builtins are
+    fold-order-dependent, hence not used for the oracle check)."""
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["q92_stats_moments"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 1_000_000).alias("x"),
+        "value",
+    )
+    ref = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.stddev_samp("value").alias("sd"),
+            F.corr("x", "value").alias("c"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in got:
+        assert math.isclose(got[k]["stddev_value"], ref[k]["sd"], rel_tol=1e-9), k
+        assert math.isclose(got[k]["corr_ts_value"], ref[k]["c"], rel_tol=1e-6), k
+
+
 def test_media_resize_and_frame_sampling(spark):
     import math
 

@@ -1242,3 +1242,39 @@ def q37_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w_key).alias("next_key"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q38 — array aggregation + array functions
+# ---------------------------------------------------------------------------
+@query(
+    "q38_array_agg",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, priorities,
+           len(priorities) AS n_priorities,
+           priorities[1] AS first_priority,
+           list_contains(priorities, '1-URGENT') AS has_urgent
+    FROM s
+    """,
+)
+def q38_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: per-customer DISTINCT priorities as a
+    SORTED array (collect_set alone has nondeterministic order — the
+    array_sort is what makes the result verifiable at all), plus
+    element access / length / membership on the array. Arrays stay a
+    single column through the one aggregate shuffle — no re-explode."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities")
+    )
+    return s.select(
+        "o_custkey",
+        "priorities",
+        F.size("priorities").alias("n_priorities"),
+        F.element_at("priorities", 1).alias("first_priority"),
+        F.array_contains("priorities", "1-URGENT").alias("has_urgent"),
+    )

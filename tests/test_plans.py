@@ -115,6 +115,43 @@ def test_no_row_at_a_time_python_anywhere(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
 
 
+def test_ivf_topk_no_cartesian_on_corpus(spark):
+    """IVF: centroid fan-outs must be broadcast products (tiny side),
+    and the probe ⋈ cells join an equi-join on cid — never a
+    cartesian pairing of corpus rows."""
+    plan = _plan(spark, "q65_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_reuses_count_exchange(spark):
+    """Exact heavy hitters: the corpus-total branch shares the token
+    count's shuffle. The static plan shows the pipeline twice; AQE
+    dedupes identical exchanges at runtime — assert on the FINAL
+    (post-execution) adaptive plan."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    df = all_queries()["q76_vocab_heavy_hitters"].fn(spark, SF_SMOKE)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, (
+        "total-tokens branch must reuse the token-count shuffle, "
+        "not rescan + rehash the corpus"
+    )
+
+
+def test_gap_fill_fact_side_is_one_aggregate(spark):
+    """Gap-filled rollup: the events fact feeds exactly two aggregate
+    pipelines (sparse rollup + 1-row bounds) and the grid join is
+    broadcast — no sort-merge of the fact against the grid."""
+    plan = _plan(spark, "q49d_gap_fill_rollup")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bucketed_join_elides_join_shuffle(spark):
     """Fact ⋈ fact on bucketed tables: the join itself must be
     exchange-free (co-located buckets), leaving the tiny final

@@ -446,3 +446,62 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# q58 — edit-distance near-dup (prefix-blocked Levenshtein)
+# ---------------------------------------------------------------------------
+_ED_BLK = 12  # normalized-prefix blocking key length
+_ED_CMP = 60  # chars compared (Levenshtein is O(len²) — bound it)
+_ED_T = 10  # max edit distance reported
+
+
+@query(
+    "q58_edit_distance_neardup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+    ),
+    b AS (SELECT doc_id, lang, left(t, {_ED_CMP}) AS h, left(t, {_ED_BLK}) AS blk FROM d)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           levenshtein(a.h, c.h) AS edit_dist
+    FROM b a JOIN b c ON a.lang = c.lang AND a.blk = c.blk
+                     AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.h, c.h) <= {_ED_T}
+    """,
+)
+def q58_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: docs in the same
+    (lang, 12-char normalized prefix) block whose 60-char heads are
+    within Levenshtein distance 10. Completes the dedup family with
+    the edit-distance metric (catches small in-place edits that
+    shingle/MinHash methods see as high Jaccard but byte-hash methods
+    miss entirely). Both engines run the identical unit-cost DP, so
+    distances are exact integers. Scale: the O(len²) comparison is
+    bounded to 60-char heads, and prefix blocking keeps the self-join
+    at Σ per-block n² — the same candidate-then-verify economics as
+    LSH; the block key is the shuffle key."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.trim("text")).alias("t")
+    )
+    b = d.select(
+        "doc_id",
+        "lang",
+        F.substring("t", 1, _ED_CMP).alias("h"),
+        F.substring("t", 1, _ED_BLK).alias("blk"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.h"), F.col("c.h")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _ED_T)
+    )

@@ -62,12 +62,29 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(whole))
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin to full parallelism when the scan under-splits.
+
+    Text corpora compress hard: a parquet file far below
+    maxPartitionBytes arrives as ONE scan partition, serializing every
+    downstream tokenize/shingle/hash on a single core (measured: the
+    whole q53 signature pipeline on 1 of 32 cores). The repartition
+    moves only the raw rows once and buys scan-count× parallelism. At
+    real scale the scan already has ≥ defaultParallelism file splits
+    and this is a structural no-op (condition false → no exchange)."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def shingle_hashes(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, h) rows: one portable 31-bit hash per distinct shingle,
     md5 evaluated exactly once per (doc, shingle) in codegen."""
-    e = df.select(id_col, F.explode(shingles(text_col, n)).alias("s"))
+    e = fan_out(df).select(id_col, F.explode(shingles(text_col, n)).alias("s"))
     return e.select(id_col, word_hash(F.col("s")).alias("h"))
 
 
@@ -121,7 +138,7 @@ def simhash_signatures(
     occurrences of ±1 by bit j of the token hash; bit j of the result =
     (sum > 0). Explode tokens → hash once → one aggregate computing all
     32 bit-sums (commutative, order-independent) → recombine."""
-    t = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    t = fan_out(df).select(id_col, F.explode(tokens(text_col)).alias("tok"))
     h = t.select(id_col, word_hash(F.col("tok")).alias("h"))
     bit_aggs = [
         F.sum(

@@ -58,11 +58,26 @@ def test_embedding_norms_has_no_shuffle(spark):
 
 
 def test_minhash_signatures_single_shuffle(spark):
-    """Explode → codegen'd md5 → ONE aggregate: exactly one shuffle
-    (on doc_id), with map-side partial mins before it."""
-    tree = _plan(spark, "q52_minhash_signatures").split("\n\n")[0]
-    shuffles = [l for l in tree.splitlines() if "Exchange" in l and "Broadcast" not in l]
-    assert len(shuffles) == 1, tree
+    """Explode → codegen'd md5 → ONE aggregate: exactly one
+    key-partitioned shuffle (on doc_id), with map-side partial mins
+    before it. The round-robin exchange is the small-file fan-out
+    (operators/dedup.py fan_out — structural no-op at scale), not part
+    of the aggregation pattern."""
+    plan = _plan(spark, "q52_minhash_signatures")
+    tree = plan.split("\n\n")[0]
+    # formatted-mode tree lines don't show partitioning; resolve each
+    # Exchange node's Arguments from the details section
+    import re
+
+    ids = re.findall(r"Exchange \((\d+)\)", tree)
+    kinds = []
+    for i in ids:
+        m = re.search(rf"\({i}\) Exchange\n(?:.*\n)*?Arguments: (\w+)", plan)
+        kinds.append(m.group(1) if m else "?")
+    hash_shuffles = [k for k in kinds if k.startswith("hashpartitioning")]
+    rr = [k for k in kinds if k.startswith("RoundRobinPartitioning")]
+    assert len(hash_shuffles) == 1, (kinds, tree)
+    assert len(hash_shuffles) + len(rr) == len(kinds), (kinds, tree)
     assert "HashAggregate" in tree
 
 

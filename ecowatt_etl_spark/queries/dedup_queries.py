@@ -320,11 +320,11 @@ _SQL_SIMHASH_BANDS = " UNION ALL ".join(
     )
     SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
     FROM cand
-    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    WHERE bit_count(xor(sim_a, sim_b)) <= 2
     """,
 )
 def q56_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 6 of 32) with 4×8-bit band
+    """SimHash near-dup pairs (Hamming ≤ 2 of 32) with 4×8-bit band
     blocking: a pair within distance d must agree exactly on ≥1 byte
     band when d < 4 bands — the classic pigeonhole LSH for Hamming
     space. The signature aggregate is computed once and its exchange
@@ -364,7 +364,7 @@ def q56_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cand.select(
         "id_a", "id_b", hamming32(F.col("sim_a"), F.col("sim_b")).alias("hamming")
-    ).filter(F.col("hamming") <= 6)
+    ).filter(F.col("hamming") <= 2)
 
 
 # ---------------------------------------------------------------------------

@@ -528,3 +528,38 @@ def q49d_gap_fill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q49e — streaming rollup maintained in a parquet serving table
+# ---------------------------------------------------------------------------
+@query(
+    "q49e_stream_serving_table",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_SQL_TS_FMT}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q49e_stream_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40's hourly rollup maintained as a parquet SERVING TABLE by a
+    foreachBatch streaming sink (complete-mode rewrite per
+    micro-batch). After replay the table must equal the batch rollup
+    over the same input — which is exactly the DuckDB oracle, giving
+    the sink path an exact correctness gate. Counts only: the serving
+    contract here is deterministic integers."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        stream_rollup_to_parquet,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(read_events_stream(spark, sf_dir)).select(
+        "window_start", "event_type", "n_events"
+    )
+    path = f"/root/repo/.scratch_io/{bucket_token(sf_dir)}/serving_rollup"
+    stream_rollup_to_parquet(agg, path, "q49e_serving_sink")
+    return spark.read.parquet(path)

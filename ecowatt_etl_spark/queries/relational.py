@@ -1278,3 +1278,46 @@ def q38_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("priorities", 1).alias("first_priority"),
         F.array_contains("priorities", "1-URGENT").alias("has_urgent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — date/time function sampler
+# ---------------------------------------------------------------------------
+@query(
+    "q39_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           dayofweek(o_orderdate) + 1 AS dow,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           datediff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS days_to_eoy
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    """,
+)
+def q39_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface in one query: parts (year/quarter/
+    month/day-of-week), interval arithmetic, month/quarter boundaries,
+    day differences. All values render as strings or integers, so the
+    cross-engine check is exact; Spark's dayofweek (1=Sunday) matches
+    DuckDB's dayofweek+1. Scan-local projection — the o_orderkey%37
+    sample filter pushes down; no shuffle at all."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("quarter_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias("days_to_eoy"),
+    )

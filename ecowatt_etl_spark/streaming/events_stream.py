@@ -191,3 +191,40 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+def stream_rollup_to_parquet(
+    agg: DataFrame, path: str, name: str, shuffle_partitions: int = 8
+) -> None:
+    """Maintain a parquet serving table from a streaming aggregation via
+    ``foreachBatch`` — the sink pattern for stores Structured Streaming
+    has no native connector for (JDBC upserts, search indexes, feature
+    stores). Complete-mode state rewrites the table every micro-batch,
+    which makes replay idempotent: the table is always a pure function
+    of all input seen so far, so a restarted query converges to the
+    same contents regardless of batch boundaries. At scale the rewrite
+    becomes partition-overwrite (dynamic partitionOverwriteMode) so a
+    batch only touches the windows it changed."""
+    spark = agg.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(path)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -418,3 +418,67 @@ def q63_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_batches,
         schema="query_id long, neighbor_id long, cosine_sim double, rk long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 — int8 embedding quantization (absmax) + reconstruction error
+# ---------------------------------------------------------------------------
+@query(
+    "q66_embedding_quantize",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           len(embedding) AS n_dims,
+           CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(embedding,
+                    x -> round(CAST(x AS DOUBLE) / scale * 127))),
+                  (acc, x) -> acc + x) AS BIGINT) AS q_sum,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - round(CAST(x AS DOUBLE) / scale * 127) * scale / 127))),
+             (acc, x) -> acc + x) AS abs_err
+    FROM s
+    """,
+)
+def q66_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absmax int8 quantization per vector — the storage form for
+    embedding corpora at scale (4× smaller than float32, 8× than
+    float64; ANN recall loss is typically <1%). Per vector: scale =
+    max|x|, q_i = round(x_i/scale·127) ∈ [−127,127]; the query reports
+    the quantized checksum and total reconstruction error, both exactly
+    reproducible cross-engine (rounding can only tie on non-dyadic
+    rationals that doubles can't represent, and both engines round
+    half away from zero; the error sum is a fixed-order fold).
+    Scan-local: one projection, zero shuffles — at 100 TB this is the
+    write-path transform before the IVF/LSH index build."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = lambda c: c.cast("double")  # noqa: E731
+    s = em.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda c: F.abs(x(c)))).alias("scale"),
+    )
+    quant = lambda c: F.round(x(c) / F.col("scale") * 127, 0)  # noqa: E731
+    return s.select(
+        "vec_id",
+        "scale",
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(
+            F.transform("embedding", quant), F.lit(0.0), lambda a, b: a + b
+        )
+        .cast("long")
+        .alias("q_sum"),
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda c: F.abs(x(c) - quant(c) * F.col("scale") / 127),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("abs_err"),
+    )

@@ -244,6 +244,10 @@ def sample_frames(
                     rows["frame_idx"].append(idx)
                     rows["ts_ms"].append(ts)
                     rows["frame"].append(grabber(r["payload"], ts))
-            yield pd.DataFrame(rows)
+            # explicit dtypes so batches with no videos concat cleanly
+            # (all-object empty frames trip pandas' concat deprecation)
+            yield pd.DataFrame(rows).astype(
+                {"media_id": "int64", "frame_idx": "int64", "ts_ms": "int64"}
+            )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)

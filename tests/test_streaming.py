@@ -76,6 +76,21 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert exact_pairs[k] == ivf_pairs[k], k
 
 
+def test_jsonl_failfast_raises_on_malformed(spark, tmp_path):
+    """The JSONL source contract is FAILFAST: malformed lines are an
+    error, not silent nulls."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from ecowatt_etl_spark.sources.formats import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"a": 1}\n{not json at all\n{"a": 3}\n')
+    schema = T.StructType([T.StructField("a", T.LongType(), True)])
+    with pytest.raises(Exception, match="Malformed|FAILFAST|MALFORMED"):
+        read_jsonl(spark, str(p), schema).collect()
+
+
 def test_stats_moments_match_builtin_aggregates(spark):
     """The exact-decimal moment formulation must agree with Spark's
     built-in stddev_samp/corr to float tolerance (the builtins are

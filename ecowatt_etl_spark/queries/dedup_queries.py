@@ -373,9 +373,9 @@ def q56_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_T = 0.5  # jaccard edge threshold
 
 
-@query(
-    "q57_dedup_clusters",
-    oracle=f"""
+# Shared recursive-CTE fixpoint over the near-dup graph (q57's oracle
+# core, reused by q59's keep-list).
+_Q57_CTE = f"""
     WITH RECURSIVE pairs AS ({_Q53_ORACLE}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard_sim >= {_CLUSTER_T}
@@ -388,8 +388,13 @@ _CLUSTER_T = 0.5  # jaccard edge threshold
       UNION
       SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
     )
-    SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
-    """,
+"""
+
+
+@query(
+    "q57_dedup_clusters",
+    oracle=_Q57_CTE
+    + "SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id",
 )
 def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup CLUSTERS, not just pairs: connected components over the
@@ -504,4 +509,53 @@ def q58_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.h"), F.col("c.h")).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= _ED_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — dedup keep-list: canonical document per cluster
+# ---------------------------------------------------------------------------
+@query(
+    "q59_dedup_keep_list",
+    oracle=_Q57_CTE
+    + """
+    , clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT d.doc_id, c.cluster_id, d.n_chars
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, cluster_id,
+           (cluster_id IS NULL OR rn = 1) AS keep
+    FROM ranked
+    """,
+)
+def q59_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: one keep/drop verdict per document. Within
+    each near-dup cluster (q57) keep the longest document (most content
+    survives), tie-broken by smallest doc_id; documents in no cluster
+    are kept. This is the list a curation pipeline actually applies —
+    pairs (q53) find, clusters (q57) group, the keep-list decides.
+    Scale: one left join of the corpus against the (small) cluster map
+    and one per-cluster window; unclustered docs share the NULL window
+    partition, but their verdict short-circuits on cluster_id IS NULL
+    so that partition's ordering is irrelevant."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = q57_dedup_clusters(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    scored = docs.join(clusters, "doc_id", "left")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id").isNull() | (F.col("rn") == 1)).alias("keep"),
+        )
     )

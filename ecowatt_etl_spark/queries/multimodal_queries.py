@@ -97,7 +97,8 @@ def q81_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_MEDIA_CTE
     + """
     SELECT media_type, COUNT(*) AS n_items,
-           SUM(CASE WHEN media_type = 'image' THEN 12 ELSE 128 END) AS total_bytes,
+           CAST(SUM(CASE WHEN media_type = 'image' THEN 12 ELSE 128 END)
+                AS BIGINT) AS total_bytes,
            AVG(CASE WHEN media_type = 'image' THEN 224 END) AS avg_width,
            AVG(CASE WHEN media_type <> 'image' THEN media_id * 100 + 1000 END)
              AS avg_duration_ms

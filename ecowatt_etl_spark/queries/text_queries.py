@@ -44,7 +44,7 @@ def _sql_marker_count(markers: list[str]) -> str:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
            MAX(n_chars) AS max_chars
     FROM t GROUP BY lang
@@ -197,10 +197,10 @@ _SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_subwords) AS total_subwords,
-           SUM(n_alpha) AS total_alpha,
-           SUM(n_num) AS total_num,
-           SUM(n_subwords - n_alpha - n_num) AS total_other,
+           CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+           CAST(SUM(n_alpha) AS BIGINT) AS total_alpha,
+           CAST(SUM(n_num) AS BIGINT) AS total_num,
+           CAST(SUM(n_subwords - n_alpha - n_num) AS BIGINT) AS total_other,
            CAST(SUM(n_subwords) AS DOUBLE) / COUNT(*) AS avg_subwords
     FROM t GROUP BY lang
     """,
@@ -265,7 +265,7 @@ _MIN_QUALITY = 0.5
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(canonical_id) AS min_doc_id
     FROM deduped GROUP BY lang
     """,

@@ -3,9 +3,12 @@
 Re-expresses every dashboard computation (reference app.py) as a named
 query over the star schema produced by the engine's own pipeline. The
 pipeline runs on the reference's raw CSVs (fixed location, sf-independent
-— these queries ignore sf_dir), so there is no warehouse-table oracle:
-they are registered rows-only; their value-level parity is covered by
-tests/test_ecowatt_pipeline.py against the reference goldens.
+— these queries ignore sf_dir), so there is no warehouse-table oracle.
+qe03/qe04 are instead value-checked against the reference's own golden
+star schema (/root/reference/extracted) read via DuckDB read_csv_auto;
+the rest stay rows-only because the golden float columns predate the
+reference's 6-dp rounding (bit-inexact vs the engine) — their parity is
+covered with tolerance by tests/test_ecowatt_pipeline.py.
 """
 
 from __future__ import annotations
@@ -55,10 +58,31 @@ def qe02_energy_dashboard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("qe03_kpi_row")
+GOLDEN_DIR = "/root/reference/extracted"
+
+# Golden-backed oracles: the reference's own extracted star schema is
+# the ground truth for the dashboard queries. Only integer-valued count
+# columns (and ratios derived from them) are oracle-safe — the golden
+# float columns predate the reference's 6-dp rounding, so energy/NO2
+# doubles differ from the engine in low-order bits (see
+# tests/test_ecowatt_pipeline.py docstring) and stay rows-only.
+
+
+@query(
+    "qe03_kpi_row",
+    oracle=f"""
+    SELECT SUM(TOTAL_EVS) AS total_evs,
+           SUM(BEV_COUNT) AS bev_count,
+           SUM(PHEV_COUNT) AS phev_count,
+           SUM(BEV_COUNT) / SUM(TOTAL_EVS) * 100 AS bev_pct
+    FROM read_csv_auto('{GOLDEN_DIR}/ev_fact.csv')
+    """,
+)
 def qe03_kpi_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPI row: total EVs / BEV / PHEV sums + BEV share
-    (reference app.py:158-175)."""
+    (reference app.py:158-175). Oracle-checked against the reference's
+    own golden ev_fact: counts are integer-valued doubles, so the sums
+    and the single division are bit-exact across engines."""
     star = _star(spark)
     return star.fact_ev_impact.agg(
         F.sum("TOTAL_EVS").alias("total_evs"),
@@ -68,10 +92,21 @@ def qe03_kpi_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("qe04_top_suburbs")
+@query(
+    "qe04_top_suburbs",
+    oracle=f"""
+    SELECT s.SUBURB_NAME, e.TOTAL_EVS, e.BEV_COUNT, e.PHEV_COUNT
+    FROM read_csv_auto('{GOLDEN_DIR}/ev_fact.csv') e
+    LEFT JOIN read_csv_auto('{GOLDEN_DIR}/suburb_dim.csv') s
+      ON e.SUBURB_KEY = s.id_suburb
+    ORDER BY e.TOTAL_EVS DESC, s.SUBURB_NAME
+    """,
+)
 def qe04_top_suburbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suburbs ranked by EV count for the stacked bar
-    (reference app.py:182-194)."""
+    (reference app.py:182-194). Golden-backed oracle: projected
+    columns are the string name + integer-valued count doubles only,
+    all bit-exact vs the reference's extracted ev_fact."""
     star = _star(spark)
     joined = star.fact_ev_impact.join(F.broadcast(star.dim_suburb), "id_suburb", "left")
     return joined.select("SUBURB_NAME", "TOTAL_EVS", "BEV_COUNT", "PHEV_COUNT").orderBy(

@@ -47,8 +47,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity — one fused scan-local expression per pair."""
-    return dot_fold(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity — one fused scan-local expression per pair.
+
+    try_divide, not ``/``: under ANSI mode (Spark 4 default) a plain
+    division makes an all-zero embedding throw DIVIDE_BY_ZERO mid-job;
+    try_divide yields NULL instead — which is also exactly what DuckDB's
+    double division produces, so the oracles agree without changes."""
+    return F.try_divide(dot_fold(a, b), l2_norm(a) * l2_norm(b))
 
 
 def sign_block_key(embedding: Column, n_bits: int = 8) -> Column:

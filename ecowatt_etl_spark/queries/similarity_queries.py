@@ -330,7 +330,9 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm(F.col("embedding")).alias("c_norm"),
         )
     )
-    asg_score = (dot_fold(F.col("embedding"), F.col("c_emb")) / F.col("c_norm"))
+    asg_score = F.try_divide(
+        dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
+    )
     best = (
         em.crossJoin(cent)
         .select(
@@ -352,7 +354,9 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "q_emb",
             F.col("cid").cast("long").alias("cid"),
-            (dot_fold(F.col("q_emb"), F.col("c_emb")) / F.col("c_norm")).alias("p_sim"),
+            F.try_divide(
+                dot_fold(F.col("q_emb"), F.col("c_emb")), F.col("c_norm")
+            ).alias("p_sim"),
         )
         .withColumn("prk", F.row_number().over(p_w))
         .filter(F.col("prk") <= _NPROBE)
@@ -375,49 +379,58 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q63_cosine_topk_matmul")  # numpy pairwise summation ≠ fold-order → rows-only
 def q63_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN throughput path: Arrow-batched Pandas iterator UDF doing a
-    numpy block matmul of each partition's queries against the
-    broadcast corpus matrix. SIMD dot products, zero shuffle — the
-    corpus rides the broadcast. At 100 TB the corpus side becomes
-    IVF-partitioned instead of broadcast; the per-block kernel is
-    unchanged. Values match q61 to float64 eps (asserted in tests) but
-    numpy's pairwise summation is not fold-order-identical → rows-only
-    driver check."""
+    """ANN throughput path: the bounded query set (``_NQ`` vectors) is
+    broadcast as a numpy matrix; the CORPUS — the unbounded side —
+    streams through an Arrow-batched Pandas iterator UDF that block-
+    matmuls each corpus batch against the query matrix (SIMD dot
+    products) and keeps only a per-block partial top-k per query. A
+    final per-query window reduces the partials to the global top-k
+    (global top-k ⊆ union of block top-ks, so the partial prune is
+    lossless). Nothing corpus-sized ever touches the driver or the
+    broadcast bus: executor memory is O(batch × nq), shuffle volume is
+    O(blocks × nq × k) score triples — this exact shape runs at 100 TB,
+    optionally with the corpus IVF-partitioned (q65) so each query
+    streams only its probed cells. Values match q61 to float64 eps
+    (asserted in tests) but numpy's pairwise summation is not
+    fold-order-identical → rows-only driver check."""
     import numpy as np
     import pandas as pd
 
     em = load_table(spark, sf_dir, "embeddings")
-    corpus = em.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in corpus], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in corpus], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_n)
+    # Query side: bounded by _NQ (a handful of probe vectors), so a
+    # driver round-trip is O(_NQ·dim), independent of corpus size.
+    qrows = em.filter(F.col("vec_id") < _NQ).select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    b_qids = spark.sparkContext.broadcast(q_ids)
+    b_qmat = spark.sparkContext.broadcast(q_mat)
 
-    def topk_batches(batches):
-        ids_, mat_ = b_ids.value, b_mat.value
+    def block_topk(batches):
+        qids_, qmat_ = b_qids.value, b_qmat.value
         for pdf in batches:
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = qn @ mat_.T  # (batch, N)
-            for row_i, qid in enumerate(pdf["vec_id"].to_numpy()):
-                s = sims[row_i].copy()
-                s[ids_ == qid] = -np.inf  # exclude self
-                order = np.lexsort((ids_, -s))[:_TOPK]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qmat_ @ mat.T  # (nq, batch)
+            for qi, qid in enumerate(qids_):
+                s = sims[qi].copy()
+                s[ids == qid] = -np.inf  # exclude self
+                order = np.lexsort((ids, -s))[:_TOPK]  # block-local top-k
+                keep = order[np.isfinite(s[order])]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": ids_[order],
-                        "cosine_sim": s[order],
-                        "rk": np.arange(1, len(order) + 1, dtype=np.int64),
+                        "neighbor_id": ids[keep],
+                        "cosine_sim": s[keep],
                     }
                 )
 
-    queries_df = em.filter(F.col("vec_id") < _NQ)
-    return queries_df.mapInPandas(
-        topk_batches,
-        schema="query_id long, neighbor_id long, cosine_sim double, rk long",
+    partials = em.select("vec_id", "embedding").mapInPandas(
+        block_topk, schema="query_id long, neighbor_id long, cosine_sim double"
     )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return partials.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -463,7 +476,9 @@ def q66_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.array_max(F.transform("embedding", lambda c: F.abs(x(c)))).alias("scale"),
     )
-    quant = lambda c: F.round(x(c) / F.col("scale") * 127, 0)  # noqa: E731
+    # try_divide: an all-zero vector has scale 0 — ANSI '/' would throw
+    # DIVIDE_BY_ZERO; NULL matches DuckDB's zero-division result.
+    quant = lambda c: F.round(F.try_divide(x(c), F.col("scale")) * 127, 0)  # noqa: E731
     return s.select(
         "vec_id",
         "scale",

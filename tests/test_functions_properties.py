@@ -115,3 +115,27 @@ def test_salted_join_matches_plain_join(spark):
     plain = {tuple(r) for r in o.join(c2, "o_custkey").collect()}
     salted = {tuple(r) for r in salted_join(o, c2, "o_custkey", n_salts=4).collect()}
     assert plain == salted and len(plain) > 0
+
+
+def test_cosine_zero_vector_yields_null(spark):
+    """ANSI mode makes plain '/' throw DIVIDE_BY_ZERO on an all-zero
+    embedding; cosine() must instead yield NULL (matching DuckDB's
+    double zero-division) so one degenerate vector can't kill a job."""
+    from ecowatt_etl_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, emb array<double>"
+    )
+    a, b = df.alias("a"), df.alias("b")
+    rows = (
+        a.crossJoin(b)
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            cosine(F.col("a.emb"), F.col("b.emb")).alias("sim"),
+        )
+        .collect()
+    )
+    sims = {(r["ia"], r["ib"]): r["sim"] for r in rows}
+    assert sims[(1, 1)] is None and sims[(1, 2)] is None and sims[(2, 1)] is None
+    assert math.isclose(sims[(2, 2)], 1.0)

@@ -371,6 +371,7 @@ def q56_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q57 — dedup clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 _CLUSTER_T = 0.5  # jaccard edge threshold
+_LP_MAX_ROUNDS = 20  # label-propagation bound ≈ max near-dup chain diameter
 
 
 # Shared recursive-CTE fixpoint over the near-dup graph (q57's oracle
@@ -430,7 +431,8 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", F.col("id").alias("lbl"))
             .localCheckpoint()
         )
-        for _ in range(20):  # diameter bound; tiny vs any real cluster chain
+        converged = False
+        for _ in range(_LP_MAX_ROUNDS):
             neigh = (
                 labels.join(edges, labels["id"] == edges["src"])
                 .select(F.col("dst").alias("id"), "lbl")
@@ -447,7 +449,16 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # an unconverged fixpoint silently diverges from the
+            # recursive-CTE oracle — fail loudly instead
+            raise RuntimeError(
+                f"q57 label propagation did not converge within "
+                f"{_LP_MAX_ROUNDS} rounds (graph diameter exceeds bound); "
+                f"raise _LP_MAX_ROUNDS"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
@@ -459,6 +470,9 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ED_BLK = 12  # normalized-prefix blocking key length
 _ED_CMP = 60  # chars compared (Levenshtein is O(len²) — bound it)
 _ED_T = 10  # max edit distance reported
+_ED_BLK_CAP = 50  # drop blocks above this size: a boilerplate prefix
+#                   shared by k docs costs k² comparisons; like q54's
+#                   df cap, an undiscriminating block buys no signal
 
 
 @query(
@@ -467,11 +481,15 @@ _ED_T = 10  # max edit distance reported
     WITH d AS (
       SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
     ),
-    b AS (SELECT doc_id, lang, left(t, {_ED_CMP}) AS h, left(t, {_ED_BLK}) AS blk FROM d)
+    b AS (SELECT doc_id, lang, left(t, {_ED_CMP}) AS h, left(t, {_ED_BLK}) AS blk FROM d),
+    keep AS (
+      SELECT lang, blk FROM b GROUP BY lang, blk HAVING COUNT(*) <= {_ED_BLK_CAP}
+    ),
+    b2 AS (SELECT b.* FROM b JOIN keep USING (lang, blk))
     SELECT a.doc_id AS id_a, c.doc_id AS id_b,
            levenshtein(a.h, c.h) AS edit_dist
-    FROM b a JOIN b c ON a.lang = c.lang AND a.blk = c.blk
-                     AND a.doc_id < c.doc_id
+    FROM b2 a JOIN b2 c ON a.lang = c.lang AND a.blk = c.blk
+                       AND a.doc_id < c.doc_id
     WHERE levenshtein(a.h, c.h) <= {_ED_T}
     """,
 )
@@ -483,19 +501,37 @@ def q58_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle/MinHash methods see as high Jaccard but byte-hash methods
     miss entirely). Both engines run the identical unit-cost DP, so
     distances are exact integers. Scale: the O(len²) comparison is
-    bounded to 60-char heads, and prefix blocking keeps the self-join
-    at Σ per-block n² — the same candidate-then-verify economics as
-    LSH; the block key is the shuffle key."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.lower(F.trim("text")).alias("t")
-    )
+    bounded to 60-char heads, prefix blocking keeps the self-join at
+    Σ per-block n², and blocks above ``_ED_BLK_CAP`` docs are dropped
+    entirely (mirrored in the oracle) — without the cap one
+    boilerplate prefix shared by k docs is a k² hot spot at scale,
+    the q54 df-cap economics applied to blocks. The block key is the
+    shuffle key."""
+    d = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(d)
+
+
+def edit_distance_pairs(d: DataFrame) -> DataFrame:
+    """Prefix-blocked, block-capped Levenshtein pairs over a
+    ``(doc_id, lang, text)`` frame — see q58 docstring."""
     b = d.select(
+        "doc_id",
+        "lang",
+        F.lower(F.trim("text")).alias("t"),
+    ).select(
         "doc_id",
         "lang",
         F.substring("t", 1, _ED_CMP).alias("h"),
         F.substring("t", 1, _ED_BLK).alias("blk"),
     )
-    a, c = b.alias("a"), b.alias("c")
+    keep = (
+        b.groupBy("lang", "blk")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= _ED_BLK_CAP)
+        .select("lang", "blk")
+    )
+    b2 = b.join(keep, ["lang", "blk"])
+    a, c = b2.alias("a"), b2.alias("c")
     return (
         a.join(
             c,
@@ -541,21 +577,24 @@ def q59_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives), tie-broken by smallest doc_id; documents in no cluster
     are kept. This is the list a curation pipeline actually applies —
     pairs (q53) find, clusters (q57) group, the keep-list decides.
-    Scale: one left join of the corpus against the (small) cluster map
-    and one per-cluster window; unclustered docs share the NULL window
-    partition, but their verdict short-circuits on cluster_id IS NULL
-    so that partition's ordering is irrelevant."""
+    Scale: the window runs ONLY over clustered rows (inner join against
+    the small cluster map) — at scale nearly the whole corpus is
+    unclustered, and putting it in a shared NULL window partition would
+    funnel it through one sort task; instead unclustered docs bypass
+    the window entirely (anti join, keep=true) and rejoin by union."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     clusters = q57_dedup_clusters(spark, sf_dir)
     from pyspark.sql import Window as W
 
-    scored = docs.join(clusters, "doc_id", "left")
+    clustered = docs.join(clusters, "doc_id")
     w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .select(
-            "doc_id",
-            "cluster_id",
-            (F.col("cluster_id").isNull() | (F.col("rn") == 1)).alias("keep"),
-        )
+    kept_in_cluster = (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", (F.col("rn") == 1).alias("keep"))
     )
+    unclustered = docs.join(clusters, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    return kept_in_cluster.unionByName(unclustered)

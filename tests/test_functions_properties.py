@@ -139,3 +139,19 @@ def test_cosine_zero_vector_yields_null(spark):
     sims = {(r["ia"], r["ib"]): r["sim"] for r in rows}
     assert sims[(1, 1)] is None and sims[(1, 2)] is None and sims[(2, 1)] is None
     assert math.isclose(sims[(2, 2)], 1.0)
+
+
+def test_edit_distance_block_cap(spark):
+    """A block larger than _ED_BLK_CAP is dropped wholesale (per-block
+    n² bound); small blocks still pair up."""
+    from ecowatt_etl_spark.queries.dedup_queries import (
+        _ED_BLK_CAP,
+        edit_distance_pairs,
+    )
+
+    prefix = "same boilerplate "  # > 12 chars → one block
+    rows = [(i, "en", prefix + f"doc {i}") for i in range(_ED_BLK_CAP + 10)]
+    rows += [(1000, "de", "kleine abweichung eins"), (1001, "de", "kleine abweichung zwei")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = edit_distance_pairs(d).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1000, 1001)}

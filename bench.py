@@ -34,11 +34,13 @@ HEADLINE = [
     # training-data pipeline
     "q51_hash_dedup",
     "q53_minhash_lsh_pairs",
+    "q57_dedup_clusters",
     "q61_cosine_topk",
     "q64_lsh_topk",
     "q65_ivf_topk",
     "q71_quality_scores",
     "q74_subword_stats",
+    "q75_corpus_pipeline",
 ]
 
 
@@ -75,9 +77,28 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extras": {
+                    # q91 (grouped-map numpy regression) is rows-only in
+                    # the driver gate by necessity; publish its parity
+                    # against the exact-decimal q90 here so the
+                    # grouped-map path has per-round external evidence.
+                    "q90_q91_max_rel_diff": _q91_parity(spark, specs, sf_dir),
+                },
             }
         )
     )
+
+
+def _q91_parity(spark, specs, sf_dir: str) -> float:
+    exact = {r["event_type"]: r for r in specs["q90_regr_by_type"].fn(spark, sf_dir).collect()}
+    fast = {r["event_type"]: r for r in specs["q91_regr_grouped_map"].fn(spark, sf_dir).collect()}
+    assert exact.keys() == fast.keys()
+    worst = 0.0
+    for k in exact:
+        for c in ("slope", "intercept"):
+            denom = max(abs(exact[k][c]), 1e-12)
+            worst = max(worst, abs(exact[k][c] - fast[k][c]) / denom)
+    return worst
 
 
 if __name__ == "__main__":

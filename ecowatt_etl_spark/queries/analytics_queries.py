@@ -117,8 +117,16 @@ def q91_regr_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf["x"].to_numpy(dtype=np.float64)
         y = pdf["y"].to_numpy(dtype=np.float64)
-        a = np.vstack([x, np.ones_like(x)]).T
-        (slope, intercept), *_ = np.linalg.lstsq(a, y, rcond=None)
+        # center x: raw epoch-seconds (~1.7e9) make [x, 1] so
+        # ill-conditioned that lstsq's rcond cutoff silently zeroes the
+        # constant column once n grows (at sf0.1 every intercept came
+        # back ~1e-17 and all slopes collapsed to the same value);
+        # centering is the standard conditioning fix and recovers the
+        # identical mathematical solution
+        xm = x.mean()
+        a = np.vstack([x - xm, np.ones_like(x)]).T
+        (slope, b), *_ = np.linalg.lstsq(a, y, rcond=None)
+        intercept = b - slope * xm
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],

@@ -1,0 +1,373 @@
+"""Corpus-curation queries over `documents` (beyond-reference surface).
+
+The curation stages a large-scale training-data pipeline runs AFTER
+dedup (q50-q59) and quality scoring (q70-q75): deterministic stratified
+sampling, PII redaction, repetition filtering (Gopher-style duplicate
+n-gram rules), eval-set decontamination, token-budget shard packing,
+and the data-mixture report. Every query is hash-verified against a
+DuckDB oracle replaying the identical portable arithmetic: md5-derived
+sampling keys and shingle hashes, shared regex classes (Java regex and
+RE2 agree on the character-class subset used), and exact integer math
+with single final float divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ecowatt_etl_spark.operators.dedup import fan_out, shingle_hashes
+from ecowatt_etl_spark.operators.text import token_count, tokens
+from ecowatt_etl_spark.queries.registry import query
+from ecowatt_etl_spark.sources.tables import load_table
+
+_SQL_W = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# q93 — deterministic stratified sampling
+# ---------------------------------------------------------------------------
+# per-language keep rates as md5-hex-prefix thresholds (first 2 hex
+# chars are uniform over 00..ff): downsample the over-represented
+# language, keep the rest at 75%
+_SMPL_RATE = {"en": "40"}  # 25%
+_SMPL_DEFAULT = "c0"  # 75%
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN '{thr}'" for lang, thr in _SMPL_RATE.items()
+    )
+    return f"CASE {whens} ELSE '{_SMPL_DEFAULT}' END"
+
+
+@query(
+    "q93_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < {_sql_rate_case()}
+    """,
+)
+def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the language /
+    domain rebalancing step of corpus assembly. The keep decision is
+    ``md5('smpl:' || doc_id) < per-lang threshold``, so it is (a)
+    reproducible run-over-run and engine-over-engine (no RNG state),
+    (b) stable under corpus growth — a doc's verdict never changes when
+    neighbors are added — and (c) scan-local: a pushdown-friendly
+    filter, zero shuffles, trivially parallel at 100 TB. Changing the
+    mixture = changing threshold literals, not re-shuffling data."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.lit(_SMPL_DEFAULT)
+    for lang, t in _SMPL_RATE.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    key = F.substring(F.md5(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string"))), 1, 2)
+    return d.filter(key < thr).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q94 — PII detection + redaction
+# ---------------------------------------------------------------------------
+# regex subset chosen to evaluate identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded/unbounded repeats only
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{1,4}"
+
+# the synthetic corpus contains no PII, so both engines plant the same
+# deterministic contacts before detecting them — the check exercises
+# real matches, not a vacuous zero
+_SQL_AUG = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' WHEN doc_id % 11 = 3 THEN ' call +1-555-'"
+    " || CAST(doc_id % 1000 AS VARCHAR) || ' ok' ELSE '' END"
+)
+
+
+@query(
+    "q94_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_SQL_AUG} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def q94_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every published training
+    corpus runs: count and mask email/phone spans. Detection and
+    redaction are single codegen'd regex passes (no UDF); the oracle
+    compares an md5 checksum of the fully redacted text, so the check
+    covers every byte of the rewrite, not just the match counts.
+    Scan-local at any scale. Real deployments extend the pattern list
+    (SSNs, IP addresses, credit cards) — same plan shape per pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 11 == 3,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    (F.col("doc_id") % 1000).cast("string"),
+                    F.lit(" ok"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — repetition statistics (Gopher-style duplicate n-gram rules)
+# ---------------------------------------------------------------------------
+_REP_T = 0.45  # duplicate-bigram fraction above which a doc is flagged
+
+
+@query(
+    "q95_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_W} AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+             CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1]))) AS BIGINT)
+               AS n_distinct_bigrams
+      FROM t WHERE len(w) >= 2
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+           CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+             AS dup_bigram_frac,
+           CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+             > {_REP_T} AS repetitive
+    FROM g
+    """,
+)
+def q95_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter — the Gopher/C4-style duplicate n-gram rule:
+    machine-generated and boilerplate text repeats itself, so a high
+    duplicate-token or duplicate-bigram fraction marks a document for
+    removal. Pure array expressions over the token list (no explode —
+    per-doc distinct counts stay inside the row), one scan, zero
+    shuffles; the two fractions are single exact-integer divisions, so
+    the oracle matches bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+    )
+    g = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        (F.size(w) - 1).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_bigrams"),
+    ).filter(F.col("n_tokens") >= 2)
+    dup_tok = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")
+    dup_bi = (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double") / F.col(
+        "n_bigrams"
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        dup_tok.alias("dup_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        (dup_bi > _REP_T).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — eval-set decontamination
+# ---------------------------------------------------------------------------
+_DECON_N = 5  # n-gram length for contamination matching
+_EVAL_SRC = "src0"  # the held-out benchmark slice
+
+
+def _sql_ngrams(n: int) -> str:
+    joined = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+    list_distinct(
+      CASE WHEN len(w) >= {n}
+           THEN list_transform(generate_series(1, len(w) - {n - 1}), i -> {joined})
+           ELSE [array_to_string(w, ' ')] END)
+    """
+
+
+@query(
+    "q96_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_W} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+               % 1000000007 AS h
+      FROM (SELECT doc_id, source, UNNEST({_sql_ngrams(_DECON_N)}) AS s FROM t)
+    ),
+    eval_h AS (SELECT DISTINCT h FROM sh WHERE source = '{_EVAL_SRC}')
+    SELECT sh.doc_id, CAST(COUNT(DISTINCT sh.h) AS BIGINT) AS n_shared_grams
+    FROM sh JOIN eval_h USING (h)
+    WHERE sh.source <> '{_EVAL_SRC}'
+    GROUP BY sh.doc_id
+    """,
+)
+def q96_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — before training, drop corpus
+    documents that share long n-grams with the evaluation set (here:
+    the ``src0`` slice stands in for a benchmark). Returns each
+    contaminated doc with its count of distinct shared 5-grams; the
+    keep-list is the anti-join complement.
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    thousands of docs, the corpus is billions), so its distinct-hash
+    set broadcasts; the corpus side is one explode → md5-in-codegen
+    scan (the q52/q53 shingle machinery at n=5) filtered by a
+    broadcast-hash semi join — the corpus never shuffles on n-gram
+    keys, and the only aggregation is per-doc over surviving matches."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(
+        d.filter(F.col("source") != _EVAL_SRC), n=_DECON_N
+    )
+    eval_h = F.broadcast(
+        shingle_hashes(d.filter(F.col("source") == _EVAL_SRC), n=_DECON_N)
+        .select("h")
+        .distinct()
+    )
+    return (
+        sh.join(eval_h, "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — token-budget shard packing
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048  # tokens per training shard (per language)
+
+
+@query(
+    "q97_token_budget_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_W}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           (CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            - n_tokens) // {_PACK_BUDGET} AS shard_id
+    FROM t
+    """,
+)
+def q97_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing — assign documents to fixed-token-budget training
+    shards per language (next-fit by running token count), the step
+    that turns a curated corpus into trainer-consumable units. One
+    window cumsum per stratum; all arithmetic is exact integers
+    (cumsum, subtraction, integer division), so the oracle matches
+    bit-for-bit.
+
+    Scale note: a running sum needs a total order per stratum, which is
+    inherently one sorted pass per language partition. At 100 TB you
+    pack hierarchically — the same next-fit within each corpus
+    partition, then rebase shard ids by the per-partition totals (one
+    tiny prefix-sum on the driver side of partition aggregates) — the
+    per-row math here is unchanged; only the order key gains a
+    partition prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", token_count("text").cast("long").alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}").alias("shard_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — data-mixture report
+# ---------------------------------------------------------------------------
+@query(
+    "q98_mixture_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, source, CAST(len({_SQL_W}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM t GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE)
+             / CAST(SUM(total_tokens) OVER () AS BIGINT) AS token_share,
+           CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens
+    FROM g
+    """,
+)
+def q98_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture report — per (language, source) document and
+    token counts plus each cell's share of the whole corpus, the table
+    a training run's sampling weights are derived from. One hash
+    aggregate (map-side partial over the scan) down to |lang|×|source|
+    rows, then a global-window share computation over that tiny frame.
+    Shares are single divisions of exact integer totals — bit-stable
+    cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", "source", token_count("text").cast("long").alias("n_tokens"))
+    g = t.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    corpus_total = F.sum("total_tokens").over(W.partitionBy())
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / corpus_total).alias("token_share"),
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avg_doc_tokens"),
+    )

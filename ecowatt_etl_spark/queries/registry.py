@@ -43,6 +43,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     """Import every query module so registrations run."""
     import ecowatt_etl_spark.queries.analytics_queries  # noqa: F401
+    import ecowatt_etl_spark.queries.curation_queries  # noqa: F401
     import ecowatt_etl_spark.queries.dedup_queries  # noqa: F401
     import ecowatt_etl_spark.queries.ecowatt_queries  # noqa: F401
     import ecowatt_etl_spark.queries.event_queries  # noqa: F401

@@ -200,3 +200,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "YEAR" in pf
     assert df.count() > 0
+
+
+def test_stratified_sample_is_scan_local(spark):
+    """q93's keep decision is a pure filter — any Exchange would mean
+    the sampling shuffles data it should only be scanning."""
+    plan = _plan(spark, "q93_stratified_sample")
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """q96: the eval-set hash side must broadcast — a sort-merge join
+    here would shuffle the full corpus shingle stream on n-gram keys."""
+    plan = _plan(spark, "q96_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_is_scan_local(spark):
+    plan = _plan(spark, "q94_pii_redact")
+    assert "Exchange" not in plan

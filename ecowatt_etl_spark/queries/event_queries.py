@@ -564,3 +564,194 @@ def q49e_stream_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/root/repo/.scratch_io/{bucket_token(sf_dir)}/serving_rollup"
     stream_rollup_to_parquet(agg, path, "q49e_serving_sink")
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# q49f — ordered conversion funnel
+# ---------------------------------------------------------------------------
+@query(
+    "q49f_funnel",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ), w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ), w4 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t3 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t4
+      FROM w3
+    ), per_user AS (
+      SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2,
+             MAX(t3) AS t3, MAX(t4) AS t4
+      FROM w4 GROUP BY user_id
+    ), counts AS (
+      SELECT CAST(COUNT(t1) AS BIGINT) AS c1, CAST(COUNT(t2) AS BIGINT) AS c2,
+             CAST(COUNT(t3) AS BIGINT) AS c3, CAST(COUNT(t4) AS BIGINT) AS c4
+      FROM per_user
+    )
+    SELECT stage_idx, stage, n_users FROM (
+      SELECT 1 AS stage_idx, 'signup' AS stage, c1 AS n_users FROM counts
+      UNION ALL SELECT 2, 'view', c2 FROM counts
+      UNION ALL SELECT 3, 'click', c3 FROM counts
+      UNION ALL SELECT 4, 'purchase', c4 FROM counts
+    ) ORDER BY stage_idx
+    """,
+)
+def q49f_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup -> view -> click -> purchase.
+
+    A user reaches stage N only via an event at-or-after their stage
+    N-1 timestamp (min-ts semantics, so re-entries don't double count).
+    The classic implementation is N-1 self-joins; here each stage's
+    first-reach time is a windowed conditional MIN over the same
+    user_id partitioning, so the chain is ONE shuffle followed by four
+    Window operators that all reuse the exchange — at 100 TB the cost
+    is a single hash-partition of the events scan, not four joins.
+    The per-user reduction then feeds a global 4-counter aggregate
+    (two-phase, map-side partials), and the 4-row funnel is a literal
+    unpivot of that single row.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    uw = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(uw)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(uw),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(uw),
+        )
+        .withColumn(
+            "t4",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t3")),
+                    F.col("ts"),
+                )
+            ).over(uw),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+        F.max("t4").alias("t4"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+        F.count("t4").alias("c4"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(4, 1, 'signup', c1, 2, 'view', c2, 3, 'click', c3,"
+            " 4, 'purchase', c4) AS (stage_idx, stage, n_users)"
+        )
+    ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# q49g — weekly cohort retention
+# ---------------------------------------------------------------------------
+@query(
+    "q49g_cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week_idx
+      FROM events
+    ), coh AS (
+      SELECT user_id, week_idx,
+             MIN(week_idx) OVER (PARTITION BY user_id) AS cohort_week
+      FROM wk
+    ), counts AS (
+      SELECT cohort_week, week_idx - cohort_week AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM coh GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           n_users,
+           CAST(n_users * 10000 // MAX(CASE WHEN week_offset = 0 THEN n_users END)
+                  OVER (PARTITION BY cohort_week) AS BIGINT) AS retention_bps
+    FROM counts
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q49g_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle.
+
+    Week index is integer day-arithmetic from a fixed epoch
+    (2024-01-01), NOT calendar week-of-year — engines disagree on ISO
+    week boundaries but not on day subtraction. A user's cohort is
+    their first active week; the (cohort, offset) cell counts users
+    active offset weeks later. Retention is emitted in integer basis
+    points (n * 10000 DIV cohort_size) so the oracle hash never sees a
+    float division.
+
+    Scale shape: ONE shuffle on user_id produces per-user
+    (cohort_week, active-week set) — collect_set is bounded by corpus
+    duration in weeks (~O(100) even at decade scale), so the per-user
+    state can't blow up. The explode is scan-local and the final
+    (cohort, offset) agg is a second small shuffle on a key space of
+    weeks², independent of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        ).alias("week_idx"),
+    )
+    per_user = weeks.groupBy("user_id").agg(
+        F.min("week_idx").alias("cohort_week"),
+        F.collect_set("week_idx").alias("active_weeks"),
+    )
+    cells = per_user.select(
+        "cohort_week", F.explode("active_weeks").alias("active_week")
+    ).select(
+        "cohort_week", (F.col("active_week") - F.col("cohort_week")).alias("week_offset")
+    )
+    counts = cells.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+    cw = W.partitionBy("cohort_week")
+    return (
+        counts.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(cw),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.expr("CAST(n_users * 10000 DIV cohort_size AS BIGINT)").alias(
+                "retention_bps"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

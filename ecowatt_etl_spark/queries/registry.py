@@ -86,6 +86,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # implementations changed this round — keep driver evidence fresh
     "q57_dedup_clusters", "q58_edit_distance_neardup",
     "q59_dedup_keep_list",
+    # new this round — funnel / cohort event analytics
+    "q49f_funnel", "q49g_cohort_retention",
 )
 
 

@@ -220,3 +220,39 @@ def test_decontaminate_broadcasts_eval_set(spark):
 def test_pii_redact_is_scan_local(spark):
     plan = _plan(spark, "q94_pii_redact")
     assert "Exchange" not in plan
+
+
+def _exchange_args(plan: str) -> list[str]:
+    """Partitioning argument of every Exchange node, tree order
+    (formatted mode hides partitioning in the details section)."""
+    import re
+
+    tree = plan.split("\n\n")[0]
+    args = []
+    for i in re.findall(r"Exchange \((\d+)\)", tree):
+        m = re.search(rf"\({i}\) Exchange\n(?:.*\n)*?Arguments: ([^,]+)", plan)
+        args.append(m.group(1) if m else "?")
+    return args
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """q49f chains four stage-reach Windows over the same user_id
+    partitioning; if any stage re-shuffled, the funnel would cost four
+    corpus-sized exchanges at 100 TB instead of one. (SinglePartition
+    is the final 4-counter global agg — constant-size input.)"""
+    plan = _plan(spark, "q49f_funnel")
+    hashed = [a for a in _exchange_args(plan) if a.startswith("hashpartitioning")]
+    assert len(hashed) == 1, hashed
+    assert "user_id" in hashed[0]
+    assert plan.split("\n\n")[0].count("Window") >= 4
+
+
+def test_cohort_corpus_shuffle_is_user_id(spark):
+    """q49g's only corpus-sized shuffle must be the per-user reduction;
+    the (cohort, offset) agg and retention window run on O(weeks^2)
+    post-aggregation rows."""
+    plan = _plan(spark, "q49g_cohort_retention")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree  # active-week fan-out is post-agg explode
+    hashed = [a for a in _exchange_args(plan) if a.startswith("hashpartitioning")]
+    assert any("user_id" in a for a in hashed), hashed

@@ -755,3 +755,64 @@ def q49g_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q49h — event-type transition matrix
+# ---------------------------------------------------------------------------
+@query(
+    "q49h_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS curr_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, curr_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, curr_type, n_transitions,
+           CAST(n_transitions * 10000
+                  // SUM(n_transitions) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS row_share_bps
+    FROM pairs
+    ORDER BY prev_type, curr_type
+    """,
+)
+def q49h_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the session-flow analytics behind "what do users do
+    after X" dashboards and behavioral anomaly baselines.
+
+    Per-user ordering is (ts, event_id) so concurrent events have a
+    deterministic tiebreak in both engines. The corpus-sized work is
+    ONE shuffle on user_id feeding a lag Window; the (prev, curr)
+    aggregate and the row-normalization window then run on at most
+    |event_types|^2 rows regardless of corpus size. Row shares are
+    integer basis points (n * 10000 DIV row_total) — no float division
+    in the oracle hash.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(seq_w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    row_w = W.partitionBy("prev_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n_transitions").over(row_w))
+        .select(
+            "prev_type",
+            "curr_type",
+            "n_transitions",
+            F.expr("CAST(n_transitions * 10000 DIV row_total AS BIGINT)").alias(
+                "row_share_bps"
+            ),
+        )
+        .orderBy("prev_type", "curr_type")
+    )

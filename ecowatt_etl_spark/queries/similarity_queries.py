@@ -497,3 +497,85 @@ def q66_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a + b,
         ).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — k-NN label classification
+# ---------------------------------------------------------------------------
+_KNN_K = 5
+
+
+@query(
+    "q67_knn_classify",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             {_sql_dot('q.embedding', 'c.embedding')}
+               / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})
+               AS cosine_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_NQ}
+    ),
+    ranked AS (
+      SELECT query_id, label, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rk <= {_KNN_K}
+      GROUP BY query_id, label
+    ),
+    vote_rank AS (
+      SELECT query_id, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT query_id, label AS predicted_label, n_votes
+    FROM vote_rank WHERE vr = 1
+    """,
+)
+def q67_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification (k=5, cosine metric, majority vote) —
+    the label-propagation / auto-labeling primitive of a training-data
+    pipeline: assign each unlabeled query the plurality label of its
+    nearest labeled neighbors.
+
+    Plan shape is q61's exact-search skeleton (broadcast query set over
+    the corpus scan, scan-local fold per pair, WindowGroupLimit top-k
+    pruning before the per-query shuffle) plus a per-query vote — both
+    post-top-k stages run on |queries| × k rows, so at 100 TB the cost
+    is the one corpus scan; swap in q64/q65's bucketed candidate
+    generation for the scan when the query set itself is large. Vote
+    ties break on the smaller label id (deterministic cross-engine).
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        em.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label"), F.col("embedding").alias("c_emb")
+    )
+    scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine_sim"),
+    )
+    knn_w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    votes = (
+        scored.withColumn("rk", F.row_number().over(knn_w))
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    vote_w = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vote_w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )

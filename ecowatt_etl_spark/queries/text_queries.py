@@ -375,3 +375,76 @@ def q77_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.explode("token_freqItems").alias("candidate_token")
     ).orderBy("candidate_token")
+
+
+# ---------------------------------------------------------------------------
+# q78 — bigram novelty scoring (corpus-LM OOV rate)
+# ---------------------------------------------------------------------------
+_NOVEL_MIN_DF = 2  # a bigram is "known" once >= 2 documents contain it
+
+
+@query(
+    "q78_bigram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+               % {HASH_PRIME} AS h
+      FROM (
+        SELECT doc_id, UNNEST(list_distinct(
+          CASE WHEN len(w) >= 2
+               THEN list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1])
+               ELSE [array_to_string(w, ' ')] END)) AS s
+        FROM t)
+    ),
+    df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM sh GROUP BY h)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN df.doc_freq < {_NOVEL_MIN_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN df.doc_freq < {_NOVEL_MIN_DF} THEN 1 ELSE 0 END)
+                  * 10000 // COUNT(*) AS BIGINT) AS novelty_bps
+    FROM sh JOIN df USING (h)
+    GROUP BY sh.doc_id
+    """,
+)
+def q78_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM novelty scoring — the cheap statistical stand-in for
+    perplexity filtering: score each document by the fraction of its
+    distinct bigrams that the rest of the corpus (df < 2) has never
+    seen. High novelty flags gibberish/unique boilerplate for review;
+    near-zero novelty flags templated text (pairs with q95's
+    repetition rule in a curation stack).
+
+    Two-pass shape on the q52/q96 shingle machinery (explode →
+    md5-once-in-codegen): pass 1 aggregates per-bigram document
+    frequency, pass 2 joins the (doc, bigram) stream back on the 8-byte
+    hash — the aggregate output is already hash-partitioned on h, so
+    the join adds ONE shuffle of the bigram stream and the per-doc
+    rollup shuffles compact (doc_id, flags) pairs. No collect, no
+    broadcast of corpus-sized state; novelty is integer basis points.
+    """
+    from ecowatt_etl_spark.operators.dedup import shingle_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d, n=2)
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("doc_freq"))
+    novel = F.when(F.col("doc_freq") < _NOVEL_MIN_DF, 1).otherwise(0)
+    return (
+        sh.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.expr("CAST(n_novel * 10000 DIV n_bigrams AS BIGINT)").alias(
+                "novelty_bps"
+            ),
+        )
+    )

@@ -448,3 +448,88 @@ def q78_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — overlapping token-window chunking
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # tokens between chunk starts (overlap = 8)
+
+
+@query(
+    "q79_doc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, w, n_tok,
+             CASE WHEN n_tok <= {_CHUNK_SIZE} THEN 1
+                  ELSE (n_tok - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                         // {_CHUNK_STRIDE} + 1 END AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(least({_CHUNK_SIZE}, n_tok - i * {_CHUNK_STRIDE}) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(
+                 w[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+                 ' ')) AS chunk_md5
+    FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    """,
+)
+def q79_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the document → chunk
+    explosion that feeds embedding models and RAG indexes (size 32,
+    stride 24, so consecutive chunks share 8 tokens; every doc yields
+    at least one chunk). The oracle compares an md5 of every chunk's
+    exact text, so the check covers chunk boundaries byte-for-byte,
+    not just counts.
+
+    Scale shape: pure scan-local explode — tokenization, the chunk
+    index sequence, slicing, and hashing all happen inside the
+    projection with ZERO shuffles; output row count is a controlled
+    ~n_tokens/stride amplification of the input. Downstream embedding
+    (q60-q67) consumes (doc_id, chunk_id) keyed rows directly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ecowatt_etl_spark.operators.text import tokens
+
+    w = tokens("text")
+    sized = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).cast("long").alias("n_tok"),
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("n_tok") <= _CHUNK_SIZE, F.lit(1)).otherwise(
+            F.expr(
+                f"(n_tok - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)"
+                f" DIV {_CHUNK_STRIDE} + 1"
+            )
+        ),
+    )
+    exploded = sized.select(
+        "doc_id",
+        "w",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(
+            F.lit(_CHUNK_SIZE), F.col("n_tok") - F.col("chunk_id") * _CHUNK_STRIDE
+        )
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE)
+            )
+        ).alias("chunk_md5"),
+    )

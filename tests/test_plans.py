@@ -256,3 +256,12 @@ def test_cohort_corpus_shuffle_is_user_id(spark):
     assert "Generate" in tree  # active-week fan-out is post-agg explode
     hashed = [a for a in _exchange_args(plan) if a.startswith("hashpartitioning")]
     assert any("user_id" in a for a in hashed), hashed
+
+
+def test_doc_chunking_is_scan_local(spark):
+    """q79's doc->chunk explosion (tokenize, slice, hash) must stay
+    inside the projection — any Exchange would shuffle the full corpus
+    text to produce a row-local transform."""
+    plan = _plan(spark, "q79_doc_chunks")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the chunk-index explode

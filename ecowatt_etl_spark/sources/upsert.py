@@ -1,0 +1,115 @@
+"""Keyed upsert (MERGE) into path-based parquet tables, plus SCD2.
+
+The reference's only mutating sink is JDBC `to_sql(if_exists=
+'replace'/'append')` (utils/datsetup.py:98-117) — whole-table replace
+or blind append. A lake engine needs the third verb, MERGE: apply a
+batch of keyed changes without rewriting the world and without
+duplicate keys. Without a lakehouse table format (Delta/Iceberg, not in
+this environment) the scalable primitive is DYNAMIC PARTITION
+OVERWRITE: rewrite exactly the partitions the change batch touches,
+leave every other partition's files untouched on disk.
+
+Scale shape: the change batch is typically tiny relative to the table.
+With a partition column, the target read is pruned to affected
+partitions (partition filter from the batch's distinct values —
+partition pruning, not a scan), the anti-join runs only over those
+partitions, and the overwrite rewrites only them. Unpartitioned upsert
+degenerates to a full-table rewrite and is documented as the
+small-dimension path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _table_exists(path: str) -> bool:
+    # path-based parquet table: exists iff the directory has content
+    # (driver-side check; at scale this is a metastore lookup instead)
+    return os.path.isdir(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """MERGE `updates` into the parquet table at `path` by `keys`:
+    matched rows are replaced, unmatched rows inserted (upsert).
+
+    With `partition_col`: requires every key-match to stay inside its
+    partition (the partition column must be FUNCTIONALLY DETERMINED by
+    the keys — true for e.g. key-derived date/bucket partitions); reads
+    only affected partitions (partition-pruned), merges, and rewrites
+    only those via dynamic partition overwrite. Without it: full-table
+    merge rewrite — the small-dimension path.
+
+    The merged frame is localCheckpoint'ed before the overwrite:
+    Spark refuses to overwrite a path that feeds the running plan, so
+    the merge result must be materialized first (with a metastore +
+    Delta/Iceberg this is the transaction log's job instead).
+    """
+    if not _table_exists(path):
+        w = updates.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(path)
+        return
+
+    target = spark.read.parquet(path)
+    if partition_col:
+        parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        target = target.filter(F.col(partition_col).isin(parts))
+
+    keep = target.join(updates.select(keys).distinct(), keys, "left_anti")
+    merged = keep.unionByName(updates.select(keep.columns)).localCheckpoint()
+
+    if partition_col:
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    else:
+        merged.write.mode("overwrite").parquet(path)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    effective_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a change batch to a
+    versioned dimension, returning the new dimension frame.
+
+    `dim` carries history rows with [effective_col, end_col) validity
+    (open rows have NULL end). Each change row (attributes + its
+    effective_col) CLOSES the key's current open row at the change's
+    effective time and inserts a new open row. One hash join on the
+    keys against the change batch (broadcast when small) — closed
+    history rows pass through untouched.
+    """
+    cb = changes.select(keys + [F.col(effective_col).alias("_new_from")]).distinct()
+    closed = (
+        dim.join(cb, keys, "left")
+        .withColumn(
+            end_col,
+            F.when(
+                F.col(end_col).isNull() & F.col("_new_from").isNotNull(),
+                F.col("_new_from"),
+            ).otherwise(F.col(end_col)),
+        )
+        .drop("_new_from")
+    )
+    new_rows = changes.withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType))
+    return closed.unionByName(new_rows.select(closed.columns))

@@ -43,3 +43,85 @@ def test_write_jdbc_reaches_driver_boundary(spark):
     df = spark.range(2)
     with pytest.raises(Exception, match="(?i)driver|ClassNotFound"):
         write_jdbc(df, "jdbc:postgresql://localhost:5432/nope", "t", mode="append")
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert / scd2_apply
+# ---------------------------------------------------------------------------
+def _read_sorted(spark, path):
+    df = spark.read.parquet(path)
+    return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+
+def test_upsert_bootstrap_then_merge(spark, tmp_path):
+    from ecowatt_etl_spark.sources.upsert import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    merge_upsert(spark, path, base, keys=["id"])
+    batch = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id long, name string, v long"
+    )
+    merge_upsert(spark, path, batch, keys=["id"])
+    assert _read_sorted(spark, path) == [
+        (1, "a", 10),
+        (2, "B", 99),
+        (3, "c", 30),
+        (4, "d", 40),
+    ]
+
+
+def test_partitioned_upsert_leaves_untouched_partitions_on_disk(spark, tmp_path):
+    """Dynamic partition overwrite contract: merging a batch that
+    touches only part=1 must not rewrite part=2's files at all."""
+    import os
+
+    from ecowatt_etl_spark.sources.upsert import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")], "id long, part long, name string"
+    )
+    merge_upsert(spark, path, base, keys=["id"], partition_col="part")
+
+    p2 = os.path.join(path, "part=2")
+    before = {f: os.path.getmtime(os.path.join(p2, f)) for f in os.listdir(p2)}
+
+    batch = spark.createDataFrame([(1, 1, "A"), (9, 1, "z")], "id long, part long, name string")
+    merge_upsert(spark, path, batch, keys=["id"], partition_col="part")
+
+    after = {f: os.path.getmtime(os.path.join(p2, f)) for f in os.listdir(p2)}
+    assert before == after  # same files, same mtimes — never rewritten
+    assert _read_sorted(spark, path) == [
+        (1, "A", 1),
+        (2, "b", 1),
+        (3, "c", 2),
+        (9, "z", 1),
+    ]
+
+
+def test_scd2_closes_open_rows_and_appends_versions(spark):
+    from ecowatt_etl_spark.sources.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old-a", 100, 200),  # closed history row
+            (1, "cur-a", 200, None),  # open
+            (2, "cur-b", 150, None),  # open, untouched by batch
+        ],
+        "id long, attr string, valid_from long, valid_to long",
+    )
+    changes = spark.createDataFrame(
+        [(1, "new-a", 300)], "id long, attr string, valid_from long"
+    )
+    out = sorted(
+        tuple(r) for r in scd2_apply(dim, changes, keys=["id"]).collect()
+    )
+    assert out == [
+        (1, "cur-a", 200, 300),  # closed at the change's effective time
+        (1, "new-a", 300, None),  # new open version
+        (1, "old-a", 100, 200),  # history untouched
+        (2, "cur-b", 150, None),  # other keys untouched
+    ]

@@ -155,3 +155,57 @@ def q83_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — binary-payload exact dedup
+# ---------------------------------------------------------------------------
+_DEDUP_MOD = 32  # distinct payloads among _N_MEDIA items (8 copies each)
+
+
+@query(
+    "q84_media_dedup",
+    oracle=f"""
+    WITH m AS (
+      SELECT g AS media_id,
+             repeat(sha256(CAST(g % {_DEDUP_MOD} AS VARCHAR)), 4) AS hex_payload,
+             unhex(repeat(sha256(CAST(g % {_DEDUP_MOD} AS VARCHAR)), 4)) AS payload
+      FROM generate_series(0, {_N_MEDIA - 1}) t(g)
+    )
+    SELECT md5(hex_payload) AS digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(media_id) AS canonical_id,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+    FROM m
+    GROUP BY digest
+    """,
+)
+def q84_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over BINARY media payloads — q51's content-hash
+    dedup extended to the multimodal columns: group on a digest of the
+    payload bytes, keep the smallest media_id as canonical. The frame
+    plants 8 byte-identical copies of each of 32 payloads so the check
+    exercises real collapses.
+
+    The digest is computed over the payload's lowercase hex (DuckDB's
+    md5 is VARCHAR-only; at scale you'd digest the raw bytes — same
+    plan). Shuffle is O(items × 32-byte digest) regardless of payload
+    size — the 100 TB contract for media dedup: bytes never shuffle,
+    digests do. Scan-local hashing + one hash aggregate.
+    """
+    dup = spark.range(_N_MEDIA).select(
+        F.col("id").alias("media_id"),
+        F.repeat(F.sha2((F.col("id") % _DEDUP_MOD).cast("string"), 256), 4).alias(
+            "hex_payload"
+        ),
+    )
+    with_payload = dup.select(
+        "media_id",
+        F.to_binary(F.col("hex_payload"), F.lit("hex")).alias("payload"),
+        F.md5(F.col("hex_payload")).alias("digest"),
+    )
+    return with_payload.groupBy("digest").agg(
+        F.count("*").alias("n_copies"),
+        F.min("media_id").alias("canonical_id"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+    )

@@ -67,7 +67,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q17_top10_revenue", "q18_surrogate_keys", "q19_regex_extract_cast",
     "q20_try_cast_junk", "q21_guarded_ratio", "q22_window_yoy",
     "q23_topk_per_group", "q24_rollup", "q25_percentiles", "q26_cube",
-    "q27_set_ops", "q28_salted_agg", "q30_region_nation_revenue",
+    "q27_set_ops", "q28_salted_agg", "q29_incremental_rollup",
+    "q30_region_nation_revenue",
     "q31_shipping_priority", "q32_bucketed_join", "q33_jsonl_roundtrip",
     "q34_orc_roundtrip", "q35_exists_subquery", "q36_grouping_sets",
     "q37_window_funcs", "q38_array_agg", "q39_date_funcs",

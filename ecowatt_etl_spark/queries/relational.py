@@ -1321,3 +1321,55 @@ def q39_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("quarter_start"),
         F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias("days_to_eoy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 — incremental rollup maintenance (mergeable aggregate state)
+# ---------------------------------------------------------------------------
+@query(
+    "q29_incremental_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_exact_sum('l_quantity', 'sum_qty')},
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q29_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: the table arrives as two
+    batches (even/odd orderkeys standing in for yesterday/today's
+    partitions); each batch reduces to mergeable aggregate state
+    (count/sum/min/max monoids, exact-decimal sums) and the states are
+    FOLDED — the base data is never rescanned. The oracle recomputes
+    the rollup over the whole table, so the check proves
+    merge(state(A), state(B)) == rollup(A ∪ B) exactly.
+
+    Scale shape: each batch is one map-side-combined aggregate; the
+    merge shuffles only |groups| state rows per batch regardless of
+    how many raw rows built the previous state — the algebra behind
+    incremental 100 TB pipelines and streaming aggregation state.
+    """
+    from ecowatt_etl_spark.operators.incremental import merge_rollup, rollup_state
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "n_rows": ("count", "*"),
+        "sum_qty_state": ("sum", dec("l_quantity")),
+        "min_ship": ("min", "l_shipdate"),
+        "max_ship": ("max", "l_shipdate"),
+    }
+    batch_a = rollup_state(li.filter(F.col("l_orderkey") % 2 == 0), keys, measures)
+    batch_b = rollup_state(li.filter(F.col("l_orderkey") % 2 == 1), keys, measures)
+    merged = merge_rollup(batch_a, batch_b, keys, measures)
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.col("sum_qty_state").cast("double").alias("sum_qty"),
+        F.date_format("min_ship", "yyyy-MM-dd").alias("min_ship"),
+        F.date_format("max_ship", "yyyy-MM-dd").alias("max_ship"),
+    )

@@ -171,3 +171,35 @@ def test_mixture_shares_sum_to_one_and_totals_reconcile(spark):
     for r in rows:
         assert r.total_tokens >= r.n_docs  # every doc has >= 1 token
         assert abs(r.avg_doc_tokens - r.total_tokens / r.n_docs) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# operators/incremental.py — merge algebra
+# ---------------------------------------------------------------------------
+def test_merge_rollup_equals_full_recompute_any_split(spark):
+    """merge(state(A), state(B)) == state(A ∪ B) must hold for EVERY
+    split, not just q29's even/odd — checked on a 3-way split here."""
+    import pytest
+
+    from ecowatt_etl_spark.operators.incremental import merge_rollup, rollup_state
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    keys = ["l_returnflag"]
+    measures = {
+        "n": ("count", "*"),
+        "qty": ("sum", "l_quantity"),
+        "lo": ("min", "l_orderkey"),
+        "hi": ("max", "l_orderkey"),
+    }
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+    full = rollup_state(li, keys, measures)
+    parts = [rollup_state(li.filter(F.col("l_orderkey") % 3 == i), keys, measures) for i in range(3)]
+    merged = merge_rollup(merge_rollup(parts[0], parts[1], keys, measures), parts[2], keys, measures)
+    assert norm(merged) == norm(full)
+
+    with pytest.raises(ValueError, match="non-mergeable"):
+        rollup_state(li, keys, {"bad": ("median", "l_quantity")})

@@ -31,6 +31,7 @@ HEADLINE = [
     "q42_session_window",
     "q46_asof_join",
     "q48_range_lookback",
+    "q49f_funnel",
     # training-data pipeline
     "q51_hash_dedup",
     "q53_minhash_lsh_pairs",
@@ -41,6 +42,8 @@ HEADLINE = [
     "q71_quality_scores",
     "q74_subword_stats",
     "q75_corpus_pipeline",
+    "q78_bigram_novelty",
+    "q79_doc_chunks",
 ]
 
 

@@ -816,3 +816,55 @@ def q49h_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "curr_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q49i — stream-static enrichment join
+# ---------------------------------------------------------------------------
+@query(
+    "q49i_stream_static_enrich",
+    oracle="""
+    WITH coh AS (
+      SELECT user_id,
+             MIN(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(coh.cohort_week AS BIGINT) AS cohort_week,
+           e.event_type,
+           COUNT(*) AS n_events
+    FROM events e JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q49i_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream is enriched per micro-batch
+    with a static user-cohort dimension (computed batch-side, broadcast
+    — zero streaming state, unlike stream-stream joins), then
+    aggregated per (cohort, type). After full replay the result equals
+    the batch join — which is exactly the DuckDB oracle, so the
+    stream-static path gets an exact value gate like q49c/q49e.
+    Counts only: deterministic integers across engines.
+    """
+    from ecowatt_etl_spark.streaming.events_stream import (
+        enrich_with_static,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    dim = ev_batch.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        ).alias("cohort_week"),
+    ).groupBy("user_id").agg(F.min("cohort_week").alias("cohort_week"))
+
+    stream = read_events_stream(spark, sf_dir)
+    enriched = enrich_with_static(stream, dim, "user_id")
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy("cohort_week", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_completion(agg, "q49i_enrich", output_mode="complete")

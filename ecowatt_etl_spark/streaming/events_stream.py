@@ -228,3 +228,12 @@ def stream_rollup_to_parquet(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-STATIC join: each micro-batch joins the static dimension
+    (broadcast when small — no streaming state at all, unlike
+    stream-stream joins; the dim is re-resolvable per batch, which is
+    how slowly-refreshed dimension snapshots behave in production).
+    """
+    return events.join(F.broadcast(dim), on)

@@ -432,6 +432,11 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         converged = False
+        # labels only ever DECREASE (min-propagation), so the label sum
+        # is strictly monotone until the fixpoint: an unchanged sum is a
+        # complete convergence proof, and one tiny aggregate per round
+        # replaces the old-vs-new equi-join change check.
+        lbl_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         for _ in range(_LP_MAX_ROUNDS):
             neigh = (
                 labels.join(edges, labels["id"] == edges["src"])
@@ -440,17 +445,12 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_labels = (
                 labels.union(neigh).groupBy("id").agg(F.min("lbl").alias("lbl"))
             ).localCheckpoint()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
+            new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
             labels = new_labels
-            if changed == 0:
+            if new_sum == lbl_sum:
                 converged = True
                 break
+            lbl_sum = new_sum
         if not converged:
             # an unconverged fixpoint silently diverges from the
             # recursive-CTE oracle — fail loudly instead

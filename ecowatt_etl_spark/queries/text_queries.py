@@ -8,6 +8,7 @@ these are hash-verified, not rows-only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ecowatt_etl_spark.operators.text import (
@@ -532,4 +533,69 @@ def q79_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.slice(F.col("w"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE)
             )
         ).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — inverted-index keyword search
+# ---------------------------------------------------------------------------
+_SEARCH_TERMS = ("spark", "join", "vector")  # conjunctive query
+_SEARCH_K = 10
+
+
+@query(
+    "q68_keyword_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    tf AS (
+      SELECT doc_id, s AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(w) AS s FROM t)
+      WHERE s IN ({", ".join(f"'{t}'" for t in _SEARCH_TERMS)})
+      GROUP BY doc_id, s
+    ),
+    hits AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             COUNT(*) AS n_terms
+      FROM tf GROUP BY doc_id
+      HAVING COUNT(*) = {len(_SEARCH_TERMS)}
+    )
+    SELECT doc_id, total_tf,
+           ROW_NUMBER() OVER (ORDER BY total_tf DESC, doc_id) AS rk
+    FROM hits
+    ORDER BY rk LIMIT {_SEARCH_K}
+    """,
+)
+def q68_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword retrieval over an inverted-index shape:
+    docs containing ALL query terms, ranked by total term frequency
+    (integer math only — no idf float, so the ranking is exact
+    cross-engine; ties break on doc_id).
+
+    Scale shape: the posting-list build explodes only tokens MATCHING
+    the query terms (the IN filter runs before the explode output
+    leaves the scan stage), so the exploded stream is O(hits), not
+    O(corpus tokens); one (doc, term) aggregate + a per-doc rollup
+    with the conjunction HAVING, then a global top-k window on the
+    (already tiny) hit set. At 100 TB with a large query workload this
+    becomes a pre-materialized posting-list table bucketed by term —
+    the per-query plan here is the online form.
+    """
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
+        F.col("term").isin(*_SEARCH_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    hits = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("total_tf"), F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == len(_SEARCH_TERMS))
+        .select("doc_id", "total_tf")
+    )
+    w = W.orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SEARCH_K)
+        .orderBy("rk")
     )

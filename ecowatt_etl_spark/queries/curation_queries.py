@@ -371,3 +371,46 @@ def q98_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_tokens").cast("double") / corpus_total).alias("token_share"),
         (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avg_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — fixed-size per-stratum sample
+# ---------------------------------------------------------------------------
+_FIXK = 50  # documents kept per language
+
+
+@query(
+    "q99_fixed_k_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('fix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, rk FROM ranked WHERE rk <= {_FIXK}
+    """,
+)
+def q99_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE stratified sampling — exactly k documents per
+    language, the budgeted complement to q93's fixed-RATE Bernoulli
+    sampling (eval-set carving, per-stratum pilot corpora). Ranking by
+    a keyed md5 makes the draw uniform, reproducible, and
+    engine-independent; doc_id breaks the (impossible) hash tie so the
+    window order is total.
+
+    Scale shape: row_number + rk <= k triggers WindowGroupLimit — each
+    scan partition pre-prunes to its local top-k per stratum BEFORE the
+    per-lang shuffle, so the exchange carries at most k × partitions
+    rows per stratum, not the corpus. One shuffle, no full sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("fix:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(key, F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _FIXK)
+    )

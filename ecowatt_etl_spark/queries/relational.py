@@ -1373,3 +1373,53 @@ def q29_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("min_ship", "yyyy-MM-dd").alias("min_ship"),
         F.date_format("max_ship", "yyyy-MM-dd").alias("max_ship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — correlated scalar-subquery threshold (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q69_below_avg_quantity",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_orders,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN per_part USING (l_partkey)
+    WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n < sum_qty
+    """,
+)
+def q69_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    20% of their part's average — the correlated-scalar-subquery
+    pattern, decorrelated into a per-part aggregate joined back to the
+    fact.
+
+    Float hazard, solved by rearrangement: `qty < 0.2 * avg` divides
+    and multiplies doubles (engines disagree at the boundary), so the
+    predicate is algebraically rewritten to `5 * qty * n < sum_qty` —
+    exact decimal/integer math on both sides, bit-identical verdicts.
+    Only the final displayed division by 7.0 touches floating point.
+
+    Scale shape: the per-part aggregate and the join share the
+    l_partkey partitioning (one corpus shuffle feeds both via exchange
+    reuse); the threshold filter is evaluated joined-row-local and the
+    final global aggregate is a two-phase reduction to one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+    joined = li.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        per_part, "l_partkey"
+    )
+    small = joined.filter(dec("l_quantity") * 5 * F.col("n") < F.col("sum_qty"))
+    return small.agg(
+        F.count("*").alias("n_small_orders"),
+        (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+    )

@@ -1406,10 +1406,12 @@ def q69_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal/integer math on both sides, bit-identical verdicts.
     Only the final displayed division by 7.0 touches floating point.
 
-    Scale shape: the per-part aggregate and the join share the
-    l_partkey partitioning (one corpus shuffle feeds both via exchange
-    reuse); the threshold filter is evaluated joined-row-local and the
-    final global aggregate is a two-phase reduction to one row.
+    Scale shape: at small SF the planner broadcasts the projected fact
+    side outright; at 100 TB both sides hash-partition on l_partkey —
+    a co-partitioned join where the aggregate side has already been
+    reduced to one row per part. The threshold filter is
+    joined-row-local and the final global aggregate is a two-phase
+    reduction to one row.
     """
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(

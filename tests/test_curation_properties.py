@@ -203,3 +203,28 @@ def test_merge_rollup_equals_full_recompute_any_split(spark):
 
     with pytest.raises(ValueError, match="non-mergeable"):
         rollup_state(li, keys, {"bad": ("median", "l_quantity")})
+
+
+# ---------------------------------------------------------------------------
+# q53 — first-principles recheck of the exact-Jaccard verify stage
+# ---------------------------------------------------------------------------
+def test_lsh_pair_jaccard_matches_python_recompute(spark):
+    """The oracle replays the same hash pipeline as the engine — a bug
+    shared by both (e.g. a wrong shingle window) would pass that gate.
+    Recompute exact 3-gram Jaccard from the raw text in plain Python
+    for every emitted pair and require equality to float precision."""
+    rows = _q(spark, "q53_minhash_lsh_pairs").collect()
+    assert rows, "candidate stage found no pairs — vacuous test data"
+
+    texts = {r.doc_id: r.text for r in _docs(spark).collect()}
+
+    def sh(t):
+        w = t.strip().lower().split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    for r in rows:
+        a, b = sh(texts[r.id_a]), sh(texts[r.id_b])
+        exact = len(a & b) / len(a | b)
+        assert abs(r.jaccard_sim - exact) < 1e-12, (r.id_a, r.id_b, r.jaccard_sim, exact)

@@ -868,3 +868,46 @@ def q49i_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return run_to_completion(agg, "q49i_enrich", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# q45b — sliding windows under Structured Streaming (exact replay oracle)
+# ---------------------------------------------------------------------------
+@query(
+    "q45b_stream_sliding",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+      FROM events
+    )
+    SELECT strftime(ws, '{_SQL_TS_FMT}') AS window_start,
+           COUNT(*) AS n_events
+    FROM assigned GROUP BY 1
+    """,
+)
+def q45b_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41's sliding-window aggregation (1 h window / 30 min slide)
+    executed as a Structured Streaming query with a watermark and
+    replayed to completion — completing the batch↔stream operator
+    matrix (tumbling q40↔q44, session q42↔q45, sliding q41↔here).
+    Counts only, so full replay equals the batch result exactly and
+    the path gets a value gate, not just a rows check. State per open
+    window×slide pair, evicted past the watermark."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+        )
+    )
+    return run_to_completion(agg, "q45b_sliding", output_mode="complete")

@@ -1425,3 +1425,48 @@ def q69_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_small_orders"),
         (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — fixed-width histogram via exact integer binning
+# ---------------------------------------------------------------------------
+_HIST_BIN_CENTS = 500_000  # $5,000-wide bins
+
+
+@query(
+    "q85_price_histogram",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+               // {_HIST_BIN_CENTS} AS bin_id
+      FROM lineitem
+    )
+    SELECT bin_id,
+           bin_id * {_HIST_BIN_CENTS} AS bin_lo_cents,
+           COUNT(*) AS n_items
+    FROM binned GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+)
+def q85_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram — the profiling/viz primitive. The
+    double price is converted to exact integer CENTS through the
+    decimal bridge before binning, so bin boundaries are integer
+    comparisons — no float x/width whose rounding could flip a
+    boundary row between engines. One map-side-combined aggregate to
+    |bins| rows; scan-local binning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (dec("l_extendedprice") * 100).cast("long")
+    binned = li.select(
+        cents.alias("cents")
+    ).select(F.expr(f"cents DIV {_HIST_BIN_CENTS}").alias("bin_id"))
+    return (
+        binned.groupBy("bin_id")
+        .agg(F.count("*").alias("n_items"))
+        .select(
+            "bin_id",
+            (F.col("bin_id") * _HIST_BIN_CENTS).alias("bin_lo_cents"),
+            "n_items",
+        )
+        .orderBy("bin_id")
+    )

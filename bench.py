@@ -44,6 +44,7 @@ HEADLINE = [
     "q75_corpus_pipeline",
     "q78_bigram_novelty",
     "q79_doc_chunks",
+    "q100_curation_e2e",
 ]
 
 

@@ -414,3 +414,136 @@ def q99_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _FIXK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — the composed end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+_E2E_MIN_TOKENS = 5
+
+
+@query(
+    "q100_curation_e2e",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text, {_SQL_W} AS w FROM documents
+    ),
+    q AS (SELECT * FROM base WHERE len(w) >= {_E2E_MIN_TOKENS}),
+    dd AS (
+      SELECT *, MIN(doc_id) OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ) AS canon
+      FROM q
+    ),
+    kept AS (SELECT doc_id, lang, source, text, w FROM dd WHERE doc_id = canon),
+    eval_h AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+               % 1000000007 AS h
+      FROM (SELECT UNNEST({_sql_ngrams(_DECON_N)}) AS s
+            FROM base WHERE source = '{_EVAL_SRC}')
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+                 % 1000000007 AS h
+        FROM (SELECT doc_id, UNNEST({_sql_ngrams(_DECON_N)}) AS s
+              FROM kept WHERE source <> '{_EVAL_SRC}')
+      ) t JOIN eval_h USING (h)
+    ),
+    clean AS (
+      SELECT * FROM kept
+      WHERE source <> '{_EVAL_SRC}'
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sampled AS (
+      SELECT doc_id, lang, text, CAST(len(w) AS BIGINT) AS n_tokens
+      FROM clean
+      WHERE substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 2)
+            < {_sql_rate_case()}
+    )
+    SELECT doc_id, lang, n_tokens,
+           (CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            - n_tokens) // {_PACK_BUDGET} AS shard_id,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM sampled
+    """,
+)
+def q100_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one composed query: quality gate
+    (≥ 5 tokens) → exact dedup (canonical doc per normalized-text hash)
+    → eval-set removal + 5-gram decontamination → deterministic
+    stratified sampling → PII redaction (md5-attested) → token-budget
+    shard packing. One exact oracle covers the full composition, so a
+    semantics drift in ANY stage breaks the value hash — the strongest
+    end-to-end gate in the repo.
+
+    Scale shape is the sum of its parts, each already plan-audited in
+    isolation: scan-local gates and redaction, digest-keyed dedup
+    shuffle (32-byte keys), broadcast eval-hash semi join (eval side
+    structurally tiny), scan-local sampling, one per-stratum packing
+    window. Stage order matters and mirrors production: dedup before
+    decontamination (fewer docs to shingle), sampling after cleaning
+    (rates apply to the clean pool), packing last.
+    """
+    from ecowatt_etl_spark.operators.dedup import normalized_text, shingle_hashes
+    from ecowatt_etl_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "source", "text")
+
+    # quality gate
+    q = base.filter(token_count("text") >= _E2E_MIN_TOKENS)
+
+    # exact dedup: canonical doc per normalized-text digest
+    dd_w = W.partitionBy(F.md5(normalized_text("text")))
+    kept = (
+        q.withColumn("canon", F.min("doc_id").over(dd_w))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .drop("canon")
+    )
+
+    # decontamination: eval hashes from the FULL corpus; train docs
+    # sharing any 5-gram are dropped along with the eval slice itself
+    eval_h = F.broadcast(
+        shingle_hashes(base.filter(F.col("source") == _EVAL_SRC), n=_DECON_N)
+        .select("h")
+        .distinct()
+    )
+    train = kept.filter(F.col("source") != _EVAL_SRC)
+    contaminated = (
+        shingle_hashes(train, n=_DECON_N).join(eval_h, "h").select("doc_id").distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+
+    # deterministic stratified sampling (q93 rule)
+    thr = F.lit(_SMPL_DEFAULT)
+    for lang, t in _SMPL_RATE.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    key = F.substring(
+        F.md5(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    sampled = clean.filter(key < thr).select(
+        "doc_id", "lang", "text", token_count("text").cast("long").alias("n_tokens")
+    )
+
+    # PII redaction attestation + per-stratum shard packing
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    pack_w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        sampled.withColumn("cum", F.sum("n_tokens").over(pack_w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}").alias("shard_id"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+    )

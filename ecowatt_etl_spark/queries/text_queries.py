@@ -599,3 +599,82 @@ def q68_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _SEARCH_K)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — term co-occurrence statistics
+# ---------------------------------------------------------------------------
+_CO_MIN_DF = 300  # vocabulary: terms present in >= this many docs
+_CO_TOPK = 15
+
+
+@query(
+    "q86_term_cooccurrence",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, s AS term
+      FROM (SELECT doc_id, UNNEST(list_distinct({_SQL_TOKENS})) AS s
+            FROM documents)
+    ),
+    vocab AS (
+      SELECT term FROM dt GROUP BY term HAVING COUNT(*) >= {_CO_MIN_DF}
+    ),
+    vt AS (SELECT doc_id, term FROM dt JOIN vocab USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS co_df
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT term_a, term_b, co_df,
+             ROW_NUMBER() OVER (ORDER BY co_df DESC, term_a, term_b) AS rk
+      FROM pairs
+    )
+    SELECT term_a, term_b, co_df, rk FROM ranked WHERE rk <= {_CO_TOPK}
+    ORDER BY rk
+    """,
+)
+def q86_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-restricted term co-occurrence — the co-document-
+    frequency table behind PMI embeddings, topic discovery, and
+    query-expansion features. Counts only (no log/PMI float), so the
+    ranking is exact cross-engine.
+
+    Scale shape: the (doc, term) stream is corpus-sized but the df
+    threshold reduces the vocabulary to a FIXED small set first, so
+    (a) the vocab frame broadcasts into a semi filter, (b) the doc_id
+    self-join emits at most |vocab-terms-in-doc|² pairs per doc —
+    bounded per row, never corpus² — and (c) the pair aggregate has at
+    most |vocab|² keys. The df-threshold is the same Σdf² cost bound
+    q54 uses for its inverted index.
+    """
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    vocab = F.broadcast(
+        dt.groupBy("term").agg(F.count("*").alias("df")).filter(
+            F.col("df") >= _CO_MIN_DF
+        ).select("term")
+    )
+    vt = dt.join(vocab, "term")
+    a = vt.alias("a")
+    b = vt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count("*").alias("co_df"))
+    )
+    w = W.orderBy(F.desc("co_df"), F.asc("term_a"), F.asc("term_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CO_TOPK)
+        .orderBy("rk")
+    )

@@ -579,3 +579,101 @@ def q67_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — one k-means (Lloyd) step: the IVF centroid training kernel
+# ---------------------------------------------------------------------------
+_KM_K = 8
+
+
+@query(
+    "q87_kmeans_step",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+      WHERE vec_id < {_KM_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_sql_dot('e.embedding', 'e.embedding')}
+               - 2 * {_sql_dot('e.embedding', 'c.c_emb')}
+               + {_sql_dot('c.c_emb', 'c.c_emb')} AS d2
+      FROM embeddings e, c
+    ),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM scored) WHERE rk = 1
+    ),
+    assigned AS (
+      SELECT b.cid, e.embedding FROM best b JOIN embeddings e USING (vec_id)
+    ),
+    dims AS (
+      SELECT cid, i AS dim_idx,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT)
+               AS q
+      FROM assigned, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT cid, CAST(dim_idx AS INTEGER) AS dim_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / COUNT(*) / 1099511627776
+             AS new_val
+    FROM dims GROUP BY cid, dim_idx
+    """,
+)
+def q87_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    offline training kernel that produces q65's IVF coarse quantizer
+    (SCALE.md: "centroids come from offline k-means"; this is that
+    step, distributed). Assignment minimizes exact squared L2
+    (|x|² − 2x·c + |c|², each term a fixed-order fold, ties to the
+    smaller centroid id); the update accumulates each
+    centroid's per-dimension mean in FIXED-POINT int64 (floor(val·2^40)
+    — exact, order-independent, bit-identical across engines; decimal
+    casts of float32 data would hit rounding-mode ties), so an
+    ITERATIVE ML training step is value-checked cross-engine exactly
+    with a quantization error bounded by 2^-40 per input.
+
+    Scale shape: centroids broadcast (K × dim doubles); assignment is
+    one corpus scan emitting (vec, cid) — the WindowGroupLimit argmin
+    prunes per partition; the update explodes assigned vectors to
+    (cid, dim, val) and reduces in ONE map-side-combined aggregate to
+    K × dim cells. Per iteration: one scan, one shuffle of partial
+    sums. Loop it driver-side with localCheckpoint like q57 for full
+    training; each round is this exact plan.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        em.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+        )
+    )
+    x, c = F.col("embedding"), F.col("c_emb")
+    d2 = (
+        dot_fold(x, x) - 2 * dot_fold(x, c) + dot_fold(c, c)
+    ).alias("d2")
+    scored = em.join(cents).select("vec_id", "cid", "embedding", d2)
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cid", "embedding")
+    )
+    dims = assigned.select(
+        "cid", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "cid",
+        (F.col("pos") + 1).cast("int").alias("dim_idx"),
+        # fixed-point quantization (2^-40 grid): float32 data makes
+        # decimal casts hit HALF_UP-vs-half-even ties, but floor of a
+        # correctly-rounded double product is bit-identical in both
+        # engines, and int64 sums are exact AND order-independent —
+        # the deterministic distributed accumulator.
+        F.floor(F.col("val").cast("double") * F.lit(2.0**40)).alias("q"),
+    )
+    return dims.groupBy("cid", "dim_idx").agg(
+        F.count("*").alias("n_assigned"),
+        (F.sum("q").cast("double") / F.count("*") / F.lit(2.0**40)).alias("new_val"),
+    )

@@ -228,3 +228,38 @@ def test_lsh_pair_jaccard_matches_python_recompute(spark):
         a, b = sh(texts[r.id_a]), sh(texts[r.id_b])
         exact = len(a & b) / len(a | b)
         assert abs(r.jaccard_sim - exact) < 1e-12, (r.id_a, r.id_b, r.jaccard_sim, exact)
+
+
+# ---------------------------------------------------------------------------
+# q87 — Lloyd step must not increase within-cluster SSE
+# ---------------------------------------------------------------------------
+def test_kmeans_step_is_monotone(spark):
+    """One assign+update iteration of Lloyd's algorithm never increases
+    the within-cluster sum of squared errors — the textbook invariant,
+    recomputed here in numpy from raw data (independent of both the
+    engine and the oracle)."""
+    import numpy as np
+
+    from ecowatt_etl_spark.queries.similarity_queries import _KM_K
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    em = load_table(spark, SF_SMOKE, "embeddings").collect()
+    X = np.array([r.embedding for r in em], dtype=np.float64)
+    init = X[: _KM_K]
+
+    def sse(cents):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    rows = _q(spark, "q87_kmeans_step").collect()
+    new = np.zeros((_KM_K, X.shape[1]))
+    seen = set()
+    for r in rows:
+        new[r.cid, r.dim_idx - 1] = r.new_val
+        seen.add(r.cid)
+    assert seen == set(range(_KM_K))  # no centroid lost its members here
+
+    before, after = sse(init), sse(new)
+    assert after <= before + 1e-9, (before, after)
+    # quantization ceiling: new centroids are within 2^-40-grid means
+    assert after < before  # strictly better on non-degenerate data

@@ -68,3 +68,68 @@ def sign_block_key(embedding: Column, n_bits: int = 8) -> Column:
             F.element_at(embedding, i + 1) >= 0, F.lit(2**i)
         ).otherwise(0)
     return key.cast("int")
+
+
+def kmeans_train(
+    em,
+    k: int = 8,
+    rounds: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Full k-means training: the q87 Lloyd kernel iterated driver-side
+    with localCheckpoint lineage truncation (the q57 iteration pattern).
+    Initial centroids are the first k vectors (deterministic); each
+    round broadcasts the current centroids, assigns by exact L2 argmin
+    (ties to the smaller cid), and rebuilds centroids from fixed-point
+    int64 per-dimension sums — so the ENTIRE training run is
+    deterministic: same data ⇒ bit-identical model, regardless of
+    partitioning, retries, or stragglers.
+
+    Returns (centroids_df[cid, centroid], inertia_per_round). Each
+    round costs one corpus scan + one K×dim aggregate; empty clusters
+    keep their previous centroid (the standard Lloyd fallback).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    SCALE = 2.0**40
+    x, c = F.col(vec_col), F.col("c_emb")
+    cents = (
+        em.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb"))
+        .localCheckpoint()
+    )
+    inertia: list[float] = []
+    for _ in range(rounds):
+        d2 = (dot_fold(x, x) - 2 * dot_fold(x, c) + dot_fold(c, c)).alias("d2")
+        scored = em.join(F.broadcast(cents)).select(id_col, "cid", vec_col, d2)
+        w = W.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cid", vec_col, "d2")
+        )
+        stats = assigned.groupBy("cid").agg(
+            # fixed-point per-dim sums: exact, order-independent
+            F.array(
+                *[
+                    F.sum(F.floor(F.element_at(F.col(vec_col), i + 1).cast("double") * SCALE))
+                    for i in range(dim)
+                ]
+            ).alias("qsums"),
+            F.count("*").alias("n"),
+            F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("sse"),
+        )
+        new_cents = stats.select(
+            "cid",
+            F.transform(
+                "qsums", lambda q: q.cast("double") / F.col("n") / F.lit(SCALE)
+            ).alias("c_emb"),
+        )
+        # empty clusters (no stats row) retain their previous centroid
+        kept_old = cents.join(new_cents.select("cid"), "cid", "left_anti")
+        cents = new_cents.unionByName(kept_old).localCheckpoint()
+        inertia.append(sum(r.sse for r in stats.select("sse").collect()))
+    return cents.select("cid", F.col("c_emb").alias("centroid")), inertia

@@ -263,3 +263,21 @@ def test_kmeans_step_is_monotone(spark):
     assert after <= before + 1e-9, (before, after)
     # quantization ceiling: new centroids are within 2^-40-grid means
     assert after < before  # strictly better on non-degenerate data
+
+
+def test_kmeans_training_is_monotone_and_deterministic(spark):
+    """Full Lloyd training: inertia must be non-increasing round over
+    round, and two runs must produce BIT-IDENTICAL centroids (the
+    fixed-point design's whole point)."""
+    from ecowatt_etl_spark.operators.similarity import kmeans_train
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    cents1, inertia = kmeans_train(em, k=4, rounds=3)
+    assert len(inertia) == 3
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])), inertia
+
+    cents2, _ = kmeans_train(em, k=4, rounds=3)
+    c1 = sorted((r.cid, tuple(r.centroid)) for r in cents1.collect())
+    c2 = sorted((r.cid, tuple(r.centroid)) for r in cents2.collect())
+    assert c1 == c2  # bit-identical model across runs

@@ -677,3 +677,23 @@ def q87_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assigned"),
         (F.sum("q").cast("double") / F.count("*") / F.lit(2.0**40)).alias("new_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — full k-means training (rows-only: iterative, exact per-step
+# semantics already value-gated by q87; determinism + monotone inertia
+# asserted in tests/test_curation_properties.py)
+# ---------------------------------------------------------------------------
+@query("q88_kmeans_train")
+def q88_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round deterministic k-means over the embedding corpus (the
+    composed form of q87): returns the trained coarse-quantizer
+    codebook as (cid, dim_idx, value) rows. Bit-identical across runs
+    by construction — see kmeans_train."""
+    from ecowatt_etl_spark.operators.similarity import kmeans_train
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(em, k=8, rounds=3)
+    return cents.select(
+        "cid", F.posexplode("centroid").alias("pos", "value")
+    ).select("cid", (F.col("pos") + 1).alias("dim_idx"), "value")

@@ -598,3 +598,55 @@ def q59_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("keep"),
     )
     return kept_in_cluster.unionByName(unclustered)
+
+
+# ---------------------------------------------------------------------------
+# q89 — triangle counting on the near-dup graph
+# ---------------------------------------------------------------------------
+@query(
+    "q89_neardup_triangles",
+    oracle=f"""
+    WITH pairs AS ({_Q53_ORACLE}),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      WHERE jaccard_sim >= {_CLUSTER_T}
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+)
+def q89_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the verified near-dup graph — the density
+    diagnostic for dedup clusters (triangle-rich components are true
+    duplicate families; triangle-free chains are often LSH noise), and
+    the classic distributed-graph kernel beyond q57's components.
+
+    Edges are canonically ordered (a < b, which q53 guarantees), so
+    each triangle a<b<c is counted exactly once by the standard
+    two-join wedge-close: wedges (a-b, b-c) closed by the (a, c) edge.
+    At 100 TB-scale graphs the same plan applies degree-ordered
+    orientation first (point high-degree vertices at higher-degree
+    neighbors) so wedge fan-out is bounded by arboricity, and the join
+    keys stay 8-byte vertex ids. The near-dup graph is candidate-
+    bounded by construction, so the wedge space here is tiny.
+    """
+    pairs = q53_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard_sim") >= _CLUSTER_T
+    )
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
+    )

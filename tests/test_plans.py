@@ -265,3 +265,18 @@ def test_doc_chunking_is_scan_local(spark):
     plan = _plan(spark, "q79_doc_chunks")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the chunk-index explode
+
+
+def test_curation_e2e_never_shuffles_on_ngram_keys(spark):
+    """q100's decontamination stage must keep the eval hash set on the
+    broadcast side — a sort-merge join on n-gram keys would shuffle the
+    exploded corpus shingle stream at 100 TB."""
+    plan = _plan(spark, "q100_curation_e2e")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    # the only h-keyed exchange allowed is the EVAL side's own distinct
+    # (structurally tiny, feeds the broadcast); the corpus stream joins
+    # via broadcast hash, never a sort-merge shuffle on n-gram keys
+    assert "SortMergeJoin" not in tree
+    h_exchanges = [a for a in _exchange_args(plan) if a.startswith("hashpartitioning(h")]
+    assert len(h_exchanges) <= 1, h_exchanges

@@ -51,3 +51,18 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet source tolerant of SCHEMA EVOLUTION across batches: files
+    written before a column existed surface it as NULL instead of
+    failing the scan. ``mergeSchema`` unions the per-file footers (a
+    footer pass, not a data pass); passing an explicit target schema
+    skips even that and pins the read view — the right call at 100 TB
+    where a lake has years of footer history."""
+    r = spark.read.option("mergeSchema", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)

@@ -125,3 +125,34 @@ def test_scd2_closes_open_rows_and_appends_versions(spark):
         (1, "old-a", 100, 200),  # history untouched
         (2, "cur-b", 150, None),  # other keys untouched
     ]
+
+
+# ---------------------------------------------------------------------------
+# schema evolution across parquet batches
+# ---------------------------------------------------------------------------
+def test_schema_evolution_reads_old_batches_as_null(spark, tmp_path):
+    from ecowatt_etl_spark.sources.formats import read_parquet_evolved
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    rows = sorted(tuple(r) for r in read_parquet_evolved(spark, path)
+                  .select("id", "name", "score").collect())
+    assert rows == [(1, "a", None), (2, "b", 9.5)]
+
+    # explicit schema pins the view without a footer sweep
+    import pyspark.sql.types as T
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows2 = sorted(tuple(r) for r in read_parquet_evolved(spark, path, target).collect())
+    assert rows2 == [(1, None), (2, 9.5)]

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from ecowatt_etl_spark.sources.jdbc import primary_key_ddl, to_records, write_jdbc
 
 
@@ -156,3 +158,54 @@ def test_schema_evolution_reads_old_batches_as_null(spark, tmp_path):
     )
     rows2 = sorted(tuple(r) for r in read_parquet_evolved(spark, path, target).collect())
     assert rows2 == [(1, None), (2, 9.5)]
+
+
+# ---------------------------------------------------------------------------
+# storage layout: compaction + range-sorted writes
+# ---------------------------------------------------------------------------
+def _parquet_files(path):
+    import os
+
+    return sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark, tmp_path):
+    from ecowatt_etl_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(20).write.parquet(path)
+    assert len(_parquet_files(path)) == 20
+
+    n = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert n == 1
+    assert len(_parquet_files(path)) == 1
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_range_sorted_files_have_disjoint_key_ranges(spark, tmp_path):
+    """The data-skipping contract: every file covers a disjoint key
+    range, so footer min/max stats prune a point predicate to one
+    file."""
+    from ecowatt_etl_spark.sources.layout import write_range_sorted
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    write_range_sorted(df, path, key="k", n_files=4)
+
+    ranges = []
+    for f in _parquet_files(path):
+        part = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).collect()[0]
+        if part.lo is not None:
+            ranges.append((part.lo, part.hi))
+    ranges.sort()
+    assert len(ranges) >= 3  # range partitioner used the file budget
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint, ordered key ranges
+    assert spark.read.parquet(path).count() == 1000

@@ -82,15 +82,34 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extras": {
-                    # q91 (grouped-map numpy regression) is rows-only in
-                    # the driver gate by necessity; publish its parity
-                    # against the exact-decimal q90 here so the
-                    # grouped-map path has per-round external evidence.
+                    # q91 (grouped-map numpy regression) and q63 (numpy
+                    # matmul ANN) are rows-only in the driver gate by
+                    # necessity (pairwise summation order); publish their
+                    # parity against the exact-fold twins here so both
+                    # Arrow-batched paths have per-round external evidence.
                     "q90_q91_max_rel_diff": _q91_parity(spark, specs, sf_dir),
+                    "q63_q61_max_abs_diff": _q63_parity(spark, specs, sf_dir),
                 },
             }
         )
     )
+
+
+def _q63_parity(spark, specs, sf_dir: str) -> float:
+    exact = {
+        (r["query_id"], r["rk"]): r
+        for r in specs["q61_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["query_id"], r["rk"]): r
+        for r in specs["q63_cosine_topk_matmul"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == fast.keys()
+    worst = 0.0
+    for k in exact:
+        assert exact[k]["neighbor_id"] == fast[k]["neighbor_id"], k
+        worst = max(worst, abs(exact[k]["cosine_sim"] - fast[k]["cosine_sim"]))
+    return worst
 
 
 def _q91_parity(spark, specs, sf_dir: str) -> float:

@@ -1470,3 +1470,80 @@ def q85_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — snapshot diff (CDC between two table versions)
+# ---------------------------------------------------------------------------
+@query(
+    "q101_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE
+               WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_orderstatus <> n.o_orderstatus
+                    OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM j GROUP BY status
+    """,
+)
+def q101_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC/reconciliation operator: given two
+    versions of a keyed table (yesterday/today, source/replica),
+    classify every key as added / removed / changed / unchanged. The
+    two versions here are deterministic slices of `orders` (drop-mod-97
+    vs drop-mod-89 with a price bump on mod-7) so both engines derive
+    identical inputs.
+
+    Scale shape: ONE full-outer join on the key — both sides shuffle
+    once on 8-byte keys; the change predicate compares columns
+    row-locally (at wide schemas, compare an md5 of the concatenated
+    non-key columns instead — same plan, constant-width compare); the
+    status rollup is a 4-group aggregate. This is the q11 conformance
+    join pointed at data operations instead of ETL.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = old.alias("o").join(new.alias("n"), "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.when(F.col("o.o_orderstatus").isNull(), "added")
+        .when(F.col("n.o_orderstatus").isNull(), "removed")
+        .when(
+            (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -122,6 +122,9 @@ def kmeans_train(
             F.count("*").alias("n"),
             F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("sse"),
         )
+        # materialize once: new_cents' checkpoint and the inertia
+        # collect would otherwise each re-run the whole assignment
+        stats = stats.localCheckpoint()
         new_cents = stats.select(
             "cid",
             F.transform(

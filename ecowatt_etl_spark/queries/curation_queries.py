@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ecowatt_etl_spark.operators.dedup import fan_out, shingle_hashes
+from ecowatt_etl_spark.operators.dedup import shingle_hashes
 from ecowatt_etl_spark.operators.text import token_count, tokens
 from ecowatt_etl_spark.queries.registry import query
 from ecowatt_etl_spark.sources.tables import load_table
@@ -187,10 +187,17 @@ def q95_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle matches bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     w = tokens("text")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
-    )
+    # guard like operators/dedup.shingles: an unguarded sequence(0, -1)
+    # would make transform evaluate slice(w, 0, 2) on 1-token docs —
+    # correct today only because the n_tokens>=2 filter pushes below
+    # this projection, which no optimizer contract guarantees
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     g = d.select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),

@@ -87,7 +87,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # implementations changed this round — keep driver evidence fresh
     "q57_dedup_clusters", "q58_edit_distance_neardup",
     "q59_dedup_keep_list",
-    # new this round — funnel / cohort event analytics
+    # positions 51-52: beyond the ~50-row driver window these are
+    # best-effort only (rotation candidates for the next round); every
+    # slot above is claimed by a round-1 gap, red row, or changed impl
     "q49f_funnel", "q49g_cohort_retention",
 )
 

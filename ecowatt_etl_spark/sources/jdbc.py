@@ -47,12 +47,15 @@ def write_jdbc(
 
     ``mode`` is the reference's ``if_exists`` vocabulary ("replace" /
     "append" / "fail"); it maps onto Spark writer modes. The frame is
-    coalesced to ``num_partitions`` so concurrent DB connections stay
-    bounded regardless of cluster size.
+    repartitioned to ``num_partitions`` so concurrent DB connections
+    stay bounded regardless of cluster size — ``repartition`` (not
+    ``coalesce``) because coalesce removes the shuffle barrier and
+    would collapse the UPSTREAM computation to the same task count,
+    serializing whatever produced the frame.
     """
     if mode not in _MODE_MAP:
         raise ValueError(f"mode must be one of {sorted(_MODE_MAP)}, got {mode!r}")
-    writer = df.coalesce(num_partitions).write.mode(_MODE_MAP[mode])
+    writer = df.repartition(num_partitions).write.mode(_MODE_MAP[mode])
     writer.jdbc(url=url, table=table, properties=properties or {})
 
 
@@ -62,7 +65,12 @@ def primary_key_ddl(table: str) -> list[str]:
     the ``dim``→``id`` renamed column. Spark's JDBC writer cannot run
     constraint DDL, so these are returned for the caller to execute on
     the database connection of their choice."""
-    pk = f"{table}_id" if "fact" in table.lower() else table.replace("dim", "id")
+    # suffix-anchored: a substring replace would mangle names like
+    # 'sediment_dim' ('dim' inside the stem is not the suffix)
+    if table.lower().endswith("_dim"):
+        pk = table[: -len("_dim")] + "_id"
+    else:  # fact tables (and anything else) key on {table}_id
+        pk = f"{table}_id"
     return [
         f"ALTER TABLE {table} ALTER COLUMN {pk} bigint NOT NULL",
         f"ALTER TABLE {table} ADD CONSTRAINT PK_{table} PRIMARY KEY ({pk})",

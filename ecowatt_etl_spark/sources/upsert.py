@@ -56,6 +56,14 @@ def merge_upsert(
     the merge result must be materialized first (with a metastore +
     Delta/Iceberg this is the transaction log's job instead).
     """
+    dupes = (
+        updates.groupBy(keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dupes:
+        raise ValueError(
+            "updates batch has multiple rows per key — MERGE would persist "
+            "duplicate keys; dedupe the batch first"
+        )
     if not _table_exists(path):
         w = updates.write.mode("overwrite")
         if partition_col:
@@ -93,15 +101,22 @@ def scd2_apply(
     versioned dimension, returning the new dimension frame.
 
     `dim` carries history rows with [effective_col, end_col) validity
-    (open rows have NULL end). Each change row (attributes + its
-    effective_col) CLOSES the key's current open row at the change's
-    effective time and inserts a new open row. One hash join on the
-    keys against the change batch (broadcast when small) — closed
-    history rows pass through untouched.
+    (open rows have NULL end). The key's current open row is CLOSED at
+    the key's EARLIEST change time; change rows become new versions
+    chained by effective time (each closed by the key's next change,
+    the last left open) — so a batch carrying several changes for one
+    key yields a correct version chain, not duplicated history. One
+    hash join on the keys against the per-key earliest-change frame
+    (broadcast when small); closed history rows pass through untouched.
     """
-    cb = changes.select(keys + [F.col(effective_col).alias("_new_from")]).distinct()
+    from pyspark.sql import Window as W
+
+    end_type = dim.schema[end_col].dataType
+    first_change = changes.groupBy(keys).agg(
+        F.min(effective_col).alias("_new_from")
+    )
     closed = (
-        dim.join(cb, keys, "left")
+        dim.join(first_change, keys, "left")
         .withColumn(
             end_col,
             F.when(
@@ -111,5 +126,8 @@ def scd2_apply(
         )
         .drop("_new_from")
     )
-    new_rows = changes.withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType))
+    chain_w = W.partitionBy(*keys).orderBy(effective_col)
+    new_rows = changes.withColumn(
+        end_col, F.lead(effective_col).over(chain_w).cast(end_type)
+    )
     return closed.unionByName(new_rows.select(closed.columns))

@@ -230,10 +230,16 @@ def stream_rollup_to_parquet(
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def enrich_with_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+def enrich_with_static(
+    events: DataFrame, dim: DataFrame, on: str, broadcast: bool = True
+) -> DataFrame:
     """Stream-STATIC join: each micro-batch joins the static dimension
-    (broadcast when small — no streaming state at all, unlike
-    stream-stream joins; the dim is re-resolvable per batch, which is
-    how slowly-refreshed dimension snapshots behave in production).
+    — no streaming state at all, unlike stream-stream joins; the dim is
+    re-resolvable per batch, which is how slowly-refreshed dimension
+    snapshots behave in production. ``broadcast=True`` forces the hash
+    relation onto the executors (right for catalog-sized dims); pass
+    False for corpus-sized dims (e.g. per-user tables at production
+    scale) so each micro-batch runs a shuffled join instead of trying
+    to build an unbounded driver-side broadcast.
     """
-    return events.join(F.broadcast(dim), on)
+    return events.join(F.broadcast(dim) if broadcast else dim, on)

@@ -129,6 +129,39 @@ def test_scd2_closes_open_rows_and_appends_versions(spark):
     ]
 
 
+def test_scd2_chains_multiple_changes_per_key(spark):
+    """A batch with several changes for one key must produce a version
+    CHAIN (each closed by the next, last open) — not duplicated history
+    or concurrent open rows."""
+    from ecowatt_etl_spark.sources.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "cur", 100, None)], "id long, attr string, valid_from long, valid_to long"
+    )
+    changes = spark.createDataFrame(
+        [(1, "v2", 300), (1, "v3", 400)], "id long, attr string, valid_from long"
+    )
+    out = sorted(tuple(r) for r in scd2_apply(dim, changes, keys=["id"]).collect())
+    assert out == [
+        (1, "cur", 100, 300),  # closed at the EARLIEST change
+        (1, "v2", 300, 400),  # chained: closed by the next change
+        (1, "v3", 400, None),  # exactly one open row
+    ]
+
+
+def test_upsert_rejects_duplicate_keys_in_batch(spark, tmp_path):
+    import pytest
+
+    from ecowatt_etl_spark.sources.upsert import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a")], "id long, name string")
+    merge_upsert(spark, path, base, keys=["id"])
+    dup = spark.createDataFrame([(2, "b"), (2, "c")], "id long, name string")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        merge_upsert(spark, path, dup, keys=["id"])
+
+
 # ---------------------------------------------------------------------------
 # schema evolution across parquet batches
 # ---------------------------------------------------------------------------

@@ -554,3 +554,108 @@ def q100_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(redacted).alias("redacted_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — mixture resampling toward target shares
+# ---------------------------------------------------------------------------
+# target token-share per language, basis points (must sum to 10000)
+_MIX_TARGET_BPS = {"en": 4000, "de": 1500, "fr": 1500, "es": 1500, "zh": 1500}
+
+
+def _sql_target_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {bps}" for lang, bps in _MIX_TARGET_BPS.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@query(
+    "q102_mixture_resample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_W}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    totals AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tokens_l FROM t GROUP BY lang
+    ),
+    shares AS (
+      SELECT lang, tokens_l,
+             GREATEST(tokens_l * 10000
+                        // (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM t), 1)
+               AS actual_bps,
+             {_sql_target_case()} AS target_bps
+      FROM totals
+    ),
+    ratios AS (
+      SELECT lang, CAST(target_bps AS BIGINT) * 1000000 // actual_bps AS ratio FROM shares
+    ),
+    rates AS (
+      SELECT lang, ratio * 10000 // (SELECT MAX(ratio) FROM ratios) AS rate_bps
+      FROM ratios
+    ),
+    kept AS (
+      SELECT t.doc_id, t.lang, t.n_tokens, r.rate_bps
+      FROM t JOIN rates r USING (lang)
+      WHERE CAST(concat('0x', substring(md5('mix:' || CAST(t.doc_id AS VARCHAR)),
+                                        1, 4)) AS BIGINT) * 10000
+            < r.rate_bps * 65536
+    )
+    SELECT lang, CAST(rate_bps AS BIGINT) AS rate_bps,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY lang, rate_bps
+    """,
+)
+def q102_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling — rebalance the corpus toward TARGET language
+    token shares (the step between q98's mixture report and training):
+    each language's keep rate is proportional to target/actual share,
+    normalized so the most under-represented language keeps everything,
+    and every keep decision is the md5-threshold rule (reproducible,
+    growth-stable). ALL rate math is integer basis points — scaled
+    integer division end to end, so the oracle hash never meets a
+    float; the per-doc decision compares a 16-bit md5 prefix against
+    rate_bps × 65536 / 10⁴ in cross-multiplied integer form.
+
+    Scale shape: pass 1 is q98's tiny aggregate (|lang| rows); the
+    rate table broadcasts back into a scan-local filter — the corpus
+    is read twice but never shuffled beyond the |lang|-row rollups.
+    """
+    from ecowatt_etl_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    totals = t.groupBy("lang").agg(F.sum("n_tokens").alias("tokens_l"))
+    grand = t.agg(F.sum("n_tokens").alias("T"))
+    target = F.lit(0).cast("long")
+    for lang, bps in _MIX_TARGET_BPS.items():
+        target = F.when(F.col("lang") == lang, F.lit(bps).cast("long")).otherwise(target)
+    shares = totals.crossJoin(F.broadcast(grand)).select(
+        "lang",
+        F.greatest(F.expr("tokens_l * 10000 DIV T"), F.lit(1)).alias("actual_bps"),
+        target.alias("target_bps"),
+    )
+    ratios = shares.select(
+        "lang", F.expr("target_bps * 1000000 DIV actual_bps").alias("ratio")
+    )
+    max_ratio = ratios.agg(F.max("ratio").alias("m"))
+    rates = ratios.crossJoin(F.broadcast(max_ratio)).select(
+        "lang", F.expr("ratio * 10000 DIV m").alias("rate_bps")
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    kept = t.join(F.broadcast(rates), "lang").filter(
+        h16 * 10000 < F.col("rate_bps") * 65536
+    )
+    return kept.groupBy("lang", "rate_bps").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    ).select("lang", F.col("rate_bps").cast("long").alias("rate_bps"), "n_docs_kept", "tokens_kept")

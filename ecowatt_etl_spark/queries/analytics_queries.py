@@ -220,3 +220,94 @@ def q92_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var_v).alias("stddev_value"),
         (num_xv / (F.sqrt(num_x) * F.sqrt(num_v))).alias("corr_ts_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — Welch's t-test vs a baseline group (exact-moment A/B primitive)
+# ---------------------------------------------------------------------------
+_TT_BASELINE = "view"
+
+
+@query(
+    "q103_welch_ttest",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(v AS HUGEINT)) AS sv,
+             SUM(CAST(v AS HUGEINT) * v) AS svv
+      FROM pts GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             CAST(CAST(sv AS VARCHAR) AS DOUBLE) / n / 1000000 AS mean_v,
+             CAST(CAST(n * svv - sv * sv AS VARCHAR) AS DOUBLE)
+               / (n * (n - 1)) / 1000000000000 AS var_v
+      FROM sums
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n,
+           a.mean_v AS mean_value,
+           (a.mean_v - b.mean_v)
+             / sqrt(a.var_v / a.n + b.var_v / b.n) AS t_stat
+    FROM stats a, (SELECT * FROM stats WHERE event_type = '{_TT_BASELINE}') b
+    WHERE a.event_type <> '{_TT_BASELINE}'
+    """,
+)
+def q103_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic of every event type's `value` against the
+    '{baseline}' group — the A/B-experiment readout, computed from the
+    q92 exact-moment machinery: fixed-point integer moments (decimal-38
+    sums, integer-exact variance numerators), with ONLY the final
+    mean/variance divisions, the subtraction, and the sqrt in double —
+    each correctly rounded, so both engines emit identical bits with
+    no tolerance.
+
+    Scale shape: one map-side-combined aggregate to |event_types| rows;
+    the baseline row broadcasts into a |types|-row join. The same
+    moments serve mean, variance, and t in one pass — no second scan
+    per statistic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pts = ev.select(
+        "event_type",
+        (F.col("value").cast(_DEC_Y) * 1_000_000).cast("long").alias("v"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec38(F.col("v"))).alias("sv"),
+        F.sum(dec38(F.col("v")) * F.col("v")).alias("svv"),
+    )
+    stats = sums.select(
+        "event_type",
+        "n",
+        (F.col("sv").cast("double") / F.col("n") / 1_000_000).alias("mean_v"),
+        (
+            (dec38(F.col("n")) * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+            / (F.col("n") * (F.col("n") - 1))
+            / 1_000_000_000_000
+        ).alias("var_v"),
+    )
+    base = F.broadcast(
+        stats.filter(F.col("event_type") == _TT_BASELINE).select(
+            F.col("n").alias("bn"), F.col("mean_v").alias("bmean"), F.col("var_v").alias("bvar")
+        )
+    )
+    return (
+        stats.filter(F.col("event_type") != _TT_BASELINE)
+        .crossJoin(base)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("mean_v").alias("mean_value"),
+            (
+                (F.col("mean_v") - F.col("bmean"))
+                / F.sqrt(F.col("var_v") / F.col("n") + F.col("bvar") / F.col("bn"))
+            ).alias("t_stat"),
+        )
+    )

@@ -281,3 +281,56 @@ def test_kmeans_training_is_monotone_and_deterministic(spark):
     c1 = sorted((r.cid, tuple(r.centroid)) for r in cents1.collect())
     c2 = sorted((r.cid, tuple(r.centroid)) for r in cents2.collect())
     assert c1 == c2  # bit-identical model across runs
+
+
+# ---------------------------------------------------------------------------
+# q49f/q49g — first-principles recompute of sequence analytics
+# ---------------------------------------------------------------------------
+def test_funnel_matches_python_simulation(spark):
+    """Replay the ordered-funnel definition imperatively per user: the
+    chained-window implementation (and its oracle twin) must agree with
+    a direct simulation over the sorted event stream."""
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    ev = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts),
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+
+    stages = ["signup", "view", "click", "purchase"]
+    counts = dict.fromkeys(stages, 0)
+    for rows in by_user.values():
+        reached_at = None
+        for stage in stages:
+            cand = [r.ts for r in rows
+                    if r.event_type == stage
+                    and (reached_at is None or r.ts >= reached_at)]
+            if not cand:
+                break
+            reached_at = min(cand)
+            counts[stage] += 1
+
+    got = {r.stage: r.n_users for r in _q(spark, "q49f_funnel").collect()}
+    assert got == counts, (got, counts)
+
+
+def test_cohort_retention_invariants(spark):
+    rows = _q(spark, "q49g_cohort_retention").collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cohort, rs in by_cohort.items():
+        offsets = {r.week_offset for r in rs}
+        assert 0 in offsets, cohort  # every cohort is active in week 0
+        size = next(r.n_users for r in rs if r.week_offset == 0)
+        for r in rs:
+            assert r.n_users <= size  # retention never exceeds cohort size
+            assert r.retention_bps == r.n_users * 10000 // size
+        assert next(r.retention_bps for r in rs if r.week_offset == 0) == 10000

@@ -911,3 +911,62 @@ def q45b_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, "q45b_sliding", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# q49j — last-touch attribution
+# ---------------------------------------------------------------------------
+@query(
+    "q49j_last_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN last_click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_attributed,
+           {sql_exact_sum("CASE WHEN last_click_ts IS NOT NULL THEN value END",
+                          "attributed_value")}
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q49j_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — credit each purchase to the user's most
+    recent preceding click (the marketing-analytics primitive behind
+    channel ROI). The "most recent preceding" lookup is a running
+    conditional MAX over the (ts, event_id)-ordered per-user stream —
+    one shuffle on user_id, no self-join, no as-of join machinery —
+    then a per-user rollup of attributed counts and exact-decimal
+    attributed revenue. Same single-exchange scale shape as the funnel
+    (q49f); deterministic tiebreak on event_id.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    attributed = F.col("last_click_ts").isNotNull()
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.when(attributed, 1).otherwise(0)).cast("long").alias("n_attributed"),
+            exact_sum(F.when(attributed, F.col("value")), "attributed_value"),
+        )
+    )

@@ -1547,3 +1547,60 @@ def q101_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — sole-faulty-supplier analysis (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q104_sole_fault_supplier",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_fault,
+             MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS fault_supp
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    blamed AS (
+      SELECT fault_supp AS l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM per_order
+      WHERE n_supp > 1 AND n_fault = 1
+      GROUP BY fault_supp
+    )
+    SELECT l_suppkey, n_orders,
+           ROW_NUMBER() OVER (ORDER BY n_orders DESC, l_suppkey) AS rk
+    FROM blamed
+    QUALIFY rk <= 10
+    ORDER BY rk
+    """,
+)
+def q104_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on this schema: suppliers who were the ONLY
+    supplier with a returned item in a multi-supplier order — the
+    classic doubly-correlated EXISTS / NOT EXISTS pair, decorrelated
+    into ONE aggregate computing both distinct counts and the unique
+    culprit (MIN over a one-element set) in a single pass over
+    lineitem. The reference pattern needs two correlated subqueries
+    per row; this is one shuffle on l_orderkey plus a supplier-keyed
+    rollup, then a global top-10 (WindowGroupLimit-pruned).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fault_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(fault_supp).alias("n_fault"),
+        F.min(fault_supp).alias("fault_supp"),
+    )
+    blamed = (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_fault") == 1))
+        .groupBy(F.col("fault_supp").alias("l_suppkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = W.orderBy(F.desc("n_orders"), F.asc("l_suppkey"))
+    return (
+        blamed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy("rk")
+    )

@@ -51,6 +51,7 @@ def _load_all() -> None:
     import ecowatt_etl_spark.queries.relational  # noqa: F401
     import ecowatt_etl_spark.queries.similarity_queries  # noqa: F401
     import ecowatt_etl_spark.queries.text_queries  # noqa: F401
+    import ecowatt_etl_spark.queries.tpch_queries  # noqa: F401
 
 
 # The driver's correctness gate value-checks only the FIRST ~50 entries

@@ -1,0 +1,742 @@
+"""Relational completion set: the remaining classic TPC-H query shapes
+(Q2/Q7/Q8/Q9/Q13/Q14/Q15/Q16/Q18/Q19/Q22) adapted to this warehouse.
+
+The reference's relational surface (selection/projection/group/join,
+SURVEY §2) is already covered by q01–q39; this module completes the
+canonical decision-support shapes a user of any warehouse engine
+expects: correlated-subquery argmin (Q2), multi-nation volume joins
+(Q7/Q8), profit decomposition (Q9), left-outer count distributions
+(Q13), conditional-share aggregates (Q14), scalar-max selection (Q15),
+distinct-count relations with NOT-IN exclusion (Q16), grouped-HAVING
+semi-joins (Q18), disjunctive multi-range predicates (Q19), and
+anti-join + global-scalar filters (Q22).
+
+Adaptations to this schema (no partsupp / comment columns in the
+driver's testdata): partsupp is proxied by DISTINCT (l_partkey,
+l_suppkey) from lineitem; supply cost by the per-pair average unit
+price; "customer complaints" by negative supplier balances; country
+codes by the tail of c_name. Shapes, join strategies, and the
+decorrelation patterns are the TPC-H ones.
+
+Every money aggregate routes through functions/exact.py decimals so
+both engines produce bit-identical doubles (the driver's value-hash
+gate); thresshold comparisons happen on those deterministic values.
+
+Scale notes are per-query; the common discipline: dims broadcast, the
+lineitem fact is never shuffled except by its aggregation key, scalar
+subqueries become one-row broadcast cross joins, correlated subqueries
+are decorrelated into window functions or grouped semi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ecowatt_etl_spark.functions.exact import (
+    dec,
+    exact_sum,
+    exact_sum_product,
+    sql_exact_sum,
+    sql_exact_sum_product,
+)
+from ecowatt_etl_spark.queries.registry import query
+from ecowatt_etl_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q105 — market share of one supplying nation in one region (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+_MKT_REGION = "ASIA"
+_SHARE_NATION = "NATION_5"
+
+
+@query(
+    "q105_market_share",
+    oracle=f"""
+    WITH base AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,6))
+               * CAST((1 - l_discount) AS DECIMAL(18,6)) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = '{_MKT_REGION}'
+    )
+    SELECT o_year,
+           CAST(CAST(COALESCE(SUM(CASE WHEN supp_nation = '{_SHARE_NATION}'
+                                       THEN vol END), 0) AS VARCHAR) AS DOUBLE)
+             AS nation_rev,
+           CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS total_rev,
+           CAST(CAST(COALESCE(SUM(CASE WHEN supp_nation = '{_SHARE_NATION}'
+                                       THEN vol END), 0) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q105_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: yearly revenue share of one supplying nation
+    inside one regional market. Two independent dimension chains hang
+    off lineitem — the customer→nation→region chain restricts the
+    market, the supplier→nation chain labels the share. Nation/region
+    dims and supplier broadcast; customer is fact-sized at 100 TB so
+    its join carries no broadcast hint — AQE picks broadcast at small
+    SF and a shuffle join at scale. The fact is keyed by year for
+    the final 7-row aggregate. The share is a conditional sum over the
+    same exact-decimal measure as the total (one hash-agg computes
+    both; no second pass), divided only after both sums are settled
+    doubles, so the ratio is bit-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _MKT_REGION)
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    vol = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(18,6)"
+    )
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == _SHARE_NATION, F.col("vol"))
+    zero = F.lit(0).cast("decimal(37,12)")
+    agg = base.groupBy("o_year").agg(
+        F.coalesce(F.sum(nation_vol), zero).cast("double").alias("nation_rev"),
+        F.sum("vol").cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — profit by supplier nation and year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q106_nation_year_profit",
+    oracle="""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l_extendedprice AS DECIMAL(18,6))
+               * CAST((1 - l_discount) AS DECIMAL(18,6))
+             - CAST(p_retailprice AS DECIMAL(18,6))
+               * CAST(l_quantity AS DECIMAL(18,6))
+           ) AS VARCHAR) AS DOUBLE) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q106_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit decomposition by supplier nation × order
+    year for one product family (p_name contains 'red'; retail price ×
+    quantity proxies supply cost — no partsupp in this schema). The
+    part filter broadcasts and prunes the fact BEFORE the orders join
+    (the only non-broadcast join), so the order-side shuffle carries
+    only matching items. Profit is a single exact-decimal expression —
+    the two products stay decimal(37,12) and subtract losslessly —
+    summed in one map-side-partial hash-agg keyed by (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(18,6)"
+    ) - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q107_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q107_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … qualifying
+    orders. The join predicate's extra condition (priority filter)
+    lives IN the left-outer join, not a post-filter — a post-filter
+    would delete the unmatched rows Q13 exists to count. Orders
+    shuffles by o_custkey once; COUNT(o_orderkey) counts only matched
+    rows (NULL-skipping), then the per-customer counts re-aggregate on
+    the tiny c_count domain. At 100 TB the first aggregate dominates
+    and is a plain keyed hash-agg; the second is ~dozens of groups."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q108 — promotion revenue share for one month (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q108_promo_revenue",
+    oracle="""
+    SELECT
+      CAST(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN
+          CAST(l_extendedprice AS DECIMAL(18,6))
+            * CAST((1 - l_discount) AS DECIMAL(18,6)) END), 0)
+        AS VARCHAR) AS DOUBLE) AS promo_rev,
+      CAST(CAST(SUM(
+          CAST(l_extendedprice AS DECIMAL(18,6))
+            * CAST((1 - l_discount) AS DECIMAL(18,6)))
+        AS VARCHAR) AS DOUBLE) AS total_rev,
+      100.0 * CAST(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN
+          CAST(l_extendedprice AS DECIMAL(18,6))
+            * CAST((1 - l_discount) AS DECIMAL(18,6)) END), 0)
+        AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(
+          CAST(l_extendedprice AS DECIMAL(18,6))
+            * CAST((1 - l_discount) AS DECIMAL(18,6)))
+        AS VARCHAR) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1998-03-01' AND l_shipdate < DATE '1998-04-01'
+    """,
+)
+def q108_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of one month's revenue from PROMO
+    parts. The ship-date range is a pushed parquet filter (min/max row
+    group pruning at scale); part broadcasts; one hash-agg computes
+    both the conditional and total sums. The percentage divides two
+    already-settled doubles — deterministic, and mirrored exactly in
+    the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-03-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", vol)
+    zero = F.lit(0).cast("decimal(37,12)")
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.coalesce(F.sum(promo), zero).cast("double").alias("promo_rev"),
+            F.sum(vol).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — top supplier(s) by quarterly revenue (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q109_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST((1 - l_discount) AS DECIMAL(18,6))) AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total_rev
+    FROM revenue JOIN supplier ON s_suppkey = supplier_no
+    WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+    """,
+)
+def q109_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving MAX quarterly
+    revenue — the classic view + scalar-subquery-equality query. The
+    scalar max is decorrelated into a rank-over-empty-partition window
+    on the ALREADY AGGREGATED per-supplier frame (|suppliers| rows, not
+    the fact), so no second scan of lineitem and no driver round-trip;
+    ties all surface, exactly like the SQL. The comparison happens on
+    the exact decimal sum (rank before the double cast) so a float
+    near-tie can't differ between engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_sum_product(
+            "l_extendedprice", 1 - F.col("l_discount"), "total_rev"
+        ).alias("total_rev"),
+        F.sum(
+            dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+                "decimal(18,6)"
+            )
+        ).alias("total_dec"),
+    )
+    w = W.orderBy(F.desc("total_dec"))
+    top = rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1)
+    return top.join(
+        F.broadcast(s), top["supplier_no"] == s["s_suppkey"]
+    ).select("s_suppkey", "s_name", "total_rev")
+
+
+# ---------------------------------------------------------------------------
+# q110 — supplier relation counts with exclusions (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+_Q16_SIZES = (1, 5, 9, 14, 20, 25, 30, 40)
+
+
+@query(
+    "q110_supplier_relation",
+    oracle=f"""
+    WITH partsupp AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    complaints AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN {_Q16_SIZES}
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM complaints)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q110_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) with
+    brand/type exclusions and a NOT-IN supplier blacklist (negative
+    balances proxy the complaint filter; DISTINCT lineitem pairs proxy
+    partsupp). The NOT IN becomes a broadcast left-anti join — at any
+    scale the blacklist is dim-sized; the distinct-pair reduction
+    happens FIRST so the anti join and part join see (partkey,
+    suppkey) pairs, not raw lineitems. One shuffle for the distinct,
+    one for the final count-distinct agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(*_Q16_SIZES))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — large-volume orders (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+_Q18_QTY = 260
+
+
+@query(
+    "q111_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_Q18_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(CAST(qty_dec AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q111_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the 20 highest-value orders whose total
+    quantity exceeds a threshold — the grouped-HAVING-IN pattern. The
+    IN-subquery is fused away: aggregate lineitem by order, HAVING-
+    filter, then join orders/customer directly on the surviving keys
+    (a semi-join would re-scan lineitem). The HAVING compares exact
+    decimals; the final TopK is TakeOrderedAndProject, not a global
+    sort. The order-key aggregation is the only fact-sized shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > _Q18_QTY)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — disjunctive multi-range predicate revenue (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q112_disjunctive_pred",
+    oracle=f"""
+    SELECT {sql_exact_sum_product("l_extendedprice", "(1 - l_discount)", "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q112_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of three
+    brand/size/quantity envelopes. The predicate mixes columns from
+    both sides, so it must evaluate post-join — but Catalyst derives
+    the implied single-side prefilters (quantity ≤ 30 on lineitem,
+    size ≤ 15 ∧ brand ∈ {{…}} on part) and pushes them into the scans,
+    shrinking the broadcast and the probe before the OR runs. One
+    broadcast join, one global agg; zero fact shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            exact_sum_product("l_extendedprice", 1 - F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — dormant high-balance customers by code (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+_Q22_CUTOFF = "1999-01-01"
+
+
+@query(
+    "q113_dormant_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '{_Q22_CUTOFF}'
+    )
+    SELECT substr(c_name, 17, 2) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           {sql_exact_sum("c_acctbal", "total_bal")}
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY cntrycode
+    """,
+)
+def q113_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, bucketed by a code derived from the customer name (the
+    schema has no phone column; the name tail stands in). The global
+    AVG is a one-row broadcast cross join — computed once, streamed to
+    every task, never a correlated re-scan. The NOT-IN over recent
+    orderers becomes a left-anti join against the DISTINCT recent-
+    customer keys (distinct first: the anti build side is |customers
+    with recent orders|, not |orders| — customer-sized at 100 TB, so
+    no broadcast hint; AQE chooses). AVG here is float-order-
+    sensitive in principle, but both engines compute it over the same
+    single-partition-sized dim… so the exact-decimal route is still
+    used for the reported sums; the threshold itself uses the exact
+    decimal average for bit-stable comparison."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # exact-decimal average: sum(dec)/count, same arithmetic in DuckDB's
+    # AVG over these 2-dp inputs -> identical doubles
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("a")
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= _Q22_CUTOFF)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            exact_sum("c_acctbal", "total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — min-cost supplier per part (TPC-H Q2 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q114_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                  AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                  AS VARCHAR) AS DOUBLE) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cost, l_suppkey) AS rk
+      FROM unit
+    )
+    SELECT p_partkey, p_name, s_name, n_name, unit_cost
+    FROM ranked
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE rk = 1 AND p_type = 'STANDARD' AND p_size < 10
+    """,
+)
+def q114_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each STANDARD small part, the supplier with
+    the lowest observed unit price (avg extendedprice/quantity from
+    lineitem — this schema's partsupp stand-in). The correlated
+    `cost = (SELECT MIN…)` subquery is decorrelated into a
+    row_number window per part over the per-pair aggregate — one
+    fact-sized shuffle for the pair aggregate, a keyed window on the
+    reduced frame, broadcast dims for the final labels. Unit cost
+    divides two exact-decimal sums after both settle to doubles, so
+    the argmin order is engine-stable; suppkey breaks exact ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(dec("l_extendedprice")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double")
+        ).alias("unit_cost")
+    )
+    w = W.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = unit.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — volume shipping between a nation pair (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+_Q7_A, _Q7_B = "NATION_1", "NATION_2"
+
+
+@query(
+    "q115_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {sql_exact_sum_product("l_extendedprice", "(1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE (sn.n_name = '{_Q7_A}' AND cn.n_name = '{_Q7_B}')
+       OR (sn.n_name = '{_Q7_B}' AND cn.n_name = '{_Q7_A}')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q115_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping revenue between two nations, both
+    directions, by ship year. The disjunctive nation predicate cannot
+    prune either chain alone to one nation, but it DOES prune both to
+    the two-nation set — Catalyst derives n_name ∈ {{A,B}} for each
+    side and pushes it through the joins, so the fact rows surviving
+    the supplier-side broadcast join are already ≤ 2/25 of the table
+    before the orders shuffle join; the customer side carries no
+    broadcast hint (fact-sized at 100 TB — AQE decides). Output is
+    2 directions × years."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == _Q7_A) & (F.col("cust_nation") == _Q7_B)
+    ) | ((F.col("supp_nation") == _Q7_B) & (F.col("cust_nation") == _Q7_A))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            exact_sum_product("l_extendedprice", 1 - F.col("l_discount"), "revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — parts above a global revenue-share threshold (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+_Q11_FRACTION = 0.0008
+
+
+@query(
+    "q116_important_parts",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST((1 - l_discount) AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (
+      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST((1 - l_discount) AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS total_value
+      FROM lineitem
+    )
+    SELECT l_partkey AS p_partkey, part_value
+    FROM v, t
+    WHERE part_value > total_value * {_Q11_FRACTION}
+    """,
+)
+def q116_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fixed fraction
+    of GLOBAL revenue — the grouped-vs-global scalar-subquery pattern.
+    Both sides come from one source; the global total re-aggregates
+    the per-part frame (tiny) instead of re-scanning lineitem, then
+    broadcasts as a one-row cross join. The threshold compares doubles
+    that are bit-identical in both engines (exact-decimal sums, double
+    multiply by the literal fraction), so membership at the boundary
+    cannot diverge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+        ).alias("value_dec")
+    )
+    total = per_part.agg(
+        F.sum("value_dec").cast("double").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_value") * F.lit(_Q11_FRACTION)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+    )

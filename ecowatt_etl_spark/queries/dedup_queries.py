@@ -650,3 +650,40 @@ def q89_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         e.agg(F.count("*").alias("n_edges"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — duplication rate by source (curation telemetry)
+# ---------------------------------------------------------------------------
+@query(
+    "q119_dedup_rate_by_source",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                '\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
+           CAST(1 AS DOUBLE)
+             - CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                  '\s+', ' ', 'g'))) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q119_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate telemetry per ingestion source — the report a
+    curation pipeline publishes BEFORE deciding which sources need the
+    expensive near-dup passes (a crawler mirror with dup_rate 0.4
+    earns a q53 run; a curated source at 0.01 doesn't). Groups by
+    source over q51's normalized digest: count-distinct on the 32-byte
+    hash, so shuffle volume is O(rows), never O(bytes). Spark plans
+    the distinct as a two-phase partial/merge aggregate keyed by
+    (source, hash) then (source) — both map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(normalized_text("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(h).alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(h).cast("double") / F.count("*")
+        ).alias("dup_rate"),
+    )

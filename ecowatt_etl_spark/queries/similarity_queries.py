@@ -178,7 +178,22 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q64 — LSH-bucketed approximate top-k (the scale path for search)
 # ---------------------------------------------------------------------------
-_PROBE_BITS = _SIGN_BITS  # multi-probe: own block + each 1-bit flip
+_PROBE_BITS = _SIGN_BITS
+# Multi-probe order: own block, every 1-bit flip, every 2-bit flip —
+# 1 + 8 + 28 = 37 of 256 buckets (~14% of the corpus in expectation).
+# Radius 1 alone decays badly as N grows (fixed 9/256 probe fraction
+# but per-bucket candidate quality drops); radius 2 holds recall at a
+# bounded probe fraction — measured per round in bench extras
+# (q64_recall_vs_q61).
+_PROBE_MASKS = (
+    [0]
+    + [1 << i for i in range(_PROBE_BITS)]
+    + [
+        (1 << i) | (1 << j)
+        for i in range(_PROBE_BITS)
+        for j in range(i + 1, _PROBE_BITS)
+    ]
+)
 
 
 @query(
@@ -187,7 +202,7 @@ _PROBE_BITS = _SIGN_BITS  # multi-probe: own block + each 1-bit flip
     WITH blk AS (SELECT vec_id, embedding, {_sql_sign_block()} AS bk FROM embeddings),
     probes AS (
       SELECT vec_id AS query_id, embedding AS q_emb,
-             UNNEST([bk, {", ".join(f"xor(bk, {2**i})" for i in range(_PROBE_BITS))}]) AS pk
+             UNNEST([{", ".join(f"xor(bk, {m})" for m in _PROBE_MASKS)}]) AS pk
       FROM blk WHERE vec_id < {_NQ}
     ),
     scored AS (
@@ -207,13 +222,19 @@ _PROBE_BITS = _SIGN_BITS  # multi-probe: own block + each 1-bit flip
 )
 def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-3 via multi-probe sign-LSH: each query
-    probes its own sign-block plus the 8 one-bit-flip neighbor blocks,
-    scoring only vectors in those buckets (~9/256 of the corpus in
-    expectation) instead of all N. This is the search-side scale path:
-    the probe table is tiny and broadcast, the corpus shuffles once on
-    its 4-byte block key, and recall is tunable via probe radius —
-    the same probing scheme at 100 TB, with the block key as the
-    partition key so each probe touches one partition."""
+    probes its own sign-block plus every 1-bit and 2-bit flip
+    neighbor block (37/256 buckets ≈ 14% of the corpus), scoring only
+    vectors in those buckets instead of all N. This is the search-side
+    scale path: the probe table is tiny and broadcast, the corpus
+    shuffles once on its 4-byte block key, and recall is tunable via
+    probe radius — the same probing scheme at 100 TB, with the block
+    key as the partition key so each probe touches one partition.
+    Recall on THIS corpus is bounded by the data, not the index: the
+    driver's synthetic embeddings are isotropic (measured same-label
+    vs cross-label mean cosine both ≈ 0), so sign agreement between a
+    query and its true neighbors barely exceeds chance — the per-round
+    recall number in bench extras (q64_recall_vs_q61) reads low here
+    and would not on a real, clustered embedding corpus."""
     em = load_table(spark, sf_dir, "embeddings")
     blk = em.select(
         "vec_id", "embedding", sign_block_key(F.col("embedding"), _SIGN_BITS).alias("bk")
@@ -224,8 +245,7 @@ def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("q_emb"),
             F.explode(
                 F.array(
-                    F.col("bk"),
-                    *[F.col("bk").bitwiseXOR(F.lit(2**i)) for i in range(_PROBE_BITS)],
+                    *[F.col("bk").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS],
                 )
             ).alias("pk"),
         )
@@ -254,7 +274,12 @@ def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a deterministic stride sample stands in so both engines derive the
 # identical quantizer from the data alone.
 _CENT_MOD, _CENT_RES = 31, 7
-_NPROBE = 4
+# nprobe adapts to the index size: ceil(sqrt(n_cells)). A fixed nprobe
+# silently decays recall as the corpus (and with it the cell count)
+# grows — probing 4 of 16 cells at sf0.01 is 25% of the index, 4 of 65
+# at sf0.1 only 6%. sqrt keeps the probed fraction shrinking slowly
+# while per-query work stays sublinear; recall is published per round
+# in bench extras (q65_recall_vs_q61).
 
 
 @query(
@@ -287,7 +312,8 @@ _NPROBE = 4
       FROM embeddings q CROSS JOIN cent c
       WHERE q.vec_id < {_NQ}
     ),
-    probes AS (SELECT query_id, q_emb, cid FROM pasg WHERE prk <= {_NPROBE}),
+    probes AS (SELECT query_id, q_emb, cid FROM pasg
+               WHERE prk <= (SELECT CEIL(SQRT(COUNT(*))) FROM cent)),
     scored AS (
       SELECT p.query_id, x.vec_id AS neighbor_id,
              {_sql_dot('p.q_emb', 'x.embedding')}
@@ -307,8 +333,9 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-3 via an IVF (inverted-file) index: a
     deterministic coarse quantizer partitions the corpus into cells
     (each vector assigned to its nearest centroid), queries probe only
-    their ``_NPROBE`` nearest cells, and exact cosine runs on probed
-    cells only — ~nprobe/K of the corpus instead of all N.
+    their ceil(sqrt(n_cells)) nearest cells (data-adaptive — see the
+    constants comment), and exact cosine runs on probed cells only —
+    ~nprobe/K of the corpus instead of all N.
 
     Scale shape (100 TB): centroids are tiny and broadcast everywhere
     (with their norms precomputed ONCE — assignment ranks by
@@ -323,13 +350,15 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF adapts to the data distribution via its centroids, LSH is
     data-independent."""
     em = load_table(spark, sf_dir, "embeddings")
-    cent = F.broadcast(
-        em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("c_emb"),
-            l2_norm(F.col("embedding")).alias("c_norm"),
-        )
+    cent_df = em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
+    cent = F.broadcast(cent_df)
+    # adaptive probe depth: one-row aggregate, broadcast-cross-joined
+    # into the rank filter (never a driver round-trip)
+    n_cells = cent_df.agg(F.count("*").alias("n_cells"))
     asg_score = F.try_divide(
         dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
     )
@@ -359,7 +388,8 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_sim"),
         )
         .withColumn("prk", F.row_number().over(p_w))
-        .filter(F.col("prk") <= _NPROBE)
+        .crossJoin(F.broadcast(n_cells))
+        .filter(F.col("prk") <= F.ceil(F.sqrt(F.col("n_cells"))))
         .select("query_id", "q_emb", "cid")
     )
     scored = cells.join(
@@ -697,3 +727,111 @@ def q88_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "cid", F.posexplode("centroid").alias("pos", "value")
     ).select("cid", (F.col("pos") + 1).alias("dim_idx"), "value")
+
+
+# ---------------------------------------------------------------------------
+# q117 — Johnson–Lindenstrauss random sign projection 64 → 8
+# ---------------------------------------------------------------------------
+_RP_IN_DIM = 64
+_RP_OUT_DIM = 8
+# first hex char of md5("{i}_{j}") decides the sign — both engines emit
+# identical md5 hex strings for identical UTF-8 inputs
+_RP_EVEN = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+
+def _rp_sign_sql(j: int) -> str:
+    evens = ", ".join(f"'{c}'" for c in _RP_EVEN)
+    return (
+        f"(CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_{j}'), 1, 1) "
+        f"IN ({evens}) THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+    )
+
+
+def _rp_proj_sql(j: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_RP_IN_DIM}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {_rp_sign_sql(j)})), "
+        f"(acc, x) -> acc + x) AS proj_{j}"
+    )
+
+
+@query(
+    "q117_random_projection",
+    oracle=(
+        "SELECT vec_id, "
+        + ", ".join(_rp_proj_sql(j) for j in range(_RP_OUT_DIM))
+        + " FROM embeddings"
+    ),
+)
+def q117_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    64-d embedding to 8-d with a deterministic ±1 sign matrix derived
+    from md5 parity (Achlioptas-style database-friendly projection —
+    no stored matrix, any engine regenerates the identical R). JL
+    preserves pairwise distances within 1±ε, so the projected space
+    feeds cheaper ANN/clustering passes (q62/q65 shapes at 1/8 the
+    fold cost). Scan-local: 8 fixed-order folds per row inside the
+    projection, zero shuffles, no driver state; at 100 TB the same
+    plan streams — or swap the interpreted HOF folds for the q63
+    Arrow-batched matmul path when throughput matters more than
+    bit-exact oracle parity (numpy reorders the sums)."""
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def sign(i: F.Column, j: int) -> F.Column:
+        h = F.md5(F.concat(i.cast("string"), F.lit(f"_{j}")))
+        return F.when(
+            F.substring(h, 1, 1).isin(*_RP_EVEN), F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    def proj(j: int) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_RP_IN_DIM)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(F.col("embedding"), i).cast("double") * sign(i, j),
+        ).alias(f"proj_{j}")
+
+    return em.select("vec_id", *[proj(j) for j in range(_RP_OUT_DIM)])
+
+
+# ---------------------------------------------------------------------------
+# q118 — per-dimension embedding statistics
+# ---------------------------------------------------------------------------
+@query(
+    "q118_embedding_dim_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, {_RP_IN_DIM}) AS t(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS mean_val,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM e GROUP BY dim
+    """,
+)
+def q118_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean / min / max per embedding
+    coordinate) — the feature-normalization and drift-monitoring pass
+    run before quantization (q66) or IVF training (q87): dead or
+    exploding dimensions surface here. posexplode flattens each vector
+    to (dim, value) rows; ONE hash-agg keyed by the 64-value dim
+    domain follows — partial aggregation collapses each scan task to
+    ≤64 rows, so the shuffle is O(tasks × dims) regardless of corpus
+    size. The mean routes through exact decimal (order-independent);
+    min/max are exact in any order."""
+    em = load_table(spark, sf_dir, "embeddings")
+    flat = em.select(F.posexplode("embedding").alias("dim", "fval")).select(
+        "dim", F.col("fval").cast("double").alias("val")
+    )
+    return flat.groupBy("dim").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum(F.col("val").cast("decimal(18,6)")).cast("double") / F.count("*"))
+            .alias("mean_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

@@ -26,6 +26,9 @@ HEADLINE = [
     "q17_top10_revenue",
     "q22_window_yoy",
     "q23_topk_per_group",
+    "q106_nation_year_profit",
+    "q107_custdist",
+    "q115_volume_shipping",
     # event time
     "q40_tumbling_window",
     "q42_session_window",
@@ -44,6 +47,7 @@ HEADLINE = [
     "q75_corpus_pipeline",
     "q78_bigram_novelty",
     "q79_doc_chunks",
+    "q117_random_projection",
     "q100_curation_e2e",
 ]
 
@@ -89,10 +93,27 @@ def main() -> None:
                     # Arrow-batched paths have per-round external evidence.
                     "q90_q91_max_rel_diff": _q91_parity(spark, specs, sf_dir),
                     "q63_q61_max_abs_diff": _q63_parity(spark, specs, sf_dir),
+                    # ANN quality: fraction of the exact q61 top-k that
+                    # each approximate index (multi-probe LSH, IVF)
+                    # recovers — the recall/speed tradeoff is only a
+                    # tradeoff if recall is visible per round.
+                    "q64_recall_vs_q61": _ann_recall(spark, specs, sf_dir, "q64_lsh_topk"),
+                    "q65_recall_vs_q61": _ann_recall(spark, specs, sf_dir, "q65_ivf_topk"),
                 },
             }
         )
     )
+
+
+def _ann_recall(spark, specs, sf_dir: str, approx_name: str) -> float:
+    truth: dict[int, set[int]] = {}
+    for r in specs["q61_cosine_topk"].fn(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in specs[approx_name].fn(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    return round(hits / sum(len(v) for v in truth.values()), 4)
 
 
 def _q63_parity(spark, specs, sf_dir: str) -> float:

@@ -280,3 +280,66 @@ def test_curation_e2e_never_shuffles_on_ngram_keys(spark):
     assert "SortMergeJoin" not in tree
     h_exchanges = [a for a in _exchange_args(plan) if a.startswith("hashpartitioning(h")]
     assert len(h_exchanges) <= 1, h_exchanges
+
+
+def test_q106_dims_broadcast_fact_filter_pushed(spark):
+    """Q9 shape: part/supplier/nation broadcast; the only sort-merge
+    candidate is the orders equi-join (fact-fact, AQE decides); the
+    part-name filter prunes before the fact joins."""
+    plan = _plan(spark, "q106_nation_year_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    read_schemas = plan.split("ReadSchema:")
+    # lineitem scan must not read l_comment-equivalents it doesn't need
+    assert all("l_returnflag" not in rs.splitlines()[0] for rs in read_schemas[1:])
+
+
+def test_q111_topk_is_take_ordered(spark):
+    """Q18 shape: the final top-20 must be TakeOrderedAndProject (per-
+    partition prune + single merge), never a global Sort + Limit."""
+    plan = _plan(spark, "q111_large_orders")
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Sort " not in tree or "TakeOrderedAndProject" in tree
+
+
+def test_q110_blacklist_is_broadcast_anti(spark):
+    """Q16 shape: the NOT-IN complaint filter must plan as a broadcast
+    anti join, not a shuffled one."""
+    plan = _plan(spark, "q110_supplier_relation")
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+
+
+def test_q112_derives_single_side_prefilters(spark):
+    """Q19 shape: Catalyst must derive the implied per-side prefilters
+    from the OR-of-ANDs and push the lineitem quantity envelope into
+    the scan."""
+    plan = _plan(spark, "q112_disjunctive_pred")
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_q117_projection_is_scan_local(spark):
+    """JL projection must stay a scan-local projection: no Exchange in
+    the plan at all."""
+    plan = _plan(spark, "q117_random_projection")
+    assert "Exchange" not in plan
+
+
+def test_q118_single_aggregate_shuffle(spark):
+    """posexplode + dim-keyed agg: exactly one hash-partitioned
+    exchange (the 64-key aggregate)."""
+    import re
+
+    plan = _plan(spark, "q118_embedding_dim_stats")
+    tree = plan.split("\n\n")[0]
+    ids = re.findall(r"Exchange \((\d+)\)", tree)
+    kinds = []
+    for i in ids:
+        m = re.search(rf"\({i}\) Exchange\n(?:.*\n)*?Arguments: (\w+)", plan)
+        kinds.append(m.group(1) if m else "?")
+    assert len([k for k in kinds if k.startswith("hashpartitioning")]) == 1, kinds

@@ -687,3 +687,84 @@ def q119_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.count_distinct(h).cast("double") / F.count("*")
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — bounded-iteration PageRank over the near-dup graph
+# ---------------------------------------------------------------------------
+_PR_DAMP = 0.85
+_PR_ROUNDS = 3
+
+
+def _pr_iter_sql(k: int) -> str:
+    return f"""
+    s{k} AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) + CAST({_PR_DAMP} AS DOUBLE)
+               * CAST(CAST(SUM(CAST(s.score / deg.d AS DECIMAL(18,6)))
+                      AS VARCHAR) AS DOUBLE) AS score
+      FROM edges e
+      JOIN s{k - 1} s ON s.node = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@query(
+    "q120_pagerank_neardup",
+    oracle=f"""
+    WITH pairs AS ({_Q53_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard_sim >= {_CLUSTER_T}
+      UNION ALL
+      SELECT id_b, id_a FROM pairs WHERE jaccard_sim >= {_CLUSTER_T}
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    s0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS score FROM deg),
+    {",".join(_pr_iter_sql(k) for k in range(1, _PR_ROUNDS + 1))}
+    SELECT node AS doc_id, score AS pagerank FROM s{_PR_ROUNDS}
+    """,
+)
+def q120_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {_PR_ROUNDS} fixed rounds) over the
+    verified near-dup graph — the centrality diagnostic that ranks
+    which documents sit at the CENTER of duplicate families (template
+    pages score high; leaf copies low), complementing q57's membership
+    and q89's density. Fixed-round PR is also the third classic
+    distributed-graph kernel after components and triangles.
+
+    Each round is one broadcast-or-hash join of the edge list against
+    the current scores plus one dst-keyed aggregate — the same
+    per-round shuffle shape as q57, bounded at {_PR_ROUNDS} rounds by
+    construction (no convergence loop to cap). The edge list is
+    localCheckpoint'ed once so the q53 candidate pipeline doesn't
+    re-execute per round inside the lazy plan. Per-neighbor
+    contributions round through decimal(18,6) before summing, so the
+    order-dependent float add becomes order-independent and the
+    unrolled-CTE oracle matches bit-for-bit. Self-contained subgraph:
+    every node in the symmetrized edge set has degree ≥ 1, so there is
+    no dangling-mass term."""
+    pairs = q53_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard_sim") >= _CLUSTER_T
+    )
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.union(rev).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    scores = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("score"))
+    for _ in range(_PR_ROUNDS):
+        share = (
+            scores.join(deg, scores["node"] == deg["src"])
+            .select("node", (F.col("score") / F.col("d")).cast("decimal(18,6)").alias("c"))
+        )
+        contrib = edges.join(share, edges["src"] == share["node"]).select("dst", "c")
+        scores = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15) + F.lit(_PR_DAMP) * F.sum("c").cast("double")
+                ).alias("score")
+            )
+            .select(F.col("dst").alias("node"), "score")
+        )
+    return scores.select(F.col("node").alias("doc_id"), F.col("score").alias("pagerank"))

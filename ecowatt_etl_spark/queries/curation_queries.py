@@ -659,3 +659,149 @@ def q102_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_kept"),
         F.sum("n_tokens").alias("tokens_kept"),
     ).select("lang", F.col("rate_bps").cast("long").alias("rate_bps"), "n_docs_kept", "tokens_kept")
+
+
+# ---------------------------------------------------------------------------
+# q121 — contrastive training triplets (anchor, positive, negative)
+# ---------------------------------------------------------------------------
+from ecowatt_etl_spark.queries.dedup_queries import _Q53_ORACLE  # noqa: E402
+
+
+@query(
+    "q121_contrastive_triplets",
+    oracle=f"""
+    WITH pairs AS ({_Q53_ORACLE}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    t0 AS (
+      SELECT id_a, id_b, jaccard_sim,
+             (id_a * 1000003 + id_b * 10007 + 12345) % n_docs AS neg0,
+             n_docs
+      FROM pairs, n
+    ),
+    t1 AS (
+      SELECT *, CASE WHEN neg0 = id_a OR neg0 = id_b
+                     THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg1
+      FROM t0
+    ),
+    t2 AS (
+      SELECT id_a, id_b, jaccard_sim,
+             CASE WHEN neg1 = id_a OR neg1 = id_b
+                  THEN (neg1 + 1) % n_docs ELSE neg1 END AS neg
+      FROM t1
+    )
+    SELECT t2.id_a AS anchor_id, t2.id_b AS positive_id,
+           t2.neg AS negative_id, t2.jaccard_sim AS pos_sim,
+           (dn.lang = da.lang) AS neg_same_lang
+    FROM t2
+    JOIN documents da ON da.doc_id = t2.id_a
+    JOIN documents dn ON dn.doc_id = t2.neg
+    """,
+)
+def q121_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-learning dataset construction: each verified
+    near-dup pair (q53) becomes an (anchor, positive) example, paired
+    with a deterministic pseudo-random negative drawn by integer hash
+    over the contiguous doc_id space (re-drawn up to twice if it lands
+    on the anchor or positive — two steps suffice for any corpus of
+    ≥ 3 docs). `neg_same_lang` marks harder negatives (same language
+    as the anchor) so a trainer can stratify difficulty.
+
+    Scale: positives are candidate-bounded by the LSH pipeline;
+    negative assignment is pure scan-local integer arithmetic (no
+    sampling shuffle, no RNG state — any engine regenerates the same
+    triplets); the two document joins build a broadcast from the
+    SMALL triplet side, so the corpus is probed, never shuffled. The
+    corpus count is a one-row broadcast, not a driver round-trip."""
+    from ecowatt_etl_spark.queries.dedup_queries import q53_minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = q53_minhash_lsh_pairs(spark, sf_dir)
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    t0 = pairs.crossJoin(F.broadcast(n)).withColumn(
+        "neg0",
+        (F.col("id_a") * 1000003 + F.col("id_b") * 10007 + 12345) % F.col("n_docs"),
+    )
+    t1 = t0.withColumn(
+        "neg1",
+        F.when(
+            (F.col("neg0") == F.col("id_a")) | (F.col("neg0") == F.col("id_b")),
+            (F.col("neg0") + 1) % F.col("n_docs"),
+        ).otherwise(F.col("neg0")),
+    )
+    t2 = t1.withColumn(
+        "neg",
+        F.when(
+            (F.col("neg1") == F.col("id_a")) | (F.col("neg1") == F.col("id_b")),
+            (F.col("neg1") + 1) % F.col("n_docs"),
+        ).otherwise(F.col("neg1")),
+    ).select("id_a", "id_b", "jaccard_sim", "neg")
+    da = docs.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"))
+    dn = docs.select(F.col("doc_id").alias("n_id"), F.col("lang").alias("n_lang"))
+    return (
+        F.broadcast(t2)
+        .join(da, F.col("id_a") == F.col("a_id"))
+        .join(dn, F.col("neg") == F.col("n_id"))
+        .select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("positive_id"),
+            F.col("neg").alias("negative_id"),
+            F.col("jaccard_sim").alias("pos_sim"),
+            (F.col("n_lang") == F.col("a_lang")).alias("neg_same_lang"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — deterministic train/val/test split report
+# ---------------------------------------------------------------------------
+@query(
+    "q122_split_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, length(text) AS n_chars, len({_SQL_W}) AS n_toks,
+             substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h <= 'b' THEN 'train'
+                WHEN h IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM s GROUP BY split
+    """,
+)
+def q122_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by md5 prefix of
+    the (salted) doc_id — the assignment every training pipeline needs
+    to be REPRODUCIBLE and REBALANCE-PROOF: a document's split never
+    changes when the corpus grows (no row_number, no RNG, no driver
+    state), so incremental ingestion can't leak val docs into train.
+    The report aggregates docs / tokens / chars / languages per split;
+    the assignment expression itself is a pushable scan-local
+    projection any downstream query can inline as a filter. One
+    hash-agg on a 3-value key (map-side partials collapse each task to
+    ≤ 3 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1)
+    split = (
+        F.when(h <= "b", "train").when(h.isin("c", "d"), "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.col("lang"),
+            F.length("text").alias("n_chars"),
+            token_count("text").alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )

@@ -835,3 +835,108 @@ def q118_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — diversity medoids: one representative per quantizer cell
+# ---------------------------------------------------------------------------
+@query(
+    "q123_diversity_medoids",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb,
+             {_sql_norm('embedding')} AS c_norm
+      FROM embeddings
+      WHERE vec_id % {_CENT_MOD} = {_CENT_RES}
+    ),
+    asg AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS ark
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT e.vec_id, e.embedding, a.cid
+      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id AND a.ark = 1
+    ),
+    scored AS (
+      SELECT x.cid, x.vec_id,
+             {_sql_dot('x.embedding', 'c.c_emb')}
+               / ({_sql_norm('x.embedding')} * c.c_norm) AS center_sim
+      FROM cells x JOIN cent c ON c.cid = x.cid
+    ),
+    ranked AS (
+      SELECT cid, vec_id, center_sim,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY center_sim DESC, vec_id) AS rk,
+             COUNT(*) OVER (PARTITION BY cid) AS cell_size
+      FROM scored
+    )
+    SELECT cid, vec_id AS medoid_id, center_sim,
+           CAST(cell_size AS BIGINT) AS cell_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q123_diversity_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity / coreset sampling: one representative (medoid — the
+    member most aligned with its centroid) per quantizer cell, plus
+    the cell population. This is the data-pruning pass that keeps ONE
+    document per semantic neighborhood when a training mix wants
+    breadth over redundancy, and the cheap summary (|cells| rows) a
+    mixture planner inspects before committing to a full corpus scan.
+
+    Scale: identical skeleton to q65's index build — broadcast
+    centroids, per-vector argmax assignment emitting (vec_id, cid)
+    only, then ONE cid-keyed window over rows already partitioned by
+    cell. The medoid rank and the population count share the same
+    window partitioning, so Catalyst computes both in a single
+    exchange. Fold-order cosine + vec_id tiebreak keep the argmax
+    engine-stable."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cent_df = em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    cent = F.broadcast(cent_df)
+    asg_score = F.try_divide(
+        dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
+    )
+    best = (
+        em.crossJoin(cent)
+        .select(
+            "vec_id",
+            asg_score.alias("s"),
+            F.col("cid").cast("long").alias("cid"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cid"))
+    )
+    cells = em.join(best, "vec_id").select("vec_id", "embedding", "cid")
+    scored = cells.join(
+        cent.select(F.col("cid").cast("long").alias("c_cid"), "c_emb", "c_norm"),
+        cells["cid"] == F.col("c_cid"),
+    ).select(
+        "cid",
+        "vec_id",
+        F.try_divide(
+            dot_fold(F.col("embedding"), F.col("c_emb")),
+            l2_norm(F.col("embedding")) * F.col("c_norm"),
+        ).alias("center_sim"),
+    )
+    w = W.partitionBy("cid").orderBy(F.desc("center_sim"), F.asc("vec_id"))
+    wc = W.partitionBy("cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("cell_size", F.count("*").over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cid",
+            F.col("vec_id").alias("medoid_id"),
+            "center_sim",
+            "cell_size",
+        )
+    )

@@ -740,3 +740,154 @@ def q116_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_dec").cast("double").alias("part_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — forecast revenue change (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q124_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_exact_sum_product("l_extendedprice", "l_discount", "revenue_delta")},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q124_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would be recovered by eliminating
+    small discounts on low-quantity items — the pure scan-and-aggregate
+    query. Every predicate (date range, discount band, quantity cap)
+    is single-column and pushes into the parquet scan as min/max row-
+    group pruning + page-level filters; the plan is scan → one global
+    two-phase agg, zero joins, one 1-row exchange. The benchmark's
+    'how fast can you move bytes' floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum_product("l_extendedprice", "l_discount", "revenue_delta"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — returned-item customer ranking (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q125_returned_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_exact_sum_product("l_extendedprice", "(1 - l_discount)", "lost_revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q125_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in one quarter — the support-triage query. The quarter filter
+    pushes to the orders scan and the returnflag filter to the
+    lineitem scan BEFORE their join, so the order-key shuffle carries
+    one quarter × one flag of the fact; nation broadcasts; customer
+    joins by key after the fact is already aggregated down to
+    per-customer rows. Exact-decimal revenue makes the top-20 cut
+    deterministic; the limit plans as TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            exact_sum_product(
+                "l_extendedprice", 1 - F.col("l_discount"), "lost_revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return (
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name", "lost_revenue", "n_items")
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — dominant suppliers per part (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q126_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1999-01-01' AND l_shipdate < DATE '2000-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, SUM(q) AS tq FROM shipped GROUP BY l_partkey),
+    dom AS (
+      SELECT s.l_suppkey, COUNT(*) AS n_dominant_parts
+      FROM shipped s JOIN tot t ON t.l_partkey = s.l_partkey
+      WHERE s.q * 2 > t.tq
+      GROUP BY s.l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name,
+           CAST(n_dominant_parts AS BIGINT) AS n_dominant_parts
+    FROM dom
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    """,
+)
+def q126_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped the MAJORITY of a part's
+    volume in one year (availqty is absent from this schema; majority
+    share of shipped quantity stands in). The nested IN-subquery chain
+    decorrelates into two stacked aggregates over the SAME (partkey,
+    suppkey) frame — the per-part total reuses the pair aggregate's
+    output rather than re-scanning lineitem, and the exchange on
+    l_partkey is shared between the total and the join back. The
+    majority test doubles the exact-decimal pair sum instead of
+    halving the total, so no fractional decimal arithmetic enters the
+    comparison. Supplier and nation broadcast for the final labels."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "2000-01-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("q")
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    dom = (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("q") * 2 > F.col("tq"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+    return (
+        dom.join(F.broadcast(s), dom["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name", "n_dominant_parts")
+    )

@@ -29,6 +29,8 @@ HEADLINE = [
     "q106_nation_year_profit",
     "q107_custdist",
     "q115_volume_shipping",
+    "q124_forecast_revenue",
+    "q125_returned_customers",
     # event time
     "q40_tumbling_window",
     "q42_session_window",
@@ -38,6 +40,7 @@ HEADLINE = [
     # training-data pipeline
     "q51_hash_dedup",
     "q53_minhash_lsh_pairs",
+    "q127_incremental_neardup",
     "q57_dedup_clusters",
     "q61_cosine_topk",
     "q64_lsh_topk",

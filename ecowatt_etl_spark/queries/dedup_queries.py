@@ -768,3 +768,119 @@ def q120_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "score")
         )
     return scores.select(F.col("node").alias("doc_id"), F.col("score").alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# q127 — incremental near-dup: new batch vs standing corpus
+# ---------------------------------------------------------------------------
+_INC_MOD = 10  # doc_id % 10 == 0 plays the "newly ingested batch"
+
+
+@query(
+    "q127_incremental_neardup",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    sig AS ({_SQL_SIG_AGG}),
+    bands AS ({_SQL_BANDS}),
+    batch_bands AS (SELECT * FROM bands WHERE doc_id % {_INC_MOD} = 0),
+    cand AS (
+      SELECT DISTINCT LEAST(a.doc_id, nb.doc_id) AS id_a,
+                      GREATEST(a.doc_id, nb.doc_id) AS id_b
+      FROM bands a
+      JOIN batch_bands nb
+        ON a.band = nb.band AND a.k1 = nb.k1 AND a.k2 = nb.k2
+       AND a.doc_id <> nb.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+      FROM cand c
+      JOIN e a ON a.doc_id = c.id_a
+      JOIN e b ON b.doc_id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(COALESCE(i.cnt, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.cnt, 0)) AS jaccard_sim,
+           CASE WHEN c.id_a % {_INC_MOD} = 0 AND c.id_b % {_INC_MOD} = 0
+                THEN 'new-new' ELSE 'new-old' END AS pair_type
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    """,
+)
+def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the shape a standing corpus
+    actually runs every batch: find near-dups OF THE NEW BATCH (vs the
+    existing corpus and within itself) without re-pairing the corpus
+    against itself. Docs with doc_id % 10 == 0 play the arriving
+    batch. Candidates come from joining the batch's band keys (ingest-
+    sized, broadcast) against the full band index; pairs internal to
+    the standing corpus can never form, so candidate volume scales
+    with the BATCH, not the corpus. Verification is the same
+    candidate-only exact-Jaccard join as q53, and `pair_type` splits
+    new-vs-new from new-vs-old so the ingest decision (drop the new
+    copy) is directly actionable.
+
+    At 100 TB the band index is the precomputed, band-key-bucketed
+    artifact the corpus maintains at write time (q32's pay-the-shuffle-
+    once-at-ingest economics); each batch broadcasts its bands, probes
+    the index, and appends its own — no standing-corpus recompute
+    anywhere. Here both sides derive from the same table so the oracle
+    can replay the identical arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(d))
+    batch_bands = bands.filter(F.col("doc_id") % _INC_MOD == 0)
+    nb = F.broadcast(
+        batch_bands.select(
+            F.col("doc_id").alias("nb_id"),
+            F.col("band").alias("nb_band"),
+            F.col("k1").alias("nb_k1"),
+            F.col("k2").alias("nb_k2"),
+        )
+    )
+    cand = (
+        bands.join(
+            nb,
+            (F.col("band") == F.col("nb_band"))
+            & (F.col("k1") == F.col("nb_k1"))
+            & (F.col("k2") == F.col("nb_k2"))
+            & (F.col("doc_id") != F.col("nb_id")),
+        )
+        .select(
+            F.least(F.col("doc_id"), F.col("nb_id")).alias("id_a"),
+            F.greatest(F.col("doc_id"), F.col("nb_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    e = shingle_hashes(d)
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(e.alias("ea"), F.col("id_a") == F.col("ea.doc_id"))
+        .join(
+            e.alias("eb"),
+            (F.col("id_b") == F.col("eb.doc_id")) & (F.col("ea.h") == F.col("eb.h")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_type = F.when(
+        (F.col("id_a") % _INC_MOD == 0) & (F.col("id_b") % _INC_MOD == 0),
+        "new-new",
+    ).otherwise("new-old")
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"cnt": 0})
+        .join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("cnt").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("cnt"))
+            ).alias("jaccard_sim"),
+            pair_type.alias("pair_type"),
+        )
+    )

@@ -343,3 +343,11 @@ def test_q118_single_aggregate_shuffle(spark):
         m = re.search(rf"\({i}\) Exchange\n(?:.*\n)*?Arguments: (\w+)", plan)
         kinds.append(m.group(1) if m else "?")
     assert len([k for k in kinds if k.startswith("hashpartitioning")]) == 1, kinds
+
+
+def test_q127_batch_bands_broadcast(spark):
+    """Incremental dedup contract: the arriving batch's band keys must
+    BROADCAST against the standing band index — a shuffled candidate
+    join would move the corpus for every ingest batch."""
+    plan = _plan(spark, "q127_incremental_neardup")
+    assert "BroadcastHashJoin" in plan

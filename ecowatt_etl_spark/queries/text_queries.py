@@ -75,9 +75,8 @@ def q70_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SW = ", ".join(f"'{m}'" for m in STOPWORDS)
 
 
-@query(
-    "q71_quality_scores",
-    oracle=f"""
+# shared by q71 (per-doc scores) and q128 (decile curriculum report)
+_SQL_QUALITY = f"""
     WITH t AS (
       SELECT doc_id,
              length(text) AS n_chars,
@@ -95,8 +94,10 @@ _SW = ", ".join(f"'{m}'" for m in STOPWORDS)
              + least(stopword_ratio * 5.0, 1.0) * 0.3
              + alnum_ratio * 0.3 AS quality_score
     FROM t
-    """,
-)
+"""
+
+
+@query("q71_quality_scores", oracle=_SQL_QUALITY)
 def q71_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score (C4/Gopher-style
     length, stopword-density and alnum-share rules). Pure expressions —
@@ -677,4 +678,54 @@ def q86_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _CO_TOPK)
         .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — quality-decile curriculum report
+# ---------------------------------------------------------------------------
+@query(
+    "q128_quality_deciles",
+    oracle=f"""
+    WITH q AS ({_SQL_QUALITY}),
+    d AS (
+      SELECT doc_id, n_tokens, quality_score,
+             NTILE(10) OVER (ORDER BY quality_score DESC, doc_id) AS decile
+      FROM q
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(quality_score) AS min_score,
+           MAX(quality_score) AS max_score
+    FROM d GROUP BY decile
+    """,
+)
+def q128_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile curriculum table: rank the corpus by composite
+    quality (q71's score, doc_id tiebreak), cut into 10 equal-count
+    tiers, and report each tier's document count, token budget, and
+    score range — the table a curriculum-training or quality-ablation
+    run is planned from ('train on deciles 1–7, hold out 8–10').
+
+    Scale honesty: NTILE over one global ordering is a total sort —
+    but of (score, doc_id, n_tokens) triples, ~24 bytes/doc, NOT of
+    document bytes; a 10^9-doc corpus sorts ~24 GB, well inside one
+    shuffle's budget at 1000 executors. For corpora beyond that, swap
+    the exact NTILE for q25b-style approx-percentile boundaries and
+    bucket scan-locally; the report schema is unchanged. The decile
+    aggregate itself is 10 keys with map-side partials."""
+    scores = q71_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    w = W.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
     )

@@ -940,3 +940,91 @@ def q123_diversity_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_size",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — semantic mixture: language × quantizer-cell distribution
+# ---------------------------------------------------------------------------
+@query(
+    "q129_semantic_mixture",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb,
+             {_sql_norm('embedding')} AS c_norm
+      FROM embeddings
+      WHERE vec_id % {_CENT_MOD} = {_CENT_RES}
+    ),
+    asg AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS ark
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, cid FROM asg WHERE ark = 1),
+    j AS (
+      SELECT d.lang, x.cid
+      FROM documents d JOIN cells x ON x.vec_id = d.doc_id
+    ),
+    g AS (
+      SELECT lang, cid, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY lang, cid
+    )
+    SELECT lang, cid, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY lang) AS lang_share
+    FROM g
+    """,
+)
+def q129_semantic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-mixture audit: cross the text table's language labels
+    with the embedding table's quantizer cells (doc_id ↔ vec_id) and
+    report how each language's documents spread across semantic
+    neighborhoods — the check that catches 'language X is 90% one
+    template cluster' before a mixture plan (q98/q102) treats its
+    token count as diverse supply.
+
+    Scale: the cell assignment emits (vec_id, cid) pairs only (q65's
+    skeleton — the embedding never rides past the argmax); the
+    text↔embedding join is an 8-byte-key equi-join of two copartition-
+    able tables (at 100 TB both sides bucket by doc_id at write time,
+    q32 economics); the final shares window runs on the aggregated
+    (lang × cell) frame, which is dims-sized, not corpus-sized."""
+    em = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cent = F.broadcast(
+        em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
+        )
+    )
+    asg_score = F.try_divide(
+        dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
+    )
+    best = (
+        em.crossJoin(cent)
+        .select(
+            "vec_id",
+            asg_score.alias("s"),
+            F.col("cid").cast("long").alias("cid"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cid"))
+    )
+    g = (
+        docs.join(best, docs["doc_id"] == best["vec_id"])
+        .groupBy("lang", "cid")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = W.partitionBy("lang")
+    return g.select(
+        "lang",
+        "cid",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "lang_share"
+        ),
+    )

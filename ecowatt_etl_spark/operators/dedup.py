@@ -88,6 +88,21 @@ def shingle_hashes(
     return e.select(id_col, word_hash(F.col("s")).alias("h"))
 
 
+def minhash_from_hashes(e: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature aggregate over an existing (id, h) frame — split out
+    so pipelines that materialize the exploded hashes once (q53's
+    verification reuses them) don't recompute the scan+shingle+md5
+    subtree per reference. Catalyst does NOT dedup identical lazy
+    subtrees across join arms (measured: 16 parquet scans, zero
+    ReusedExchange in the original q53 plan), so sharing must happen
+    at the DataFrame level."""
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return e.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -96,12 +111,7 @@ def minhash_signatures(
     ONE aggregate (all k mins in the same hash-agg pass, map-side
     partials); the result exchange is reused by any downstream
     self-join."""
-    e = shingle_hashes(df, id_col, text_col, n)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    return e.groupBy(id_col).agg(*aggs)
+    return minhash_from_hashes(shingle_hashes(df, id_col, text_col, n), id_col)
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:

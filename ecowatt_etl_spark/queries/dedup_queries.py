@@ -16,6 +16,7 @@ from ecowatt_etl_spark.operators.dedup import (
     hamming32,
     jaccard,
     lsh_bands,
+    minhash_from_hashes,
     minhash_signatures,
     normalized_text,
     shingle_hashes,
@@ -159,9 +160,19 @@ def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — 8-byte join keys instead of shuffling whole shingle arrays
     per pair. The N² similarity space is never materialized; a
     candidate pair that shares a band by hash luck alone still reports
-    (jaccard 0) via the left join, so LSH precision is observable."""
+    (jaccard 0) via the left join, so LSH precision is observable.
+
+    The exploded (doc, shingle-hash) rows and the band index are
+    localCheckpoint'ed: the plan references them 5× (band self-join ×2,
+    sizes, both verify arms) and Catalyst does not dedup identical lazy
+    subtrees across join arms — without materialization the
+    scan+shingle+md5 subtree executes per reference (measured 16
+    parquet scans, 2.5× the runtime). At real scale this IS the
+    design: the signature/band index is a maintained artifact the
+    corpus pays for once at ingest (see q127), never per query."""
     d = load_table(spark, sf_dir, "documents")
-    bands = lsh_bands(minhash_signatures(d))
+    e = shingle_hashes(d).localCheckpoint()
+    bands = lsh_bands(minhash_from_hashes(e)).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -174,7 +185,6 @@ def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    e = shingle_hashes(d)
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(e.alias("ea"), F.col("id_a") == F.col("ea.doc_id"))
@@ -237,13 +247,16 @@ def q54_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrimination but n²/4 join rows. Jaccard is computed over the
     capped sets (sizes and intersections both post-cap, so the metric
     is self-consistent); the join/shuffle key is the 8-byte hash, not
-    the shingle string."""
+    the shingle string. The capped index e2 is localCheckpoint'ed —
+    it feeds the self-join (both arms) plus the sizes aggregate, and
+    Catalyst doesn't dedup identical lazy subtrees across join arms
+    (same economics as q53's materialized index)."""
     d = load_table(spark, sf_dir, "documents")
-    e = shingle_hashes(d)
+    e = shingle_hashes(d).localCheckpoint()
     keep = e.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= _DF_CAP
     ).select("h")
-    e2 = e.join(keep, "h")
+    e2 = e.join(keep, "h").localCheckpoint()
     sizes = e2.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = e2.alias("a"), e2.alias("b")
     inter = (
@@ -830,7 +843,8 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere. Here both sides derive from the same table so the oracle
     can replay the identical arithmetic."""
     d = load_table(spark, sf_dir, "documents")
-    bands = lsh_bands(minhash_signatures(d))
+    e = shingle_hashes(d).localCheckpoint()
+    bands = lsh_bands(minhash_from_hashes(e)).localCheckpoint()
     batch_bands = bands.filter(F.col("doc_id") % _INC_MOD == 0)
     nb = F.broadcast(
         batch_bands.select(
@@ -854,7 +868,6 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = shingle_hashes(d)
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(e.alias("ea"), F.col("id_a") == F.col("ea.doc_id"))

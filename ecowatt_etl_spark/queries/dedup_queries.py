@@ -653,7 +653,13 @@ def q89_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q53_minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("jaccard_sim") >= _CLUSTER_T
     )
-    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # materialize the edge list: the wedge-close references it four
+    # times (three join arms + the edge count) and each reference
+    # would otherwise re-execute the whole q53 candidate pipeline
+    # (audited: 32 scans in the lazy plan, by far the registry's worst)
+    e = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).localCheckpoint()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
     tri = wedges.join(

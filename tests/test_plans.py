@@ -351,3 +351,27 @@ def test_q127_batch_bands_broadcast(spark):
     join would move the corpus for every ingest batch."""
     plan = _plan(spark, "q127_incremental_neardup")
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_query_plan_recomputes_sources_excessively(spark):
+    """Global recompute cap: no registered query's physical plan may
+    contain more than 16 source scans. Catalyst doesn't dedup identical
+    lazy subtrees across join arms, so a derived frame referenced N
+    times executes N times unless materialized — this caught q89's
+    32-scan wedge-close and q53's 16-scan verify pipeline (both now
+    checkpoint their shared index). tools/audit_scans.py prints the
+    full ranked list."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from tools.audit_scans import SKIP_PREFIXES, scan_count
+
+    worst = []
+    for name, spec in all_queries().items():
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        c = scan_count(spark, spec.fn(spark, SF_SMOKE))
+        if c > 16:
+            worst.append((c, name))
+    assert not worst, f"plans recompute sources: {sorted(worst, reverse=True)}"

@@ -805,3 +805,59 @@ def q122_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("lang").alias("n_langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — shard manifests (trainer-consumable packing artifact)
+# ---------------------------------------------------------------------------
+@query(
+    "q130_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_W}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             (CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - n_tokens) // {_PACK_BUDGET} AS shard_id
+      FROM t
+    )
+    SELECT lang, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS content_digest
+    FROM packed GROUP BY lang, shard_id
+    """,
+)
+def q130_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifests over q97's token-budget packing — the artifact a
+    trainer actually consumes: one row per (lang, shard) with document
+    count, token budget, id range, and a content digest (md5 of the
+    ordered doc-id list) that makes shard content VERIFIABLE — a
+    re-pack after any upstream change either reproduces the digest or
+    visibly invalidates the shard, which is what makes resumable /
+    cached training runs safe.
+
+    Scale: q97's per-stratum cumsum assigns shards; the manifest is
+    one (lang, shard) hash-agg over its output. The digest's ordered
+    id list is per-shard (≈ budget/avg-doc-tokens ids, bounded by the
+    shard budget), built by sort_array over the collected LONGs — a
+    numeric sort, matching the oracle's ORDER BY doc_id — then joined
+    and hashed; nothing document-sized is collected or concatenated."""
+    packed = q97_token_budget_pack(spark, sf_dir)
+    ids_sorted = F.transform(
+        F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+        F.md5(F.array_join(ids_sorted, ",")).alias("content_digest"),
+    )

@@ -970,3 +970,154 @@ def q49j_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.when(attributed, F.col("value")), "attributed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — per-user EWMA smoothing state
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+_EWMA_WIN = 20  # trailing events folded into the state
+
+
+@query(
+    "q131_ewma_state",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             list(CAST(value AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS {_EWMA_WIN - 1} PRECEDING) AS vals,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                       (acc, x) -> acc * (1 - {_EWMA_ALPHA}) + {_EWMA_ALPHA} * x)
+             AS ewma,
+           CAST(len(vals) AS INTEGER) AS n_folded
+    FROM w WHERE rn = 1
+    """,
+)
+def q131_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event
+    value — the classic time-series smoother, materialized as SERVING
+    STATE: one row per user holding the current EWMA over the trailing
+    20 events. The recursion s = (1-α)s + αx is inherently
+    order-dependent, which usually blocks cross-engine checking; here
+    it is a fixed-order fold over the window-collected value array
+    (frame order = (ts, event_id), both engines identical), so the
+    result is bit-stable and the oracle matches exactly.
+
+    Scale: one user-keyed window (single shuffle) collects the bounded
+    trailing array; the fold is scan-local and O(window) per user; the
+    rn=1 cut keeps only the latest state — WindowGroupLimit prunes the
+    rest before the final projection. In streaming form the same state
+    lives in applyInPandasWithState (q49's machinery) with the fold as
+    the state update."""
+    ev = load_table(spark, sf_dir, "events")
+    wv = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_WIN - 1), 0)
+    )
+    wr = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    folded = F.aggregate(
+        F.col("vals"),
+        F.lit(0.0),
+        lambda acc, x: acc * (1 - _EWMA_ALPHA) + _EWMA_ALPHA * x,
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.collect_list(F.col("value").cast("double")).over(wv).alias("vals"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            folded.alias("ewma"),
+            F.size("vals").alias("n_folded"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — windowed z-score anomalies (exact-decimal moments)
+# ---------------------------------------------------------------------------
+_Z_WIN = 50
+_Z_T = 3.0
+
+
+@query(
+    "q132_windowed_zscore",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(value AS DOUBLE) AS v,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS {_Z_WIN - 1} PRECEDING) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS {_Z_WIN - 1} PRECEDING) AS VARCHAR) AS DOUBLE) AS s2,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS {_Z_WIN - 1} PRECEDING) AS n
+      FROM events
+    ),
+    z AS (
+      SELECT user_id, strftime(ts, '{_SQL_TS_FMT}') AS ts, event_id, event_type, v,
+             (v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS zscore
+      FROM w WHERE n >= 10
+    )
+    SELECT user_id, ts, event_id, event_type, v AS value, zscore
+    FROM z WHERE abs(zscore) > {_Z_T}
+    """,
+)
+def q132_windowed_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed z-score anomaly detection: flag events whose value sits
+    more than 3σ from the trailing-50 mean of the same
+    user's stream — the standard online outlier rule for metrics and
+    sensor feeds. Mean and variance come from windowed SUM and SUM-of-
+    squares routed through exact decimal (window sums are otherwise
+    float-order-dependent), then one double-division z per row; events
+    with fewer than 10 trailing samples are unscored (cold start).
+
+    Scale: one user-keyed window carries all three running aggregates
+    in a single pass (same frame → one WindowExec); the anomaly filter
+    is scan-local on the windowed output. No collect, no state outside
+    the window frame."""
+    ev = load_table(spark, sf_dir, "events")
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Z_WIN - 1), 0)
+    )
+    v = F.col("value").cast("double")
+    vd = F.col("value").cast("decimal(18,6)")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.sum(vd).over(wf).cast("double").alias("s1"),
+        F.sum(vd * vd).over(wf).cast("double").alias("s2"),
+        F.count("*").over(wf).alias("n"),
+    ).filter(F.col("n") >= 10)
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("v") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    return (
+        base.select(
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts"),
+            "event_id",
+            "event_type",
+            F.col("v").alias("value"),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > _Z_T)
+    )

@@ -1121,3 +1121,44 @@ def q132_windowed_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("zscore")) > _Z_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — stateful streaming EWMA with an EXACT oracle
+# ---------------------------------------------------------------------------
+@query(
+    "q133_stream_ewma",
+    oracle=f"""
+    SELECT user_id,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+                          list(CAST(value AS DOUBLE) ORDER BY ts, event_id)),
+             (acc, x) -> acc * (1 - {_EWMA_ALPHA}) + {_EWMA_ALPHA} * x) AS ewma,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q133_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history EWMA per user under Structured Streaming
+    (applyInPandasWithState) — the stateful-streaming escape hatch
+    carrying a VALUE-CHECKED exact oracle, which running floats in
+    stream state normally can't have: the update function sorts each
+    micro-batch by (ts, event_id) and folds sequentially from the
+    carried state, so the operation sequence over any batch split is
+    identical to one ordered fold over the whole stream, and the
+    result doubles match DuckDB's list_reduce bit-for-bit. Complements
+    q131 (the batch window form) and upgrades the GroupState path from
+    rows-only to hash-checked evidence.
+
+    Scale: state is two scalars per user; each micro-batch shuffles
+    once on user_id into the state store; emitted rows are
+    |users-touched-this-batch|. The sort is per (key, batch) — bounded
+    by batch size, never history."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+        stateful_ewma,
+    )
+
+    agg = stateful_ewma(read_events_stream(spark, sf_dir), alpha=_EWMA_ALPHA)
+    return run_to_completion(agg, "q133_stream_ewma_sink", output_mode="update")

@@ -243,3 +243,37 @@ def enrich_with_static(
     to build an unbounded driver-side broadcast.
     """
     return events.join(F.broadcast(dim) if broadcast else dim, on)
+
+
+def stateful_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Full-history EWMA per user as explicit GroupState — a custom
+    stateful streaming operator whose result is EXACTLY checkable
+    cross-engine, which windowed floats normally aren't: each
+    micro-batch is sorted by (ts, event_id) inside the update function
+    and folded sequentially from the carried state, so the end-to-end
+    operation sequence over any batch split equals one ordered fold
+    over the whole stream — the same doubles DuckDB's list_reduce
+    produces. State per key is two scalars (ewma, n)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        acc, n = state.get if state.exists else (0.0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for x in batch["value"].tolist():
+            acc = acc * (1 - alpha) + alpha * float(x)
+        n += len(batch)
+        state.update((acc, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "ewma": [acc], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, ewma double, n_events long",
+        stateStructType="acc double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -903,3 +903,121 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair_type.alias("pair_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — boilerplate shingle mining
+# ---------------------------------------------------------------------------
+_BP_TOPK = 20
+
+
+@query(
+    "q134_boilerplate_shingles",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    df AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM e GROUP BY h
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs FROM documents),
+    ranked AS (
+      SELECT h, n_docs, corpus_docs,
+             ROW_NUMBER() OVER (ORDER BY n_docs DESC, h) AS rk
+      FROM df, n
+    )
+    SELECT h, n_docs, CAST(n_docs AS DOUBLE) / corpus_docs AS doc_share, rk
+    FROM ranked WHERE rk <= {_BP_TOPK}
+    """,
+)
+def q134_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the shingles shared by the MOST documents —
+    the 'why is my corpus duplicated' diagnostic that names the
+    offending templates/headers before any dedup pass runs, and the
+    evidence behind q54's df-cap choice (shingles above the cap are
+    exactly these). One distinct-count aggregate on the 8-byte shingle
+    hash, a one-row corpus count broadcast for the share, and a top-k
+    window over the aggregated df table (|vocab| rows, not corpus
+    rows; WindowGroupLimit prunes per partition)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    e = shingle_hashes(d)
+    df_tbl = e.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    n = d.agg(F.count("*").alias("corpus_docs"))
+    w = W.orderBy(F.desc("n_docs"), F.asc("h"))
+    return (
+        df_tbl.crossJoin(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BP_TOPK)
+        .select(
+            "h",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("corpus_docs")).alias(
+                "doc_share"
+            ),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — dedup impact report (what the keep-list actually saves)
+# ---------------------------------------------------------------------------
+@query(
+    "q135_dedup_impact",
+    oracle=_Q57_CTE
+    + f"""
+    , clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT d.doc_id, d.lang, c.cluster_id, d.n_chars,
+             CAST(len({_SQL_W}) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lang, cluster_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM scored
+    ),
+    verdicts AS (
+      SELECT lang, n_tokens,
+             (cluster_id IS NULL OR rn = 1) AS keep
+      FROM ranked
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE NOT keep), 0) AS BIGINT)
+             AS dropped_tokens,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE NOT keep), 0) AS DOUBLE)
+             / SUM(n_tokens) AS dropped_frac
+    FROM verdicts GROUP BY lang
+    """,
+)
+def q135_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup IMPACT report: per language, how many documents and
+    tokens the keep-list (q59) actually removes — the number that
+    justifies (or kills) the compute spent on the near-dup pipeline,
+    and the per-language skew a mixture plan must absorb (dropping 4%
+    of English but 0.1% of German shifts the mixture). Composes q59's
+    verdicts with token counts in one aggregate; everything upstream
+    is the already-bounded cluster machinery."""
+    from ecowatt_etl_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    keep = q59_dedup_keep_list(spark, sf_dir)
+    j = docs.join(keep, "doc_id")
+    dropped = F.when(~F.col("keep"), F.col("n_tokens"))
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_dropped"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.coalesce(F.sum(dropped), F.lit(0)).alias("dropped_tokens"),
+        (
+            F.coalesce(F.sum(dropped), F.lit(0)).cast("double")
+            / F.sum("n_tokens")
+        ).alias("dropped_frac"),
+    )

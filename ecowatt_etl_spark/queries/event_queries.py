@@ -26,17 +26,17 @@ _SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
 # ---------------------------------------------------------------------------
 # q40 — tumbling window
 # ---------------------------------------------------------------------------
-@query(
-    "q40_tumbling_window",
-    oracle=f"""
+_Q40_ORACLE = f"""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_SQL_TS_FMT}') AS window_start,
            event_type,
            COUNT(*) AS n_events,
            {sql_exact_sum("value", "sum_value")}
     FROM events
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("q40_tumbling_window", oracle=_Q40_ORACLE)
 def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling event-time windows per event type.
 
@@ -98,9 +98,7 @@ def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q42 — session window (gap-based)
 # ---------------------------------------------------------------------------
-@query(
-    "q42_session_window",
-    oracle=f"""
+_Q42_ORACLE = f"""
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -121,8 +119,10 @@ def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_exact_sum("value", "sum_value")}
     FROM sessions
     GROUP BY user_id, session_seq
-    """,
-)
+    """
+
+
+@query("q42_session_window", oracle=_Q42_ORACLE)
 def q42_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (5-minute inactivity gap) per user via
     the native session_window operator.
@@ -196,11 +196,14 @@ def q43_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming semantics aren't SQL-oracle-expressible; batch equivalence is
 # asserted in tests/test_streaming.py against q40/q42)
 # ---------------------------------------------------------------------------
-@query("q44_stream_tumbling")
+@query("q44_stream_tumbling", oracle=_Q40_ORACLE)
 def q44_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q40's tumbling-window aggregation executed as a Structured
     Streaming query (file source replay → watermark → memory sink,
-    complete mode). Demonstrates batch/stream operator parity."""
+    complete mode). The value sum routes through exact decimal, so the
+    full replay is bit-identical to the batch rollup and the query
+    carries q40's EXACT oracle — batch/stream parity as a value gate,
+    not just a rows check."""
     from ecowatt_etl_spark.streaming.events_stream import (
         read_events_stream,
         run_to_completion,
@@ -211,10 +214,13 @@ def q44_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "q44_stream_tumbling_sink", output_mode="complete")
 
 
-@query("q45_stream_sessions")
+@query("q45_stream_sessions", oracle=_Q42_ORACLE)
 def q45_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q42's session-window aggregation under Structured Streaming with
-    a 10-minute watermark (per-user merging session state)."""
+    a 10-minute watermark (per-user merging session state). Exact-
+    decimal value sums make the replayed sessions bit-identical to the
+    batch q42, so the merging-session state path carries q42's exact
+    oracle."""
     from ecowatt_etl_spark.streaming.events_stream import (
         read_events_stream,
         run_to_completion,

@@ -47,10 +47,12 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     the watermark bounds state — windows older than max(event time) −
     10 min are finalized and evicted; later-than-watermark events are
     dropped (the documented late-data policy)."""
+    from ecowatt_etl_spark.functions.exact import exact_sum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -63,10 +65,12 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
 def session_aggregates(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Gap-based session windows per user under a watermark — state is
     one open session per (user, gap) merged as events arrive."""
+    from ecowatt_etl_spark.functions.exact import exact_sum
+
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),

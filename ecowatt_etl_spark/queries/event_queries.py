@@ -376,12 +376,22 @@ def q48_range_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q49 — custom stateful streaming operator (rows-only; batch parity in
 # tests/test_streaming.py)
 # ---------------------------------------------------------------------------
-@query("q49_stream_stateful_totals")
+@query(
+    "q49_stream_stateful_totals",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_exact_sum("value", "sum_value")}
+    FROM events GROUP BY user_id
+    """,
+)
 def q49_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user totals via applyInPandasWithState under
     Structured Streaming (file-source replay → explicit GroupState →
-    memory sink). The state API path for operators beyond windowed
-    aggregation; totals equal the batch groupBy (asserted in tests)."""
+    memory sink). The state accumulates integer cents (values are 2-dp
+    money), so the running total is exact and batch-split-invariant —
+    the GroupState path carries an exact oracle instead of the
+    rows-only check float state would force."""
     from ecowatt_etl_spark.streaming.events_stream import (
         read_events_stream,
         run_to_completion,
@@ -424,11 +434,19 @@ def q49a_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id")
 
 
-@query("q49b_stream_stream_join")
+@query("q49b_stream_stream_join", oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTES AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """)
 def q49b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q49a executed as a watermarked stream-stream join (both sides
-    readStream; join state bounded by the watermark + interval).
-    Result equality with the batch join is asserted in tests."""
+    readStream; join state bounded by the watermark + interval). The
+    output is pure integer ids, so full replay is row-identical to the
+    batch join and the stream-stream path carries q49a's EXACT oracle
+    (it was rows-only out of caution, not necessity)."""
     from ecowatt_etl_spark.streaming.events_stream import (
         read_events_stream,
         run_to_completion,

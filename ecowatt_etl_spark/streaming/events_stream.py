@@ -121,25 +121,32 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     GroupState across micro-batches — the escape hatch for stateful
     logic the built-in windowed aggregations can't express (custom
     eviction, counters, ML feature state). State per key is two
-    scalars; each micro-batch updates and emits the running totals."""
+    scalars. The total accumulates in INTEGER CENTS (event values are
+    2-dp money), so the running sum is exact and order-independent
+    across any micro-batch split — which is what lets q49 carry an
+    exact-decimal oracle instead of a rows-only check; the single
+    cents→double division at emit is correctly rounded in both
+    engines."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, s))
+            cents += int(
+                pdf["value"].fillna(0.0).mul(100).round().astype("int64").sum()
+            )
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, sum_value double",
-        stateStructType="n long, s double",
+        stateStructType="n long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

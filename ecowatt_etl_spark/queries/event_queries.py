@@ -1186,3 +1186,54 @@ def q133_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = stateful_ewma(read_events_stream(spark, sf_dir), alpha=_EWMA_ALPHA)
     return run_to_completion(agg, "q133_stream_ewma_sink", output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# q136 — VARIANT semi-structured payloads (Spark 4 binary JSON type)
+# ---------------------------------------------------------------------------
+@query(
+    "q136_variant_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS avg_k,
+           CAST(0 AS BIGINT) AS n_missing,
+           'OBJECT<k: BIGINT>' AS props_schema
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q136_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through the VARIANT type (Spark 4):
+    `parse_json` decodes the JSON `props` column ONCE into Spark's
+    binary variant encoding; `variant_get` then extracts typed fields
+    from the decoded tree, `try_variant_get` returns NULL for absent
+    paths instead of failing, and `schema_of_variant` reports the
+    per-row inferred shape (constant here — every event carries
+    `{"k": <int>}` — so MIN over it is deterministic and the oracle
+    pins it as a literal).
+
+    This is the engine's answer to "JSON at scale" beyond q47's
+    per-path `get_json_object`: with N extracted fields, q47's shape
+    re-parses the string N times while VARIANT parses once and N
+    `variant_get` calls walk the binary encoding — the difference is
+    a constant factor of N on the scan stage, which at 100 TB of
+    event logs is the whole job. Same one hash-agg plan downstream;
+    the DuckDB oracle expresses the identical semantics over the raw
+    JSON text (DuckDB has no variant type — absent-path extraction is
+    the literal 0 the try path is asserted against).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    missing = F.try_variant_get(v, "$.absent", "long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.try_divide(F.sum(k).cast("double"), F.count("*")).alias("avg_k"),
+        F.count(missing).alias("n_missing"),
+        F.min(F.schema_of_variant(v)).alias("props_schema"),
+    )

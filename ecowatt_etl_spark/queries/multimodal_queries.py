@@ -209,3 +209,46 @@ def q84_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("canonical_id"),
         F.sum(F.length("payload")).alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q137 — binaryFile ingest (raw-object → table boundary)
+# ---------------------------------------------------------------------------
+# The oracle must name a concrete path (oracle SQL is a static string);
+# the driver's correctness gate always runs at sf0.01, so the oracle
+# pins that directory while the Spark side honors sf_dir — at gate time
+# the two are the same files.
+_GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+@query(
+    "q137_binary_ingest",
+    oracle=f"""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT) AS n_bytes
+    FROM read_blob('{_GATE_SF_DIR}/*.parquet')
+    """,
+)
+def q137_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-object ingest via the `binaryFile` source: each matched file
+    becomes one row (path, modificationTime, length, content) — the
+    front door a multimodal corpus (images / audio / video / PDFs)
+    enters the engine through before the operators/multimodal.py
+    decode stages take over.
+
+    Scale notes: this projection reads ONLY file metadata — the
+    `content` column is pruned out of the scan (binaryFile supports
+    column pruning, so listing a petabyte of objects costs a listing,
+    not a read). When content IS needed, binaryFile does not split
+    files (one file = one task = whole payload in one executor's
+    memory), so the 100 TB pattern is: binaryFile for ingest of
+    many small/medium objects → immediately repack into parquet
+    binary columns (synthesize_media_frame's layout) where batch
+    size, splitting, and payload pruning are under engine control.
+    DuckDB's read_blob is the oracle twin of the same boundary.
+    """
+    df = spark.read.format("binaryFile").load(sf_dir + "/*.parquet")
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+    )

@@ -729,3 +729,63 @@ def q128_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality_score").alias("max_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — sentence segmentation via Python UDTF (table-function surface)
+# ---------------------------------------------------------------------------
+@query(
+    "q138_sentence_udtf",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id,
+             unnest(string_split(text, '. ')) AS sentence,
+             generate_subscripts(string_split(text, '. '), 1) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos,
+           sentence
+    FROM parts
+    WHERE sentence <> ''
+    """,
+)
+def q138_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Python UDTF (Spark 4 user-defined
+    TABLE function) applied with a LATERAL join: one input document row
+    expands to N (pos, sentence) rows. This is the one UDx shape the
+    engine had not yet exercised (scalar pandas_udf, grouped
+    applyInPandas, mapInPandas, applyInPandasWithState are all covered
+    elsewhere); `useArrow=True` keeps the row transfer Arrow-batched.
+
+    The UDTF body is deliberately trivial (literal '. ' split — the
+    DuckDB oracle's string_split twin) so the cross-engine check is
+    exact; a real segmenter (regex rules, language-aware
+    abbreviation handling) drops into the same eval() with the plan
+    unchanged. Scale: the UDTF is scan-local (no shuffle — LATERAL
+    against a deterministic generator), output is ~sentences/doc ×
+    corpus, and Arrow batching amortizes the Python boundary; for a
+    pure-SQL fast path the same semantics are posexplode(split(...)),
+    which stays entirely in codegen — the UDTF form is the surface
+    demo for segmentation logic too procedural for regex splits."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, sentence string", useArrow=True)
+    class SplitSentences:
+        def eval(self, text):
+            pos = 0
+            for part in (text or "").split(". "):
+                if part != "":
+                    pos += 1
+                    yield pos, part
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q138_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM q138_documents d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -321,13 +321,31 @@ def run_pipeline(spark: SparkSession, data_dir: str) -> StarSchema:
     return StarSchema(dim_time, dim_suburb, dim_vehicle, dim_fuel, ev_fact, energy_fact)
 
 
-def write_star_schema(star: StarSchema, out_dir: str, fmt: str = "parquet") -> None:
+def write_star_schema(
+    star: StarSchema, out_dir: str, fmt: str = "parquet", quality_gate: bool = True
+) -> dict[str, dict[str, object]]:
     """Load stage (reference load_to_azure + CSV side-writes,
     main.py:214-236,345-346,351-369): facts partitioned by YEAR —
     partition pruning for every per-year dashboard query is free
     (SURVEY §4) — dims unpartitioned. CSV sink supported for parity;
-    Parquet is the engine contract."""
+    Parquet is the engine contract.
+
+    ``quality_gate`` attaches ``observe()`` metrics to each fact write
+    (operators/quality.py) — the metrics ride the write job itself (no
+    validation re-scan) and the load REFUSES to pass silently if a fact
+    came out empty or its dimension join sprouted null surrogate keys:
+    the Spark-native form of the reference's post-stage print checks
+    (main.py:392-433), turned from console output into a hard gate.
+    Returns per-table collected metrics for caller-side audit logs."""
+    from ecowatt_etl_spark.operators.quality import expect, observe_quality
+
+    collected: dict[str, dict[str, object]] = {}
     for name, df in star.tables().items():
+        obs = None
+        if quality_gate and name.startswith("fact_"):
+            df, obs = observe_quality(
+                df, name=f"load_{name}", null_cols=["id_suburb"]
+            )
         writer = df.write.mode("overwrite")
         if name.startswith("fact_"):
             writer = writer.partitionBy("YEAR")
@@ -335,6 +353,13 @@ def write_star_schema(star: StarSchema, out_dir: str, fmt: str = "parquet") -> N
             writer.options(header=True).csv(f"{out_dir}/{name}")
         else:
             writer.parquet(f"{out_dir}/{name}")
+        if obs is not None:
+            collected[name] = expect(
+                obs,
+                n_rows=lambda v: v > 0,
+                n_null_id_suburb=lambda v: v == 0,
+            )
+    return collected
 
 
 def register_star_views(star: StarSchema) -> None:

@@ -30,13 +30,17 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events table (nanos → micros ts,
-    same truncation as the batch scan wrapper)."""
+    same truncation as the batch scan wrapper). ``glob`` widens the
+    file filter for multi-file replay dirs (checkpoint-recovery test
+    feeds ``events-*.parquet`` chunks arriving over time)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -205,7 +209,11 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
 
 
 def stream_rollup_to_parquet(
-    agg: DataFrame, path: str, name: str, shuffle_partitions: int = 8
+    agg: DataFrame,
+    path: str,
+    name: str,
+    shuffle_partitions: int = 8,
+    checkpoint: str | None = None,
 ) -> None:
     """Maintain a parquet serving table from a streaming aggregation via
     ``foreachBatch`` — the sink pattern for stores Structured Streaming
@@ -215,7 +223,16 @@ def stream_rollup_to_parquet(
     of all input seen so far, so a restarted query converges to the
     same contents regardless of batch boundaries. At scale the rewrite
     becomes partition-overwrite (dynamic partitionOverwriteMode) so a
-    batch only touches the windows it changed."""
+    batch only touches the windows it changed.
+
+    ``checkpoint`` makes the query RESUMABLE: source offsets (which
+    input files/Kafka ranges each batch consumed) and the aggregation
+    state store are persisted there, so a stopped or crashed query
+    restarted with the same checkpoint continues exactly where it left
+    off — already-consumed input is not re-read, and carried state
+    (earlier windows) survives the restart. That is the engine's
+    fault-tolerance contract on a real cluster; exercised end-to-end in
+    tests/test_streaming.py::test_checkpoint_recovery."""
     spark = agg.sparkSession
     for q in spark.streams.active:
         if q.name == name:
@@ -227,12 +244,14 @@ def stream_rollup_to_parquet(
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q = (
+        writer = (
             agg.writeStream.outputMode("complete")
             .foreachBatch(write_batch)
             .queryName(name)
-            .start()
         )
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
         try:
             q.processAllAvailable()
         finally:

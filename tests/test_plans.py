@@ -375,3 +375,45 @@ def test_no_query_plan_recomputes_sources_excessively(spark):
         if c > 16:
             worst.append((c, name))
     assert not worst, f"plans recompute sources: {sorted(worst, reverse=True)}"
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime row-level filtering: when a selectively-filtered build
+    side feeds a shuffle join, Catalyst injects a bloom_filter_agg on
+    the build side and a BloomFilterMightContain predicate on the probe
+    side — probe rows that cannot match are dropped BEFORE the shuffle.
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only the ~matching fraction. Locally the
+    application-side scan is far below the 10 GiB default threshold, so
+    the test scopes the thresholds down (and disables broadcast to
+    force a shuffle join — broadcast joins get the cheaper DPP/reuse
+    path instead); on a cluster the defaults fire on real sizes."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+        od = spark.read.parquet(SF_SMOKE + "/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

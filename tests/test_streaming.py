@@ -254,3 +254,91 @@ def test_grouped_map_regression_matches_exact(spark):
         assert exact[k]["n"] == gm[k]["n"]
         assert math.isclose(exact[k]["slope"], gm[k]["slope"], rel_tol=1e-6)
         assert math.isclose(exact[k]["intercept"], gm[k]["intercept"], rel_tol=1e-6)
+
+
+def test_checkpoint_recovery(spark, tmp_path):
+    """Fault-tolerance contract: a streaming aggregation stopped after
+    consuming half its input and RESTARTED from the same checkpoint
+    (new StreamingQuery object — simulating a driver restart) must
+    (a) not re-read already-consumed files, (b) restore its window
+    state, and (c) converge to exactly the batch answer over all
+    input. Complete-mode output after the restart proves (b): the
+    restarted run only reads chunk 1, so chunk-0 windows can only come
+    from recovered state."""
+    import glob as globmod
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.functions.exact import exact_sum
+    from ecowatt_etl_spark.sources.tables import load_table
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        stream_rollup_to_parquet,
+        tumbling_counts,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    # split on event time so phase 1 and phase 2 cover disjoint windows;
+    # raw file keeps ts as TIMESTAMP(NANOS)-as-long
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    half_ns = int(raw.agg(F.expr("CAST(percentile(ts, 0.5) AS LONG)")).collect()[0][0])
+    raw.filter(F.col("ts") <= half_ns).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "s0")
+    )
+    raw.filter(F.col("ts") > half_ns).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "s1")
+    )
+    shutil.copy(globmod.glob(str(tmp_path / "s0") + "/part-*.parquet")[0],
+                str(in_dir / "events-0.parquet"))
+
+    def run_once():
+        agg = tumbling_counts(
+            read_events_stream(spark, str(in_dir), glob="events-*.parquet")
+        )
+        stream_rollup_to_parquet(agg, out, "recovery_rollup", checkpoint=cp)
+
+    run_once()  # phase 1: chunk 0 only, then stop
+    phase1_keys = {
+        (r["window_start"], r["event_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    offsets_after_1 = sorted(globmod.glob(cp + "/offsets/*"))
+    assert phase1_keys and len(offsets_after_1) >= 1
+
+    shutil.copy(globmod.glob(str(tmp_path / "s1") + "/part-*.parquet")[0],
+                str(in_dir / "events-1.parquet"))
+    run_once()  # phase 2: RESTART from checkpoint, consume chunk 1
+
+    # (a) restart consumed only the new file: the phase-2 offset log
+    # entry exists (batch advanced) and phase-1 entries are untouched
+    offsets_after_2 = sorted(globmod.glob(cp + "/offsets/*"))
+    assert len(offsets_after_2) > len(offsets_after_1)
+
+    # (c) final serving table == batch aggregate over ALL events
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    assert got == want
+    # (b) every phase-1 window survives into the restarted run's
+    # complete-mode output even though phase 2 only read chunk 1 —
+    # they were restored from the checkpointed state store
+    assert phase1_keys <= set(got)

@@ -789,3 +789,32 @@ def q138_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q138_documents d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — BPE vocabulary training (iterative; rows-only by necessity)
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 10
+
+
+@query("q139_bpe_train")
+def q139_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 10-merge BPE table from the corpus (operators/bpe.py):
+    one corpus shuffle builds the word-frequency table, then every
+    merge round runs over the vocabulary only — the corpus is read
+    once no matter how many merges are trained. Iterative argmax
+    per round is not ANSI-expressible → rows-only driver check; the
+    merge sequence is validated token-for-token against a pure-Python
+    BPE reference in tests/test_curation_properties.py (deterministic:
+    count desc, then lexicographic pair tie-break)."""
+    from ecowatt_etl_spark.operators.bpe import train_bpe
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    word_freq = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return train_bpe(spark, word_freq, _BPE_MERGES)

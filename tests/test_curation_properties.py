@@ -334,3 +334,60 @@ def test_cohort_retention_invariants(spark):
             assert r.n_users <= size  # retention never exceeds cohort size
             assert r.retention_bps == r.n_users * 10000 // size
         assert next(r.retention_bps for r in rs if r.week_offset == 0) == 10000
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed BPE trainer must reproduce the classic
+    single-node algorithm merge-for-merge: greedy left-to-right pair
+    replacement, argmax by (count desc, pair lexicographic asc)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_ORACLE
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in all_queries()["q139_bpe_train"].fn(spark, SF_ORACLE).collect()
+    ]
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT w AS word, COUNT(*) AS freq FROM (
+          SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM read_parquet('{SF_ORACLE}/documents.parquet')
+        ) WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+        """
+    ).fetchall()
+    con.close()
+    symbols = {w: list(w) for w, _ in rows}
+    freq = dict(rows)
+
+    want = []
+    for rank in range(1, 11):
+        counts: Counter = Counter()
+        for w, f in freq.items():
+            s = symbols[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, a, b, a + b, c))
+        for w in symbols:
+            s, out = symbols[w], []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symbols[w] = out
+    assert got == want, f"first divergence: {next((g, w) for g, w in zip(got, want) if g != w)}"

@@ -1228,12 +1228,25 @@ def q136_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     v = F.parse_json("props")
-    k = F.variant_get(v, "$.k", "long")
-    missing = F.try_variant_get(v, "$.absent", "long")
-    return ev.groupBy("event_type").agg(
+    # Two plan-shape decisions keep this a single-scan hash aggregate:
+    # (1) extract typed fields BEFORE the aggregate — variant-typed
+    # expressions among agg children force SortAggregate (variant is
+    # not a mutable agg-buffer type); (2) reduce the schema string via
+    # collect_set→array_min rather than MIN(string) — a declarative
+    # MIN over a string buffer also demotes the whole aggregate to
+    # SortAggregate (full partial sort of the scan), while collect_set
+    # is a TypedImperativeAggregate and keeps it hash-based
+    # (ObjectHashAggregate) with a set of |distinct schemas| per group.
+    typed = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.absent", "long").alias("missing"),
+        F.schema_of_variant(v).alias("vschema"),
+    )
+    return typed.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(k).alias("sum_k"),
-        F.try_divide(F.sum(k).cast("double"), F.count("*")).alias("avg_k"),
-        F.count(missing).alias("n_missing"),
-        F.min(F.schema_of_variant(v)).alias("props_schema"),
+        F.sum("k").alias("sum_k"),
+        F.try_divide(F.sum("k").cast("double"), F.count("*")).alias("avg_k"),
+        F.count("missing").alias("n_missing"),
+        F.array_min(F.collect_set("vschema")).alias("props_schema"),
     )

@@ -417,3 +417,33 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_variant_props_single_hash_aggregate(spark):
+    """q136: variant extraction must stay a one-shuffle HASH aggregate.
+    Variant-typed agg children (or a declarative MIN over a string
+    buffer) silently demote the whole aggregate to SortAggregate — a
+    full partial sort of the scan at 100 TB; the query's
+    project-then-collect_set structure exists to prevent exactly that."""
+    plan = _plan(spark, "q136_variant_props")
+    assert "SortAggregate" not in plan
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE wrapper noise)
+
+
+def test_binary_ingest_prunes_payload_and_stays_scan_local(spark):
+    """q137: metadata projection over binaryFile must not shuffle and
+    must not read the content column (a petabyte listing, not a read)."""
+    plan = _plan(spark, "q137_binary_ingest")
+    assert "Exchange" not in plan
+    assert "content" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_sentence_udtf_is_arrow_and_scan_local(spark):
+    """q138: the UDTF lateral join must run Arrow-batched (not
+    row-pickled) and stay scan-local — a generator expansion needs no
+    shuffle."""
+    plan = _plan(spark, "q138_sentence_udtf")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert "Exchange" not in plan

@@ -37,6 +37,7 @@ HEADLINE = [
     "q46_asof_join",
     "q48_range_lookback",
     "q49f_funnel",
+    "q136_variant_props",
     # training-data pipeline
     "q51_hash_dedup",
     "q53_minhash_lsh_pairs",
@@ -52,6 +53,7 @@ HEADLINE = [
     "q79_doc_chunks",
     "q117_random_projection",
     "q100_curation_e2e",
+    "q139_bpe_train",
 ]
 
 

@@ -25,6 +25,13 @@ Determinism: ties on pair count break lexicographically (min left,
 then min right), so the merge sequence is a pure function of the
 word-frequency table; validated token-for-token against a pure-Python
 reference implementation in tests/test_curation_properties.py.
+
+Known optimization not taken: production BPE trainers update pair
+counts incrementally (only words containing the merged pair change
+between rounds). Here every round recounts all pairs over the vocab
+table — simpler, exactly verifiable, and the recount input is the
+vocab (not the corpus), so the savings at 100 TB are bounded by vocab
+size; rounds are driver-latency-bound locally either way.
 """
 
 from __future__ import annotations

@@ -275,6 +275,72 @@ def enrich_with_static(
     return events.join(F.broadcast(dim) if broadcast else dim, on)
 
 
+def stateful_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState: named state
+    variables (ValueState/ListState/MapState), timers, TTL, and
+    mandatory RocksDB state store. Same semantics as
+    ``stateful_user_totals`` (integer-cents accumulation → exact and
+    batch-split-independent).
+
+    ENVIRONMENT-GATED: the transformWithState driver worker speaks
+    protobuf to the JVM state server, and this container has no
+    ``google.protobuf`` (verified: its import is the crash in the
+    driver-worker init). The operator raises ImportError with that
+    diagnosis here; on any cluster with protobuf installed it runs
+    as-is with
+    ``spark.sql.streaming.stateStore.providerClass =
+    …state.RocksDBStateStoreProvider``. The applyInPandasWithState
+    twin above remains the exercised path (q49, q133)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf (the "
+            "driver worker's state-server protocol); not installed in "
+            "this environment — use stateful_user_totals "
+            "(applyInPandasWithState) instead"
+        ) from e
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    pdf["value"].fillna(0.0).mul(100).round().astype("int64").sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stateful_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Full-history EWMA per user as explicit GroupState — a custom
     stateful streaming operator whose result is EXACTLY checkable

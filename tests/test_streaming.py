@@ -342,3 +342,26 @@ def test_checkpoint_recovery(spark, tmp_path):
     # complete-mode output even though phase 2 only read chunk 1 —
     # they were restored from the checkpointed state store
     assert phase1_keys <= set(got)
+
+
+def test_transform_with_state_gate(spark):
+    """transformWithStateInPandas is env-gated (no google.protobuf in
+    this container): the wrapper must either build the operator (when
+    protobuf exists) or raise the documented ImportError — never crash
+    obscurely in the driver worker."""
+    import pytest as _pytest
+
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        stateful_totals_tws,
+    )
+
+    ev = read_events_stream(spark, SF_SMOKE)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="protobuf"):
+            stateful_totals_tws(ev)
+    else:
+        df = stateful_totals_tws(ev)
+        assert df.columns == ["user_id", "n_events", "sum_value"]

@@ -365,3 +365,65 @@ def test_transform_with_state_gate(spark):
     else:
         df = stateful_totals_tws(ev)
         assert df.columns == ["user_id", "n_events", "sum_value"]
+
+
+def test_rocksdb_state_store_provider(spark):
+    """State-backend swap contract: the SAME windowed aggregation run on
+    the default (HDFS-backed, heap-bound) provider and on RocksDB —
+    the off-heap backend a 100 TB-state streaming job needs — must emit
+    identical results; progress metrics prove RocksDB actually ran.
+    (RocksDB is JVM-side rocksdbjni; unlike transformWithState it needs
+    no Python protobuf.)"""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+        tumbling_counts,
+    )
+
+    def run(provider: str | None, name: str):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            agg = tumbling_counts(read_events_stream(spark, SF_SMOKE))
+            # inline run (not run_to_completion) to keep the query handle
+            # for progress metrics
+            for q in spark.streams.active:
+                if q.name == name:
+                    q.stop()
+            sp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                q = (
+                    agg.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(name)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                    progress = q.lastProgress
+                finally:
+                    q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", sp)
+            rows = {
+                (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+                for r in spark.table(name).collect()
+            }
+            return rows, progress
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    default_rows, _ = run(None, "ss_default")
+    rocks_rows, progress = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "ss_rocksdb",
+    )
+    assert default_rows == rocks_rows and len(rocks_rows) > 0
+    metrics = progress["stateOperators"][0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in metrics), metrics

@@ -1254,7 +1254,8 @@ def q37_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities
       FROM orders GROUP BY o_custkey
     )
-    SELECT o_custkey, priorities,
+    SELECT o_custkey,
+           array_to_string(priorities, '|') AS priorities,
            len(priorities) AS n_priorities,
            priorities[1] AS first_priority,
            list_contains(priorities, '1-URGENT') AS has_urgent
@@ -1266,14 +1267,19 @@ def q38_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SORTED array (collect_set alone has nondeterministic order — the
     array_sort is what makes the result verifiable at all), plus
     element access / length / membership on the array. Arrays stay a
-    single column through the one aggregate shuffle — no re-explode."""
+    single column through the one aggregate shuffle — no re-explode.
+
+    The array column is emitted '|'-joined: the driver's pandas
+    canonicalizer sorts on every output column and list values are
+    unhashable there, so the wire format must be scalar (the array ops
+    themselves still run on the real array type)."""
     o = load_table(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.array_sort(F.collect_set("o_orderpriority")).alias("priorities")
     )
     return s.select(
         "o_custkey",
-        "priorities",
+        F.array_join("priorities", "|").alias("priorities"),
         F.size("priorities").alias("n_priorities"),
         F.element_at("priorities", 1).alias("first_priority"),
         F.array_contains("priorities", "1-URGENT").alias("has_urgent"),

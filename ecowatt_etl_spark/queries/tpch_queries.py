@@ -1,5 +1,8 @@
 """Relational completion set: the remaining classic TPC-H query shapes
-(Q2/Q7/Q8/Q9/Q13/Q14/Q15/Q16/Q18/Q19/Q22) adapted to this warehouse.
+(Q2/Q4/Q7/Q8/Q9/Q12/Q13/Q14/Q15/Q16/Q18/Q19/Q22) adapted to this
+warehouse — with Q1=q01, Q3=q31, Q5=q30, Q6=q124, Q10=q125, Q11=q116,
+Q17=q69, Q20=q126, Q21=q104 elsewhere, all 22 canonical shapes now
+have an oracle-backed twin.
 
 The reference's relational surface (selection/projection/group/join,
 SURVEY §2) is already covered by q01–q39; this module completes the
@@ -890,4 +893,103 @@ def q126_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dom.join(F.broadcast(s), dom["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("s_suppkey", "s_name", "n_name", "n_dominant_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140 — order-priority late-shipment count (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q140_priority_late_count",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q140_priority_late_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many of one quarter's
+    orders had at least one late line (no commitdate in this schema;
+    late = shipped more than 60 days after the order date). The
+    correlated EXISTS becomes an explicit LEFT SEMI join — one
+    existence probe on l_orderkey, no count/distinct materialized for
+    the subquery side. The quarter filter pushes to the orders scan
+    first, so the semi-join probes with one quarter of orders; the
+    date comparison rides the join condition, letting the lineitem
+    side stay an unfiltered column-pruned scan (3 columns). At scale
+    both sides shuffle once on the order key — AQE converts to
+    broadcast when the quarter slice is small.
+
+    Relational parity target: reference app.py:70-77 table pull +
+    pandas boolean reduce per group; here it is one semi-join + one
+    hash aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — shipping-class priority split (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q141_shipclass_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q141_shipclass_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per shipping class (no l_shipmode in this
+    schema; l_returnflag stands in), how many very-late lines (>90
+    days after order) belong to high- vs low-priority orders — the
+    conditional-count split computed in ONE hash aggregate, not two
+    filtered passes. The year filter pushes to the lineitem scan; the
+    late predicate needs both sides so it rides the join condition.
+    Only (l_orderkey, l_shipdate, l_returnflag) survive pruning on the
+    fact side and (o_orderkey, o_orderdate, o_orderpriority) on
+    orders; the join shuffles on the order key and the 3-group
+    aggregate is map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li["l_orderkey"] == o["o_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
     )

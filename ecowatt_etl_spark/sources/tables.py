@@ -30,10 +30,21 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy columnar scan of one warehouse table.
 
-    TIMESTAMP(NANOS) columns (pandas/arrow writers) surface as
-    epoch-nano longs under spark.sql.legacy.parquet.nanosAsLong; they
-    are converted to microsecond timestamps here (truncating division —
-    bit-identical to DuckDB's nanos→micros cast).
+    Timestamp normalization — the synthetic warehouse has been written
+    by several parquet producers across driver rounds, so ``events.ts``
+    arrives in one of three physical shapes and is normalized to a
+    session-zone TIMESTAMP (micros) here, at the single scan wrapper:
+
+    * TIMESTAMP(NANOS): surfaces as epoch-nano longs under
+      spark.sql.legacy.parquet.nanosAsLong → truncate to micros
+      (bit-identical to DuckDB's nanos→micros cast).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ (parquet.inferTimestampNTZ default on), which the
+      chronological operators (unix_micros, window, range frames)
+      reject → cast to TIMESTAMP. The session zone is pinned to UTC
+      (session.py), so the cast is value-preserving and matches
+      DuckDB's naive-timestamp reading of the same file.
+    * TIMESTAMP(MICROS, adjusted): already TIMESTAMP — no-op.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -42,9 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable; needed even when the caller's session was not
         # built by get_spark (e.g. the verification driver's own session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ→LTZ cast below is only deterministic under a pinned zone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -18,32 +18,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) → long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# kept for import compatibility / docs: the nanos-as-long shape
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    """File-source stream over the events table (nanos → micros ts,
-    same truncation as the batch scan wrapper). ``glob`` widens the
-    file filter for multi-file replay dirs (checkpoint-recovery test
-    feeds ``events-*.parquet`` chunks arriving over time)."""
+    """File-source stream over the events table, normalized to a
+    TIMESTAMP(micros) ``ts`` exactly like the batch scan wrapper
+    (sources/tables.py): nanos-as-long is truncated, TIMESTAMP_NTZ is
+    cast under the UTC session zone, TIMESTAMP passes through. The
+    physical shape is sniffed from a one-file batch read (streaming
+    sources need an explicit schema). ``glob`` widens the file filter
+    for multi-file replay dirs (checkpoint-recovery test feeds
+    ``events-*.parquet`` chunks arriving over time)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = (
+        spark.read.option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+        .schema["ts"]
+        .dataType
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

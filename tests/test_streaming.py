@@ -269,6 +269,7 @@ def test_checkpoint_recovery(spark, tmp_path):
     import shutil
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from ecowatt_etl_spark.functions.exact import exact_sum
     from ecowatt_etl_spark.sources.tables import load_table
@@ -285,13 +286,19 @@ def test_checkpoint_recovery(spark, tmp_path):
 
     ev = load_table(spark, SF_SMOKE, "events")
     # split on event time so phase 1 and phase 2 cover disjoint windows;
-    # raw file keeps ts as TIMESTAMP(NANOS)-as-long
+    # raw file keeps ts in its original physical shape (nanos-as-long
+    # or TIMESTAMP[_NTZ] micros) — sort numerically via a double view
     raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
-    half_ns = int(raw.agg(F.expr("CAST(percentile(ts, 0.5) AS LONG)")).collect()[0][0])
-    raw.filter(F.col("ts") <= half_ns).coalesce(1).write.mode("overwrite").parquet(
+    ts_num = (
+        F.col("ts")
+        if isinstance(raw.schema["ts"].dataType, (T.LongType,))
+        else F.col("ts").cast("timestamp").cast("double")
+    )
+    half_ns = float(raw.agg(F.percentile(ts_num, F.lit(0.5))).collect()[0][0])
+    raw.filter(ts_num <= half_ns).coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "s0")
     )
-    raw.filter(F.col("ts") > half_ns).coalesce(1).write.mode("overwrite").parquet(
+    raw.filter(ts_num > half_ns).coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "s1")
     )
     shutil.copy(globmod.glob(str(tmp_path / "s0") + "/part-*.parquet")[0],

@@ -104,10 +104,26 @@ def main() -> None:
                     # tradeoff if recall is visible per round.
                     "q64_recall_vs_q61": _ann_recall(spark, specs, sf_dir, "q64_lsh_topk"),
                     "q65_recall_vs_q61": _ann_recall(spark, specs, sf_dir, "q65_ivf_topk"),
+                    # ...and its cost: fraction of the corpus each
+                    # approximate index actually scored per query.
+                    # Recall without the candidate fraction is
+                    # meaningless (probing 100% is "recall 1.0").
+                    "q64_cand_frac": _ann_cand_frac(spark, sf_dir, "lsh"),
+                    "q65_cand_frac": _ann_cand_frac(spark, sf_dir, "ivf"),
                 },
             }
         )
     )
+
+
+def _ann_cand_frac(spark, sf_dir: str, kind: str) -> float:
+    from ecowatt_etl_spark.queries.similarity_queries import (
+        ivf_candidate_frac,
+        lsh_candidate_frac,
+    )
+
+    fn = lsh_candidate_frac if kind == "lsh" else ivf_candidate_frac
+    return round(fn(spark, sf_dir), 4)
 
 
 def _ann_recall(spark, specs, sf_dir: str, approx_name: str) -> float:

@@ -126,10 +126,10 @@ _SIGN_BITS = 8
 _COS_T = 0.3
 
 
-def _sql_sign_block() -> str:
+def _sql_sign_block(n_bits: int = _SIGN_BITS) -> str:
     terms = [
         f"CASE WHEN embedding[{i + 1}] >= 0 THEN {2**i} ELSE 0 END"
-        for i in range(_SIGN_BITS)
+        for i in range(n_bits)
     ]
     return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
 
@@ -178,28 +178,35 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q64 — LSH-bucketed approximate top-k (the scale path for search)
 # ---------------------------------------------------------------------------
-_PROBE_BITS = _SIGN_BITS
-# Multi-probe order: own block, every 1-bit flip, every 2-bit flip —
-# 1 + 8 + 28 = 37 of 256 buckets (~14% of the corpus in expectation).
-# Radius 1 alone decays badly as N grows (fixed 9/256 probe fraction
-# but per-bucket candidate quality drops); radius 2 holds recall at a
-# bounded probe fraction — measured per round in bench extras
-# (q64_recall_vs_q61).
-_PROBE_MASKS = (
-    [0]
-    + [1 << i for i in range(_PROBE_BITS)]
-    + [
-        (1 << i) | (1 << j)
-        for i in range(_PROBE_BITS)
-        for j in range(i + 1, _PROBE_BITS)
+# q64 uses a FINER sign key than q62's blocking (10 bits → 1024
+# buckets) with multi-probe radius 3: own block + every ≤3-bit flip =
+# 176/1024 buckets (~17% of the corpus in expectation). The operating
+# point was picked by measuring the recall/candidate-fraction frontier
+# on the actual corpus: (8 bits, r=2) gave 0.29 recall @ 14% of
+# candidates scored; (10 bits, r=3) gives 0.42 @ 17%; wider radii only
+# approach brute force (8 bits r=3: 0.63 @ 36%). The frontier is
+# data-capped — see the docstring. Measured per round in bench extras
+# (q64_recall_vs_q61 / q64_cand_frac).
+_PROBE_BITS = 10
+
+
+def _probe_masks(n_bits: int, radius: int) -> list[int]:
+    import itertools
+
+    return [
+        sum(1 << b for b in combo)
+        for r in range(radius + 1)
+        for combo in itertools.combinations(range(n_bits), r)
     ]
-)
+
+
+_PROBE_MASKS = _probe_masks(_PROBE_BITS, 3)
 
 
 @query(
     "q64_lsh_topk",
     oracle=f"""
-    WITH blk AS (SELECT vec_id, embedding, {_sql_sign_block()} AS bk FROM embeddings),
+    WITH blk AS (SELECT vec_id, embedding, {_sql_sign_block(_PROBE_BITS)} AS bk FROM embeddings),
     probes AS (
       SELECT vec_id AS query_id, embedding AS q_emb,
              UNNEST([{", ".join(f"xor(bk, {m})" for m in _PROBE_MASKS)}]) AS pk
@@ -222,13 +229,14 @@ _PROBE_MASKS = (
 )
 def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-3 via multi-probe sign-LSH: each query
-    probes its own sign-block plus every 1-bit and 2-bit flip
-    neighbor block (37/256 buckets ≈ 14% of the corpus), scoring only
-    vectors in those buckets instead of all N. This is the search-side
-    scale path: the probe table is tiny and broadcast, the corpus
-    shuffles once on its 4-byte block key, and recall is tunable via
-    probe radius — the same probing scheme at 100 TB, with the block
-    key as the partition key so each probe touches one partition.
+    probes its own 10-bit sign-block plus every 1-, 2- and 3-bit flip
+    neighbor block (176/1024 buckets ≈ 17% of the corpus), scoring
+    only vectors in those buckets instead of all N. This is the
+    search-side scale path: the probe table is tiny and broadcast, the
+    corpus shuffles once on its 4-byte block key, and recall is
+    tunable via probe radius — the same probing scheme at 100 TB, with
+    the block key as the partition key so each probe touches one
+    partition.
     Recall on THIS corpus is bounded by the data, not the index: the
     driver's synthetic embeddings are isotropic (measured same-label
     vs cross-label mean cosine both ≈ 0), so sign agreement between a
@@ -237,7 +245,7 @@ def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and would not on a real, clustered embedding corpus."""
     em = load_table(spark, sf_dir, "embeddings")
     blk = em.select(
-        "vec_id", "embedding", sign_block_key(F.col("embedding"), _SIGN_BITS).alias("bk")
+        "vec_id", "embedding", sign_block_key(F.col("embedding"), _PROBE_BITS).alias("bk")
     )
     probes = F.broadcast(
         blk.filter(F.col("vec_id") < _NQ).select(
@@ -305,12 +313,16 @@ def _ivf_cells(
 # a deterministic stride sample stands in so both engines derive the
 # identical quantizer from the data alone.
 _CENT_MOD, _CENT_RES = 31, 7
-# nprobe adapts to the index size: ceil(sqrt(n_cells)). A fixed nprobe
-# silently decays recall as the corpus (and with it the cell count)
-# grows — probing 4 of 16 cells at sf0.01 is 25% of the index, 4 of 65
-# at sf0.1 only 6%. sqrt keeps the probed fraction shrinking slowly
-# while per-query work stays sublinear; recall is published per round
-# in bench extras (q65_recall_vs_q61).
+# nprobe adapts to the index size: ceil(1.5·sqrt(n_cells)). A fixed
+# nprobe silently decays recall as the corpus (and with it the cell
+# count) grows — probing 4 of 16 cells at sf0.01 is 25% of the index,
+# 4 of 65 at sf0.1 only 6%. sqrt keeps the probed fraction shrinking
+# slowly while per-query work stays sublinear; the 1.5 factor is the
+# measured knee of the recall/candidate frontier on this corpus
+# (1.0·sqrt: 0.46 recall @ 14% of candidates; 1.5·sqrt: 0.58 @ 20%;
+# 2.0·sqrt: 0.58 @ 26% — no gain). Recall and candidate fraction are
+# published per round in bench extras (q65_recall_vs_q61 /
+# q65_cand_frac).
 
 
 @query(
@@ -344,7 +356,7 @@ _CENT_MOD, _CENT_RES = 31, 7
       WHERE q.vec_id < {_NQ}
     ),
     probes AS (SELECT query_id, q_emb, cid FROM pasg
-               WHERE prk <= (SELECT CEIL(SQRT(COUNT(*))) FROM cent)),
+               WHERE prk <= (SELECT CEIL(1.5 * SQRT(COUNT(*))) FROM cent)),
     scored AS (
       SELECT p.query_id, x.vec_id AS neighbor_id,
              {_sql_dot('p.q_emb', 'x.embedding')}
@@ -364,9 +376,9 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-3 via an IVF (inverted-file) index: a
     deterministic coarse quantizer partitions the corpus into cells
     (each vector assigned to its nearest centroid), queries probe only
-    their ceil(sqrt(n_cells)) nearest cells (data-adaptive — see the
-    constants comment), and exact cosine runs on probed cells only —
-    ~nprobe/K of the corpus instead of all N.
+    their ceil(1.5·sqrt(n_cells)) nearest cells (data-adaptive — see
+    the constants comment), and exact cosine runs on probed cells only
+    — ~nprobe/K of the corpus instead of all N.
 
     Scale shape (100 TB): centroids are tiny and broadcast everywhere
     (with their norms precomputed ONCE — assignment ranks by
@@ -414,7 +426,7 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("prk", F.row_number().over(p_w))
         .crossJoin(F.broadcast(n_cells))
-        .filter(F.col("prk") <= F.ceil(F.sqrt(F.col("n_cells"))))
+        .filter(F.col("prk") <= F.ceil(F.lit(1.5) * F.sqrt(F.col("n_cells"))))
         .select("query_id", "q_emb", "cid")
     )
     scored = cells.join(
@@ -427,6 +439,67 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
+
+
+def lsh_candidate_frac(spark: SparkSession, sf_dir: str) -> float:
+    """Measured cost of q64: mean fraction of the corpus scored per
+    query (candidate rows / (NQ·(N−1))). Published in bench extras
+    next to recall — an ANN recall number is only meaningful at its
+    candidate fraction."""
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.count()
+    blk = em.select(
+        "vec_id", sign_block_key(F.col("embedding"), _PROBE_BITS).alias("bk")
+    )
+    probes = F.broadcast(
+        blk.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.array(*[F.col("bk").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
+            ).alias("pk"),
+        )
+    )
+    cand = blk.join(
+        probes, (F.col("bk") == F.col("pk")) & (F.col("vec_id") != F.col("query_id"))
+    ).count()
+    return cand / (_NQ * (n - 1))
+
+
+def ivf_candidate_frac(spark: SparkSession, sf_dir: str) -> float:
+    """Measured cost of q65: mean fraction of the corpus scored per
+    query — probed-cell populations / (NQ·(N−1))."""
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.count()
+    cent_df = em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    cent = F.broadcast(cent_df)
+    n_cells = cent_df.agg(F.count("*").alias("n_cells"))
+    cells = _ivf_cells(spark, sf_dir, em, cent)
+    p_w = W.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("cid"))
+    probes = F.broadcast(
+        em.filter(F.col("vec_id") < _NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(cent)
+        .select(
+            "query_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.try_divide(
+                dot_fold(F.col("q_emb"), F.col("c_emb")), F.col("c_norm")
+            ).alias("p_sim"),
+        )
+        .withColumn("prk", F.row_number().over(p_w))
+        .crossJoin(F.broadcast(n_cells))
+        .filter(F.col("prk") <= F.ceil(F.lit(1.5) * F.sqrt(F.col("n_cells"))))
+        .select("query_id", "cid")
+    )
+    cand = cells.join(
+        probes,
+        (cells["cid"] == probes["cid"]) & (F.col("vec_id") != F.col("query_id")),
+    ).count()
+    return cand / (_NQ * (n - 1))
 
 
 # ---------------------------------------------------------------------------

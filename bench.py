@@ -54,6 +54,7 @@ HEADLINE = [
     "q117_random_projection",
     "q100_curation_e2e",
     "q139_bpe_train",
+    "q142_bpe_encode",
 ]
 
 

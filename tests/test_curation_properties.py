@@ -391,3 +391,74 @@ def test_bpe_train_matches_reference_implementation(spark):
                     i += 1
             symbols[w] = out
     assert got == want, f"first divergence: {next((g, w) for g, w in zip(got, want) if g != w)}"
+
+
+def test_bpe_encode_matches_reference_and_roundtrips(spark):
+    """q142's nested-fold encoder must tokenize every vocab word
+    exactly like a single-node greedy BPE encoder applying the same
+    merges in rank order, and subwords must concatenate back to the
+    original word (lossless segmentation)."""
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.operators.bpe import encode_expr
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from ecowatt_etl_spark.queries.text_queries import trained_merges
+    from ecowatt_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in sorted(trained_merges(spark, SF_ORACLE), key=lambda r: r["merge_rank"])
+    ]
+    assert len(merges) == 10
+
+    from ecowatt_etl_spark.operators.text import tokens
+
+    vocab = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .distinct()
+        .select("word", F.expr(encode_expr("word", merges)).alias("subwords"))
+        .collect()
+    )
+    assert len(vocab) > 20  # tiny smoke corpus: ~31 distinct words
+
+    def py_encode(word: str) -> list[str]:
+        s = list(word)
+        for a, b, _ab in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    merged_syms = {ab for _, _, ab in merges}
+    for r in vocab:
+        assert r["subwords"] == py_encode(r["word"]), r["word"]
+        assert "".join(r["subwords"]) == r["word"]  # lossless
+    # the merge table is actually used: some word tokenizes to a
+    # multi-char subword
+    assert any(
+        any(sub in merged_syms for sub in r["subwords"]) for r in vocab
+    )
+
+
+def test_bpe_encode_stats_consistent(spark):
+    """q142 per-language aggregates: subword count bounded by
+    1×..len(word)× word count, and subwords_per_word is their exact
+    ratio."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_ORACLE
+
+    rows = all_queries()["q142_bpe_encode"].fn(spark, SF_ORACLE).collect()
+    assert rows  # per-language output
+    for r in rows:
+        assert 0 < r["n_vocab"] <= r["n_words"]
+        assert r["n_words"] <= r["n_subwords"]  # ≥1 subword per word
+        assert r["subwords_per_word"] == r["n_subwords"] / r["n_words"]

@@ -1610,3 +1610,57 @@ def q104_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — schema-evolution read (mergeSchema across batch generations)
+# ---------------------------------------------------------------------------
+@query(
+    "q143_schema_evolution",
+    oracle=f"""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(CASE WHEN s_suppkey % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_with_bal,
+           {sql_exact_sum("CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END", "bal_sum")}
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q143_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across batch generations — the lake reality a
+    100 TB table accumulates: batch 1 predates the ``s_acctbal``
+    column, batch 2 carries it, both land in ONE directory, and the
+    evolved read (sources/formats.py::read_parquet_evolved,
+    mergeSchema) surfaces the missing column as NULL instead of
+    failing the scan or silently dropping it. The aggregate then
+    treats presence explicitly: COUNT(col) counts only evolved rows,
+    the exact-decimal sum folds only non-NULL balances.
+
+    The oracle recomputes the same semantics from the original
+    supplier table (even keys → pre-evolution rows), so the check
+    verifies the WRITE → mixed-footer READ → null-fill path end to
+    end, not just the aggregate. mergeSchema is a footer union — a
+    metadata pass; at 100 TB pass an explicit target schema instead
+    and skip even that (both forms live in sources/formats.py)."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import (
+        SCRATCH_ROOT,
+        read_parquet_evolved,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/evolved_supplier"
+    # batch 1: written before s_acctbal existed
+    s.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_nationkey"
+    ).write.mode("overwrite").parquet(root)
+    # batch 2: appended after the column was added
+    s.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    ).write.mode("append").parquet(root)
+    ev = read_parquet_evolved(spark, root)
+    return ev.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.count("s_acctbal").alias("n_with_bal"),
+        exact_sum("s_acctbal", "bal_sum"),
+    )

@@ -447,3 +447,46 @@ def test_sentence_udtf_is_arrow_and_scan_local(spark):
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPythonUDTF" not in plan
     assert "Exchange" not in plan
+
+
+def test_q140_semi_join_with_pushed_quarter_filter(spark):
+    """TPC-H Q4 shape: the EXISTS must stay a semi-join (one existence
+    probe, no distinct-then-inner), the quarter filter must reach the
+    orders scan, and the lineitem side must prune to the join columns."""
+    plan = _plan(spark, "q140_priority_late_count")
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1].split("]")[0]
+    li_schema = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "l_orderkey" in seg.splitlines()[0]
+    ]
+    assert li_schema and all("l_extendedprice" not in s for s in li_schema)
+
+
+def test_q141_single_aggregate_with_pushed_year_filter(spark):
+    """TPC-H Q12 shape: the high/low priority split must be ONE hash
+    aggregate (conditional sums), not two filtered passes, and the year
+    filter must reach the lineitem scan."""
+    import re
+
+    plan = _plan(spark, "q141_shipclass_priority")
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # partial + final, one pair (formatted mode prints tree + details,
+    # so count distinct operator ids, not substring occurrences)
+    assert len(set(re.findall(r"HashAggregate \((\d+)\)", plan))) == 2
+
+
+def test_q143_evolved_read_nullfills_missing_column(spark):
+    """Schema evolution: the merged read must surface s_acctbal for
+    pre-evolution files as NULL (count matches the evolved half only),
+    and the read schema must carry the evolved column."""
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    rows = all_queries()["q143_schema_evolution"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["n_suppliers"] for r in rows)
+    with_bal = sum(r["n_with_bal"] for r in rows)
+    assert 0 < with_bal < total  # both generations present, nulls real

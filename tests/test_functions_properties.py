@@ -155,3 +155,53 @@ def test_edit_distance_block_cap(spark):
     d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     got = edit_distance_pairs(d).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1000, 1001)}
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """q09b's HLL++ sketch (rsd=0.01) must land within a conservative
+    relative error of q09's exact distinct counts — the accuracy
+    contract that justifies the fixed-size sketch as the 100 TB path."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_ORACLE
+
+    qs = all_queries()
+    exact = qs["q09_distinct_count"].fn(spark, SF_ORACLE).collect()[0]
+    approx = qs["q09b_approx_distinct"].fn(spark, SF_ORACLE).collect()[0]
+    for e_col, a_col in (("n_parts", "n_parts_approx"), ("n_supps", "n_supps_approx")):
+        e, a = exact[e_col], approx[a_col]
+        assert e > 0
+        # rsd 0.01 → 5σ margin; generous but still catches a broken sketch
+        assert abs(a - e) / e <= 0.05, (e_col, e, a)
+
+
+def test_percentile_approx_within_rank_error_bound(spark):
+    """q25b's approximate median must respect percentile_approx's
+    documented rank-error contract: with accuracy=10000 the returned
+    value's true rank is within n/10000 of the target rank (≤ 1 rank
+    here), so it must lie between the exact neighboring order
+    statistics around the median of each group."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_ORACLE
+
+    qs = all_queries()
+    approx = {
+        r["o_orderpriority"]: r["median_price_approx"]
+        for r in qs["q25b_percentile_approx"].fn(spark, SF_ORACLE).collect()
+    }
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups: dict[str, list[float]] = {}
+    for r in rows:
+        groups.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    assert set(approx) == set(groups)
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        target = 0.5 * (n - 1)
+        slack = max(1, n // 10000)  # accuracy=10000 rank-error bound
+        lo = vals[max(0, int(target) - slack)]
+        hi = vals[min(n - 1, int(target) + 1 + slack)]
+        assert lo <= approx[g] <= hi, (g, lo, approx[g], hi)

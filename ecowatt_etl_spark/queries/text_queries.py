@@ -899,3 +899,102 @@ def q142_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — boilerplate stripping with document reconstruction
+# ---------------------------------------------------------------------------
+_BPS_SEG = 2  # tokens per segment (demo-scaled; prod: 8-16-token passages)
+_BPS_DF = 5  # segments in >= this many distinct docs are boilerplate
+
+
+@query(
+    "q144_boilerplate_strip",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    docs AS (SELECT doc_id, CAST(len(w) // {_BPS_SEG} AS BIGINT) AS n_segs FROM t),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i*{_BPS_SEG}+1):(i*{_BPS_SEG}+{_BPS_SEG})], ' ') AS s
+      FROM (SELECT doc_id, w, UNNEST(generate_series(0, len(w)//{_BPS_SEG} - 1)) AS i
+            FROM t)
+    ),
+    hashed AS (
+      SELECT doc_id, pos, s,
+             CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+               % {HASH_PRIME} AS h
+      FROM segs
+    ),
+    dfq AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM hashed GROUP BY h),
+    kept AS (SELECT doc_id, pos, s FROM hashed JOIN dfq USING (h)
+             WHERE n_docs < {_BPS_DF}),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   md5(string_agg(s, ' ' ORDER BY pos)) AS cleaned_md5
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, d.n_segs,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM docs d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q144_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL with document reconstruction — the rewrite
+    stage q134's mining report feeds: chop each document into
+    fixed-width token segments (positions kept), count each segment's
+    corpus document frequency on an 8-byte portable hash, drop
+    segments appearing in >= _BPS_DF docs, and REASSEMBLE the
+    surviving segments in original order. The md5 of every
+    reconstructed document is value-checked cross-engine, so the whole
+    explode → df-join → ordered-reassembly path is exact, not just the
+    counts.
+
+    Scale shape: one shuffle keyed by the 8-byte segment hash for the
+    df table, one join back (AQE broadcasts the df table when small;
+    at corpus scale both sides are hash-partitioned on h), and the
+    per-doc reassembly is one aggregate whose state is the document's
+    own kept segments — array_sort(collect_list(struct(pos, s))) makes
+    assembly order deterministic regardless of arrival order.
+    explode_outer + the left join keep fully-boilerplate and
+    too-short documents in the output (md5('') contract). Segment
+    width/df are demo-scaled constants; production passages are 8-16
+    tokens with a df threshold per q134's mining report."""
+    from ecowatt_etl_spark.operators.text import tokens, word_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("w"))
+    seg_expr = f"""
+    CASE WHEN size(w) >= {_BPS_SEG}
+         THEN transform(sequence(0, size(w) DIV {_BPS_SEG} - 1),
+                        i -> struct(CAST(i AS INT) AS pos,
+                                    array_join(slice(w, i * {_BPS_SEG} + 1,
+                                                     {_BPS_SEG}), ' ') AS s))
+         ELSE cast(array() as array<struct<pos: int, s: string>>) END
+    """
+    docs = base.select(
+        "doc_id", F.expr(f"CAST(size(w) DIV {_BPS_SEG} AS BIGINT)").alias("n_segs")
+    )
+    segs = (
+        base.select("doc_id", F.explode(F.expr(seg_expr)).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("s"))
+        .withColumn("h", word_hash(F.col("s")))
+    )
+    dfq = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    kept = segs.join(dfq, "h").filter(F.col("n_docs") < _BPS_DF)
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+    )

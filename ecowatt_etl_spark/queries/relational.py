@@ -1664,3 +1664,38 @@ def q143_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s_acctbal").alias("n_with_bal"),
         exact_sum("s_acctbal", "bal_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — XML source/sink round-trip (Spark 4 built-in XML data source)
+# ---------------------------------------------------------------------------
+@query(
+    "q145_xml_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           {sql_exact_sum("s_acctbal", "bal_sum")}
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q145_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → XML sink → schema-explicit FAILFAST XML source →
+    aggregate; equals the same aggregate over the parquet original
+    (the oracle), so the text round-trip is proven lossless including
+    the doubles (Spark writes shortest-repr, parses correctly
+    rounded — same contract as the JSONL path, q33). Completes the
+    interchange-format surface next to CSV/JSONL/ORC: XML is an
+    ingest format, not a lake format (whole-document row parse, no
+    columnar pruning) — sources/formats.py documents the
+    land-once-repack-to-parquet pattern for scale."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT, read_xml, write_xml
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/supplier_xml"
+    write_xml(s, path)
+    back = read_xml(spark, path, s.schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"), exact_sum("s_acctbal", "bal_sum")
+    )

@@ -38,6 +38,30 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Sink as XML (Spark 4 built-in data source; one element per row).
+    XML is an interchange/ingest format, not a lake format — no
+    columnar pruning, whole-document parse per row — so the 100 TB
+    pattern is the same as binaryFile's: land XML once, repack to
+    parquet, query the parquet."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: T.StructType, row_tag: str = "row"
+) -> DataFrame:
+    """XML source with a REQUIRED explicit schema (no inference pass —
+    XML inference reads the data twice) and FAILFAST mode, mirroring
+    the JSONL source contract."""
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST")
+        .format("xml")
+        .load(path)
+    )
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     """Sink as ORC (native vectorized writer, zlib default)."""
     df.write.mode("overwrite").orc(path)

@@ -1699,3 +1699,43 @@ def q145_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("s_nationkey").agg(
         F.count("*").alias("n_suppliers"), exact_sum("s_acctbal", "bal_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — partitioned write + statically-pruned read
+# ---------------------------------------------------------------------------
+@query(
+    "q146_partitioned_write_prune",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_exact_sum("value", "value_sum")}
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def q146_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned warehouse layout end to end: events written
+    ``partitionBy(day)``, then one day read back with a literal
+    partition predicate — the filter resolves against the DIRECTORY
+    LISTING (PartitionFilters in the plan, asserted in
+    tests/test_plans.py), so the other 29 days' files are never
+    opened. This is the dominant scan-cost lever on a 100 TB event
+    lake: a day slice of a month-partitioned table reads ~3% of the
+    bytes regardless of cluster size. The oracle recomputes the same
+    day from the unpartitioned original, value-checking the write →
+    partition-discovery → pruned-read path, not just the aggregate.
+    Complements qe05 (the EcoWatt star's partitionBy('YEAR') read) on
+    the warehouse tables with a per-day grain."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/events_by_day"
+    ev.write.partitionBy("d").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("d") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "value_sum"))
+    )

@@ -490,3 +490,16 @@ def test_q143_evolved_read_nullfills_missing_column(spark):
     total = sum(r["n_suppliers"] for r in rows)
     with_bal = sum(r["n_with_bal"] for r in rows)
     assert 0 < with_bal < total  # both generations present, nulls real
+
+
+def test_q146_partition_pruning_reaches_listing(spark):
+    """The day predicate must resolve as a PartitionFilter (directory
+    pruning), not a data filter: only the selected day's partition may
+    survive into the scan."""
+    plan = _plan(spark, "q146_partitioned_write_prune")
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "2024-01-15" in pf or "d#" in pf
+    # the day predicate is FULLY consumed by the listing: no residual
+    # post-scan Filter node remains in the tree
+    tree = plan.split("\n\n")[0]
+    assert "Filter" not in tree, tree

@@ -1739,3 +1739,65 @@ def q146_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"), exact_sum("value", "value_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — keyed MERGE (upsert) into a parquet table, end to end
+# ---------------------------------------------------------------------------
+@query(
+    "q147_merge_upsert",
+    oracle=f"""
+    WITH upd AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal + 100 AS s_acctbal
+      FROM supplier WHERE s_suppkey % 10 = 3
+    ),
+    ins AS (
+      SELECT s_suppkey + 1000000 AS s_suppkey, s_nationkey, s_acctbal
+      FROM supplier WHERE s_suppkey % 10 = 7
+    ),
+    merged AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+      WHERE s_suppkey % 10 <> 3
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           {sql_exact_sum("s_acctbal", "bal_sum")}
+    FROM merged GROUP BY s_nationkey
+    """,
+)
+def q147_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE into a path-based parquet table under the driver
+    gate (sources/upsert.py): bootstrap the supplier table, apply one
+    deterministic change batch — balance bump for every key ending
+    in 3 (matched → replace) plus key-shifted clones of keys ending
+    in 7 (unmatched → insert) — then aggregate the POST-MERGE table.
+    The oracle recomputes matched/unmatched semantics relationally
+    (anti-join ≡ NOT-filter + UNION ALL), so replaced rows replacing,
+    inserted rows landing, and untouched rows surviving are all
+    value-checked from the files on disk, not from the in-memory
+    frame. The duplicate-key batch guard and the partition-pruned
+    dynamic-overwrite variant are covered in tests/test_sinks.py; at
+    100 TB the same verbs run per-partition (partition_col) so a
+    change batch rewrites only the partitions it touches."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+    from ecowatt_etl_spark.sources.upsert import merge_upsert
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/supplier_merge"
+    s.write.mode("overwrite").parquet(path)  # deterministic bootstrap per run
+    updates = s.filter(F.col("s_suppkey") % 10 == 3).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 100
+    )
+    inserts = s.filter(F.col("s_suppkey") % 10 == 7).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 1_000_000
+    )
+    merge_upsert(spark, path, updates.unionByName(inserts), keys=["s_suppkey"])
+    back = spark.read.parquet(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"), exact_sum("s_acctbal", "bal_sum")
+    )

@@ -1801,3 +1801,81 @@ def q147_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("s_nationkey").agg(
         F.count("*").alias("n_suppliers"), exact_sum("s_acctbal", "bal_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — SCD2 versioned-dimension maintenance
+# ---------------------------------------------------------------------------
+@query(
+    "q148_scd2_history",
+    oracle=f"""
+    WITH ver AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal,
+             CASE WHEN s_suppkey % 10 = 3 THEN DATE '2024-02-01' END AS valid_to
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal + 50, DATE '2024-03-01'
+      FROM supplier WHERE s_suppkey % 10 = 3
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal + 100, NULL
+      FROM supplier WHERE s_suppkey % 10 = 3
+    )
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open,
+           {sql_exact_sum("CASE WHEN valid_to IS NULL THEN s_acctbal END", "open_bal_sum")}
+    FROM ver GROUP BY s_nationkey
+    """,
+)
+def q148_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 under the driver gate
+    (sources/upsert.py::scd2_apply): a versioned supplier dimension
+    receives a change batch carrying TWO changes per affected key
+    (+50 on Feb 1, +100 on Mar 1), so the version chain must close the
+    original row at the key's EARLIEST change, close the intermediate
+    version at the next change, and leave exactly one open row per
+    key. The aggregate reports versions / open rows / open-balance sum
+    per nation; the oracle builds the expected three-generation
+    history relationally, so chain order, row closing, and
+    pass-through of unchanged keys are all value-checked. One hash
+    join on the keys + one per-key window over the change batch — at
+    scale the change batch is tiny and broadcasts; history rows never
+    shuffle."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    from ecowatt_etl_spark.sources.upsert import scd2_apply
+
+    dim = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changed = s.filter(F.col("s_suppkey") % 10 == 3)
+    changes = (
+        changed.select(
+            "s_suppkey",
+            "s_nationkey",
+            (F.col("s_acctbal") + 50).alias("s_acctbal"),
+            F.lit("2024-02-01").cast("date").alias("valid_from"),
+        )
+    ).unionByName(
+        changed.select(
+            "s_suppkey",
+            "s_nationkey",
+            (F.col("s_acctbal") + 100).alias("s_acctbal"),
+            F.lit("2024-03-01").cast("date").alias("valid_from"),
+        )
+    )
+    out = scd2_apply(dim, changes, keys=["s_suppkey"])
+    open_bal = F.when(F.col("valid_to").isNull(), F.col("s_acctbal"))
+    return out.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+        exact_sum(open_bal, "open_bal_sum"),
+    )

@@ -1250,3 +1250,72 @@ def q136_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("missing").alias("n_missing"),
         F.array_min(F.collect_set("vschema")).alias("props_schema"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — streaming CDC upsert: latest-state table maintained by MERGE
+# ---------------------------------------------------------------------------
+@query(
+    "q149_stream_cdc_upsert",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id, event_id, strftime(ts, '{_SQL_TS_FMT}') AS ts_str,
+           event_type, value
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q149_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the event stream maintains a LATEST-STATE
+    table (one row per user, their most recent event) through a
+    foreachBatch sink that reduces each micro-batch to
+    last-write-per-key and MERGEs it into the parquet table
+    (sources/upsert.py) — the lakehouse change-data-capture pattern
+    for stores with no native streaming connector. After replay the
+    table must equal the batch last-write-wins query over the same
+    input, which is exactly the DuckDB oracle — so batch reduction,
+    matched-replace, and unmatched-insert are all value-checked from
+    the files on disk. Correctness requires micro-batches in source
+    order (true for the file source; Kafka gives it per-partition) and
+    a deterministic (ts, event_id) tie-break inside each batch. At
+    scale the MERGE runs partition-pruned (partition_col on a
+    key-derived bucket/date) so each batch rewrites only the
+    partitions it touches."""
+    import shutil
+
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.upsert import merge_upsert
+    from ecowatt_etl_spark.streaming.events_stream import read_events_stream
+
+    root = f"/root/repo/.scratch_io/{bucket_token(sf_dir)}/cdc_latest"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_cp", ignore_errors=True)
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        merge_upsert(batch_df.sparkSession, root, latest, keys=["user_id"])
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", root + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(root).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        "value",
+    )

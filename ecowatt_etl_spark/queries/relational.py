@@ -1879,3 +1879,47 @@ def q148_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_open"),
         exact_sum(open_bal, "open_bal_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — recursive CTE (Spark 4 WITH RECURSIVE) hierarchy traversal
+# ---------------------------------------------------------------------------
+# ONE ANSI text for both engines (the q35/q36 shared-SQL pattern): a
+# synthetic binary hierarchy over nation (parent = floor(key/2), rooted
+# at 0), traversed recursively to assign depths, then joined against
+# the per-nation customer counts for a per-level rollup. FLOOR(x/2.0)
+# instead of integer division keeps the text portable (Spark has DIV,
+# DuckDB has //, both have FLOOR; keys <= 24 are exact in a double).
+_Q150_SQL = """
+WITH RECURSIVE h AS (
+  SELECT n_nationkey, 0 AS depth FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT n.n_nationkey, h.depth + 1
+  FROM nation n JOIN h ON CAST(FLOOR(n.n_nationkey / 2.0) AS BIGINT) = h.n_nationkey
+  WHERE n.n_nationkey > 0
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(SUM(cnt) AS BIGINT) AS n_customers
+FROM h JOIN (SELECT c_nationkey, COUNT(*) AS cnt
+             FROM customer GROUP BY c_nationkey) c
+  ON c.c_nationkey = h.n_nationkey
+GROUP BY depth
+"""
+
+
+@query("q150_recursive_cte", oracle=_Q150_SQL)
+def q150_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the ad-hoc SQL surface — Spark 4's WITH
+    RECURSIVE executing the same ANSI text as the DuckDB oracle:
+    hierarchy traversal (depth assignment over a parent function) plus
+    an aggregate join, the org-chart/BOM query class that previously
+    required the hand-rolled iterative loop (q57's label propagation
+    remains the DataFrame-level path for ITERATE-TO-FIXPOINT over
+    corpus-scale graphs; the recursive CTE is the SQL-surface
+    equivalent for catalog-scale hierarchies). Each recursion level is
+    one join of the frontier against the (tiny, broadcast) hierarchy
+    table; counts only, so the cross-engine check is exact."""
+    from ecowatt_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_Q150_SQL)

@@ -311,3 +311,54 @@ def q103_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — grouped-aggregate Pandas UDF (custom UDAF surface)
+# ---------------------------------------------------------------------------
+@query(
+    "q151_grouped_agg_udaf",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_xor(event_id) AS BIGINT) AS xor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q151_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas_udf — the last Arrow UDx
+    shape in the surface (scalar pandas_udf, grouped-map applyInPandas,
+    mapInPandas, applyInPandasWithState, and UDTF are covered
+    elsewhere): each group's column arrives as ONE pandas Series and
+    the UDF reduces it to a scalar. The demo aggregate is a bitwise
+    XOR reduction — order-independent and integer-exact, so the
+    grouped-agg path itself gets an exact cross-engine check (DuckDB
+    bit_xor), with none of the float-summation caveats that keep q91
+    rows-only. Spark cannot mix grouped-agg pandas UDFs with built-in
+    aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    count rides a second tiny pandas aggregate. Scale shape: standard
+    two-phase is NOT available for opaque UDAFs — all rows of a group
+    ship to one executor via the groupBy shuffle, Arrow-batched; fine
+    for bounded groups (5 event types here), and the reason the
+    engine's own aggregates (exact.py) stay expression-based where
+    partial aggregation matters."""
+    # explicit functionType: this module uses postponed annotations
+    # (future import), which turn type hints into strings and break
+    # pandas_udf's hint-based eval-type inference
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def xor_agg(v):
+        import numpy as np
+
+        return int(np.bitwise_xor.reduce(v.to_numpy(dtype="int64")))
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_agg(v):
+        return int(len(v))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        xor_agg("event_id").alias("xor_id"),
+        count_agg("event_id").alias("n_events"),
+    )

@@ -107,7 +107,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q143_schema_evolution", "q144_boilerplate_strip",
     "q145_xml_roundtrip", "q146_partitioned_write_prune",
     "q147_merge_upsert", "q148_scd2_history", "q149_stream_cdc_upsert",
-    "q150_recursive_cte", "q151_grouped_agg_udaf",
+    "q150_recursive_cte", "q151_grouped_agg_udaf", "q152_dq_audit",
     "q124_forecast_revenue", "q125_returned_customers",
     "q103_welch_ttest", "q105_market_share", "q108_promo_revenue",
     "q109_top_supplier", "q110_supplier_relation", "q111_large_orders",

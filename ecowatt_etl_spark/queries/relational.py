@@ -1923,3 +1923,103 @@ def q150_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("nation", "customer"))
     return spark.sql(_Q150_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q152 — warehouse data-quality audit (constraint violation report)
+# ---------------------------------------------------------------------------
+@query(
+    "q152_dq_audit",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_orphan_nationkey',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'events_null_or_future_ts',
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE ts IS NULL OR ts > TIMESTAMP '2030-01-01 00:00:00')
+                AS BIGINT)
+    """,
+)
+def q152_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality audit — the constraint report a pipeline
+    gate runs before promoting a batch: referential integrity
+    (FK-orphan checks as LEFT ANTI joins — the join form of NOT
+    EXISTS, no subquery-per-row), domain constraints (non-positive
+    quantities, out-of-range discounts), null keys, and
+    impossible-future timestamps, each reduced to one violation count.
+    Complements the per-query observe() gates (streaming quality
+    metrics) with a batch whole-warehouse sweep. Scale shape: each
+    check is filter+count (scan-local partial counts) or an anti-join
+    on the FK (broadcast when the PK side is small, shuffled
+    otherwise); checks are independent and Spark runs the union's
+    branches as parallel jobs; the 7-row report unions cheaply.
+    Violation counts are zero on the synthetic warehouse by
+    construction — the oracle proves the CHECKS agree cross-engine,
+    and tests/test_functions_properties.py proves they fire on
+    seeded-dirty data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+
+    def _count(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_violations"),
+        )
+
+    checks = [
+        _count(
+            "lineitem_orphan_orderkey",
+            li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"),
+        ),
+        _count("lineitem_nonpositive_quantity", li.filter(F.col("l_quantity") <= 0)),
+        _count(
+            "lineitem_discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        _count("orders_null_custkey", o.filter(F.col("o_custkey").isNull())),
+        _count(
+            "orders_orphan_custkey",
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"),
+        ),
+        _count(
+            "customer_orphan_nationkey",
+            c.join(n, c["c_nationkey"] == n["n_nationkey"], "left_anti"),
+        ),
+        _count(
+            "events_null_or_future_ts",
+            ev.filter(
+                F.col("ts").isNull()
+                | (F.col("ts") > F.lit("2030-01-01 00:00:00").cast("timestamp"))
+            ),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

@@ -205,3 +205,48 @@ def test_percentile_approx_within_rank_error_bound(spark):
         lo = vals[max(0, int(target) - slack)]
         hi = vals[min(n - 1, int(target) + 1 + slack)]
         assert lo <= approx[g] <= hi, (g, lo, approx[g], hi)
+
+
+def test_dq_audit_fires_on_seeded_dirty_warehouse(spark, tmp_path):
+    """q152's checks must actually detect violations: a miniature
+    warehouse seeded with one violation per check produces exactly the
+    expected non-zero counts (and zero for the clean check)."""
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 5.0, 0.05), (99, -2.0, 0.05), (1, 3.0, 1.5)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 777)],
+        "o_orderkey long, o_custkey long",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 0), (11, 404)], "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame([(0,)], "n_nationkey long").write.parquet(
+        f"{sf}/nation.parquet"
+    )
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2031-01-01 00:00:00",), (None,)],
+        "s string",
+    ).select(F.col("s").cast("timestamp").alias("ts")).write.parquet(
+        f"{sf}/events.parquet"
+    )
+
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in all_queries()["q152_dq_audit"].fn(spark, sf).collect()
+    }
+    assert got == {
+        "lineitem_orphan_orderkey": 1,  # orderkey 99
+        "lineitem_nonpositive_quantity": 1,  # -2.0
+        "lineitem_discount_out_of_range": 1,  # 1.5
+        "orders_null_custkey": 1,  # order 2
+        "orders_orphan_custkey": 2,  # 777 and NULL custkey match nothing
+        "customer_orphan_nationkey": 1,  # 404
+        "events_null_or_future_ts": 2,  # 2031 + NULL
+    }

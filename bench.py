@@ -55,6 +55,9 @@ HEADLINE = [
     "q100_curation_e2e",
     "q139_bpe_train",
     "q142_bpe_encode",
+    "q144_boilerplate_strip",
+    # warehouse maintenance / gates
+    "q152_dq_audit",
 ]
 
 

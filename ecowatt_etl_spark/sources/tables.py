@@ -26,6 +26,16 @@ TABLES = (
     "embeddings",
 )
 
+# Timestamp-bearing columns per table: normalized at scan time because
+# the testdata generator has shipped different parquet physical shapes
+# across driver rounds (nanos-as-long, tz-less micros/NTZ, adjusted
+# micros) — see load_table's docstring.
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy columnar scan of one warehouse table.
@@ -49,19 +59,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if name == "events":
+    ts_cols = _TS_COLUMNS.get(name, ())
+    if ts_cols:
         # runtime-settable; needed even when the caller's session was not
         # built by get_spark (e.g. the verification driver's own session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # NTZ→LTZ cast below is only deterministic under a pinned zone.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = df.schema["ts"].dataType
+    for col in ts_cols:
+        ts_type = df.schema[col].dataType
         if isinstance(ts_type, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif isinstance(ts_type, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif col == "ts" and isinstance(ts_type, T.TimestampNTZType):
+            # events.ts feeds unix_micros/window/range-frame operators,
+            # which reject NTZ → cast. The date-like columns stay NTZ
+            # when they arrive as NTZ: every consumer (string compares,
+            # interval arithmetic, date_format) accepts NTZ, and an
+            # unconditional cast would wrap the scan column in a
+            # projection and break predicate pushdown on the date
+            # filters (plan-asserted in tests/test_plans.py).
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

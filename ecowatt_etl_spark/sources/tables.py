@@ -68,6 +68,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in ts_cols:
+        if col not in df.columns:  # partial-schema fixtures (tests)
+            continue
         ts_type = df.schema[col].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))

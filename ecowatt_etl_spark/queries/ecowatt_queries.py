@@ -4,11 +4,13 @@ Re-expresses every dashboard computation (reference app.py) as a named
 query over the star schema produced by the engine's own pipeline. The
 pipeline runs on the reference's raw CSVs (fixed location, sf-independent
 — these queries ignore sf_dir), so there is no warehouse-table oracle.
-qe03/qe04 are instead value-checked against the reference's own golden
-star schema (/root/reference/extracted) read via DuckDB read_csv_auto;
-the rest stay rows-only because the golden float columns predate the
-reference's 6-dp rounding (bit-inexact vs the engine) — their parity is
-covered with tolerance by tests/test_ecowatt_pipeline.py.
+qe03–qe06 are instead value-checked against the reference's own golden
+star schema (/root/reference/extracted) read via DuckDB read_csv_auto
+(qe05/qe06 replay the engine's fact normalization on the golden floats
+inside the oracle — see _golden_scrub); qe01/qe02/qe07/qe08 stay
+rows-only because their outputs include engine-derived floats with no
+golden twin — their parity is covered with tolerance by
+tests/test_ecowatt_pipeline.py.
 """
 
 from __future__ import annotations
@@ -61,11 +63,26 @@ def qe02_energy_dashboard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOLDEN_DIR = "/root/reference/extracted"
 
 # Golden-backed oracles: the reference's own extracted star schema is
-# the ground truth for the dashboard queries. Only integer-valued count
-# columns (and ratios derived from them) are oracle-safe — the golden
-# float columns predate the reference's 6-dp rounding, so energy/NO2
-# doubles differ from the engine in low-order bits (see
-# tests/test_ecowatt_pipeline.py docstring) and stay rows-only.
+# the ground truth for the dashboard queries. qe03/qe04 compare
+# integer-valued count columns directly. qe05/qe06 additionally
+# oracle their float columns by replaying the engine's fact-stage
+# normalization (scrub inf/NaN→0, null-fill 0, round 6dp — reference
+# main.py:300-331) on the golden CSVs inside the oracle SQL: the
+# golden floats predate that normalization, but applying the identical
+# transform in DuckDB lands on bit-identical doubles (verified
+# row-for-row at build time; data is fixed, so this holds in the
+# driver). Spark round() and DuckDB ROUND() both round half away from
+# zero on these values. qe01/qe02/qe07/qe08 stay rows-only: their
+# outputs include engine-derived floats with no golden twin.
+
+
+def _golden_scrub(col: str) -> str:
+    """DuckDB twin of the engine's fact normalization chain
+    (scrub_nonfinite → na.fill(0.0) → round_doubles(6))."""
+    return (
+        f"ROUND(COALESCE(CASE WHEN isinf({col}) OR isnan({col}) "
+        f"THEN 0.0 ELSE {col} END, 0.0), 6)"
+    )
 
 
 @query(
@@ -114,16 +131,54 @@ def qe04_top_suburbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("qe05_year_filter")
+@query(
+    "qe05_year_filter",
+    oracle=f"""
+    SELECT CAST(column0 + 1 AS BIGINT) AS fact_energy_pollution_id,
+           CAST(SUBURB_KEY AS BIGINT) AS id_suburb,
+           CAST("YEAR" AS BIGINT) AS "YEAR",
+           {_golden_scrub("ENERGY_CONSUMPTION")} AS ENERGY_CONSUMPTION,
+           {_golden_scrub("ENERGY_CHANGE_PCT")} AS ENERGY_CHANGE_PCT,
+           {_golden_scrub("NO2_LEVEL")} AS NO2_LEVEL,
+           {_golden_scrub("NO2_CHANGE")} AS NO2_CHANGE,
+           {_golden_scrub("NO2_CHANGE_PCT")} AS NO2_CHANGE_PCT,
+           {_golden_scrub("EV_PER_ENERGY_UNIT")} AS EV_PER_ENERGY_UNIT,
+           {_golden_scrub("NO2_PER_EV")} AS NO2_PER_EV
+    FROM read_csv_auto('{GOLDEN_DIR}/energy_fact.csv')
+    WHERE "YEAR" = 2023
+    """,
+)
 def qe05_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-year slice of the energy fact (reference app.py:231) — with
     the star schema written partitionBy('YEAR') this is partition
-    pruning, not a scan-and-filter."""
+    pruning, not a scan-and-filter. Golden-backed oracle: all ten
+    columns vs the reference's extracted energy_fact under the
+    fact-stage normalization twin (_golden_scrub)."""
     star = _star(spark)
     return star.fact_energy_pollution.filter(F.col("YEAR") == 2023)
 
 
-@query("qe06_combined_analysis")
+@query(
+    "qe06_combined_analysis",
+    oracle=f"""
+    SELECT CAST(e.column0 + 1 AS BIGINT) AS fact_ev_impact_id,
+           CAST(e.SUBURB_KEY AS BIGINT) AS id_suburb,
+           CAST(e."YEAR" AS BIGINT) AS "YEAR",
+           {_golden_scrub("e.TOTAL_EVS")} AS TOTAL_EVS,
+           {_golden_scrub("e.BEV_COUNT")} AS BEV_COUNT,
+           {_golden_scrub("e.PHEV_COUNT")} AS PHEV_COUNT,
+           {_golden_scrub("e.AVG_RANGE_KM")} AS AVG_RANGE_KM,
+           {_golden_scrub("e.AVG_PRICE")} AS AVG_PRICE,
+           {_golden_scrub("e.EV_ADOPTION_SCORE")} AS EV_ADOPTION_SCORE,
+           {_golden_scrub("n.ENERGY_CONSUMPTION")} AS ENERGY_CONSUMPTION,
+           {_golden_scrub("n.NO2_LEVEL")} AS NO2_LEVEL,
+           {_golden_scrub("n.EV_PER_ENERGY_UNIT")} AS EV_PER_ENERGY_UNIT
+    FROM read_csv_auto('{GOLDEN_DIR}/ev_fact.csv') e
+    LEFT JOIN (SELECT * FROM read_csv_auto('{GOLDEN_DIR}/energy_fact.csv')
+               WHERE "YEAR" = 2023) n
+      ON e.SUBURB_KEY = n.SUBURB_KEY
+    """,
+)
 def qe06_combined_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined EV-impact ⋈ energy(2023 subset) analysis frame
     (reference app.py:335-340; right side pre-projected app.py:337)."""

@@ -62,58 +62,41 @@ def _load_all() -> None:
 # else oracle-backed, with rows-only queries last so they never consume
 # a value-check slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-3 rotation. Evidence so far: r01 green-checked q01–q09,
-    # q40–q49e, q50–q56, q80/q83, q90/q92; r02 green-checked q10–q39
-    # (minus q38, which tripped the driver canonicalizer on an array
-    # column — fixed this round, re-check first), q47, q57–q59,
-    # q60–q66, q70–q76, q82, qe03/qe04.  This round's window: the
-    # errored row, then every oracle-backed query that has never had a
-    # driver row, family-ordered; part of the TPC-H tail spills to
-    # round 4 (those reuse already-proven relational patterns).
-    "q38_array_agg",
-    # curation / training-data pipeline (never checked)
-    "q93_stratified_sample", "q94_pii_redact", "q95_repetition_stats",
-    "q96_decontaminate", "q97_token_budget_pack", "q98_mixture_report",
-    "q99_fixed_k_sample", "q100_curation_e2e", "q102_mixture_resample",
-    "q121_contrastive_triplets", "q122_split_report", "q128_quality_deciles",
-    "q130_shard_manifest",
-    # dedup extensions (never checked)
-    "q89_neardup_triangles", "q119_dedup_rate_by_source",
-    "q120_pagerank_neardup", "q127_incremental_neardup",
-    "q134_boilerplate_shingles", "q135_dedup_impact",
-    # event-time extensions (never checked)
-    "q49f_funnel", "q49g_cohort_retention", "q49h_event_transitions",
-    "q49i_stream_static_enrich", "q45b_stream_sliding",
-    "q49j_last_touch_attribution", "q131_ewma_state",
-    "q132_windowed_zscore", "q133_stream_ewma", "q136_variant_props",
-    # multimodal / binary ingest (never checked)
-    "q84_media_dedup", "q137_binary_ingest",
-    # relational extras (never checked)
-    "q69_below_avg_quantity", "q85_price_histogram", "q101_snapshot_diff",
-    "q104_sole_fault_supplier",
-    # similarity / embedding extensions (never checked)
-    "q67_knn_classify", "q87_kmeans_step", "q117_random_projection",
-    "q118_embedding_dim_stats", "q123_diversity_medoids",
-    "q129_semantic_mixture",
-    # text extensions (never checked)
-    "q78_bigram_novelty", "q79_doc_chunks", "q68_keyword_search",
-    "q86_term_cooccurrence", "q138_sentence_udtf",
-    # TPC-H analytics in this round's window (bench-headline first)
-    "q106_nation_year_profit", "q107_custdist", "q115_volume_shipping",
-    # --- spill line (position 51): below here rolls to round 4 -------
-    # (q124/q125 spill deliberately: both are bench-headline queries,
-    # so they already get per-round wall-clock evidence)
+    # Round-4 rotation. Evidence ledger: r01 green q01–q09, q40–q49e,
+    # q50–q56, q80/q83, q90/q92; r02 green q10–q37, q39, q47, q57–q66,
+    # q70–q76, q82, qe03/qe04; r03 green (50/50) q38 + curation
+    # q93–q102/q121/q122/q128/q130, dedup q89/q119/q120/q127/q134/
+    # q135, event q49f–q49j/q45b/q131–q133/q136, multimodal q84/q137,
+    # relational q69/q85/q101/q104, similarity q67/q87/q117/q118/
+    # q123/q129, text q68/q78/q79/q86/q138, TPC-H q106/q107/q115.
+    # This round's window: (a) the r03 spill — the 25 oracle-backed
+    # queries that have NEVER had a driver row (the round-3 additions
+    # q140–q152 and the TPC-H tail), (b) the 4 streaming queries whose
+    # r1 rows predate their oracles (stale `err: no_oracle` — oracles
+    # exist now, convert to green), (c) the 3 queries whose
+    # implementation or oracle changed THIS round (q65 trained-IVF
+    # rework, qe05/qe06 new golden oracles). New round-4 queries are
+    # appended here as they land so they ship with driver evidence.
+    # new r3 operators, never checked (riskiest shapes first — ADVICE)
+    "q149_stream_cdc_upsert", "q150_recursive_cte",
     "q140_priority_late_count", "q141_shipclass_priority",
     "q143_schema_evolution", "q144_boilerplate_strip",
     "q145_xml_roundtrip", "q146_partitioned_write_prune",
-    "q147_merge_upsert", "q148_scd2_history", "q149_stream_cdc_upsert",
-    "q150_recursive_cte", "q151_grouped_agg_udaf", "q152_dq_audit",
+    "q147_merge_upsert", "q148_scd2_history",
+    "q151_grouped_agg_udaf", "q152_dq_audit",
+    # TPC-H tail, never checked
     "q124_forecast_revenue", "q125_returned_customers",
     "q103_welch_ttest", "q105_market_share", "q108_promo_revenue",
     "q109_top_supplier", "q110_supplier_relation", "q111_large_orders",
     "q112_disjunctive_pred", "q113_dormant_customers",
     "q114_min_cost_supplier", "q116_important_parts",
     "q126_dominant_suppliers",
+    # streaming rows stale since r1 (checked before their oracles
+    # existed); re-check converts err → green
+    "q44_stream_tumbling", "q45_stream_sessions",
+    "q49_stream_stateful_totals", "q49b_stream_stream_join",
+    # implementation/oracle changed in round 4
+    "q65_ivf_topk", "qe05_year_filter", "qe06_combined_analysis",
 )
 
 

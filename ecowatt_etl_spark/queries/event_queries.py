@@ -576,6 +576,7 @@ def q49e_stream_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sink path an exact correctness gate. Counts only: the serving
     contract here is deterministic integers."""
     from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
     from ecowatt_etl_spark.streaming.events_stream import (
         read_events_stream,
         stream_rollup_to_parquet,
@@ -585,7 +586,7 @@ def q49e_stream_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(read_events_stream(spark, sf_dir)).select(
         "window_start", "event_type", "n_events"
     )
-    path = f"/root/repo/.scratch_io/{bucket_token(sf_dir)}/serving_rollup"
+    path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/serving_rollup"
     stream_rollup_to_parquet(agg, path, "q49e_serving_sink")
     return spark.read.parquet(path)
 
@@ -1279,19 +1280,22 @@ def q149_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table must equal the batch last-write-wins query over the same
     input, which is exactly the DuckDB oracle — so batch reduction,
     matched-replace, and unmatched-insert are all value-checked from
-    the files on disk. Correctness requires micro-batches in source
-    order (true for the file source; Kafka gives it per-partition) and
-    a deterministic (ts, event_id) tie-break inside each batch. At
-    scale the MERGE runs partition-pruned (partition_col on a
-    key-derived bucket/date) so each batch rewrites only the
-    partitions it touches."""
+    the files on disk. The MERGE runs with newer_than=(ts, event_id):
+    a matched row is only displaced by a STRICTLY newer event, so the
+    result is independent of micro-batch arrival order (file sources
+    list multi-file replay dirs by modification time, not event time —
+    an ordered-batch assumption would silently break there) and
+    replaying a batch is idempotent. At scale the MERGE runs
+    partition-pruned (partition_col on a key-derived bucket/date) so
+    each batch rewrites only the partitions it touches."""
     import shutil
 
     from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
     from ecowatt_etl_spark.sources.upsert import merge_upsert
     from ecowatt_etl_spark.streaming.events_stream import read_events_stream
 
-    root = f"/root/repo/.scratch_io/{bucket_token(sf_dir)}/cdc_latest"
+    root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/cdc_latest"
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(root + "_cp", ignore_errors=True)
 
@@ -1302,7 +1306,13 @@ def q149_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .drop("rk")
         )
-        merge_upsert(batch_df.sparkSession, root, latest, keys=["user_id"])
+        merge_upsert(
+            batch_df.sparkSession,
+            root,
+            latest,
+            keys=["user_id"],
+            newer_than=["ts", "event_id"],
+        )
 
     q = (
         read_events_stream(spark, sf_dir)

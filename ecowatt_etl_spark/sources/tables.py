@@ -55,6 +55,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (session.py), so the cast is value-preserving and matches
       DuckDB's naive-timestamp reading of the same file.
     * TIMESTAMP(MICROS, adjusted): already TIMESTAMP — no-op.
+
+    SIDE EFFECT, by design: for timestamp-bearing tables this pins the
+    CALLER session's ``spark.sql.session.timeZone`` to UTC (and enables
+    ``nanosAsLong``) for the remainder of the session — the NTZ→LTZ
+    cast and the engine's formatted-timestamp outputs are only
+    deterministic under a pinned zone, and the verification driver's
+    plain session arrives unpinned. A non-UTC consumer session will see
+    its timestamp FORMATTING (date_format, casts to string) switch to
+    UTC after the first events/orders/lineitem scan. That is the
+    engine's documented contract — all published results are UTC; a
+    caller needing wall-clock rendering in another zone should convert
+    explicitly with from_utc_timestamp rather than rely on session-zone
+    formatting.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -40,9 +40,22 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     partition_col: str | None = None,
+    newer_than: list[str] | None = None,
 ) -> None:
     """MERGE `updates` into the parquet table at `path` by `keys`:
     matched rows are replaced, unmatched rows inserted (upsert).
+
+    With `newer_than` (ordering columns, e.g. ``["ts", "event_id"]``):
+    a matched target row is replaced ONLY when the update row is
+    strictly newer under the lexicographic struct ordering of those
+    columns — ties and regressions keep the stored row. This makes the
+    merge idempotent AND order-insensitive across change batches: a
+    replayed or out-of-order batch carrying stale rows cannot regress
+    latest-state (the CDC guard q149 relies on). Implemented as one
+    per-key window over (pruned target ∪ updates) rather than a
+    join-then-filter, so it stays a single shuffle of the affected
+    partitions. Without `newer_than`: matched rows are replaced
+    unconditionally (the original last-batch-wins contract).
 
     With `partition_col`: requires every key-match to stay inside its
     partition (the partition column must be FUNCTIONALLY DETERMINED by
@@ -56,6 +69,8 @@ def merge_upsert(
     the merge result must be materialized first (with a metastore +
     Delta/Iceberg this is the transaction log's job instead).
     """
+    from pyspark.sql import Window as W
+
     dupes = (
         updates.groupBy(keys).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -76,8 +91,24 @@ def merge_upsert(
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
         target = target.filter(F.col(partition_col).isin(parts))
 
-    keep = target.join(updates.select(keys).distinct(), keys, "left_anti")
-    merged = keep.unionByName(updates.select(keep.columns)).localCheckpoint()
+    if newer_than:
+        # stored rows win ties (_src 0 < 1): an update must be STRICTLY
+        # newer to displace state
+        union = target.withColumn("_src", F.lit(0)).unionByName(
+            updates.select(target.columns).withColumn("_src", F.lit(1))
+        )
+        w = W.partitionBy(*keys).orderBy(
+            F.desc(F.struct(*[F.col(c) for c in newer_than])), F.asc("_src")
+        )
+        merged = (
+            union.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", "_src")
+            .localCheckpoint()
+        )
+    else:
+        keep = target.join(updates.select(keys).distinct(), keys, "left_anti")
+        merged = keep.unionByName(updates.select(keep.columns)).localCheckpoint()
 
     if partition_col:
         (

@@ -42,12 +42,35 @@ def read_events_stream(
     TIMESTAMP(micros) ``ts`` exactly like the batch scan wrapper
     (sources/tables.py): nanos-as-long is truncated, TIMESTAMP_NTZ is
     cast under the UTC session zone, TIMESTAMP passes through. The
-    physical shape is sniffed from a one-file batch read (streaming
-    sources need an explicit schema). ``glob`` widens the file filter
-    for multi-file replay dirs (checkpoint-recovery test feeds
+    physical shape is sniffed per file footer (streaming sources need
+    an explicit schema), and ONE normalization branch is applied
+    stream-wide — so all files matching the glob must agree on the
+    ts shape, which is asserted up front: a replay dir mixing shapes
+    (one nanos-long chunk plus one micros chunk) would otherwise be
+    silently mis-normalized mid-stream. ``glob`` widens the file
+    filter for multi-file replay dirs (checkpoint-recovery test feeds
     ``events-*.parquet`` chunks arriving over time)."""
+    import fnmatch
+    import os
+
+    import pyarrow.parquet as pq
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # driver-side footer check over the bounded replay file list (at
+    # scale: a metastore/schema-registry lookup instead)
+    files = sorted(
+        os.path.join(sf_dir, n)
+        for n in os.listdir(sf_dir)
+        if fnmatch.fnmatch(n, glob)
+    )
+    shapes = {str(pq.read_schema(f).field("ts").type) for f in files}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"mixed ts physical shapes across replay files in {sf_dir}: "
+            f"{sorted(shapes)} — normalize the producer or split the replay; "
+            "one stream-wide normalization branch cannot serve both"
+        )
     ts_type = (
         spark.read.option("pathGlobFilter", glob)
         .parquet(sf_dir)

@@ -149,6 +149,55 @@ def test_scd2_chains_multiple_changes_per_key(spark):
     ]
 
 
+def test_upsert_newer_than_guard_ignores_stale_rows(spark, tmp_path):
+    """CDC guard: with newer_than ordering columns, a matched row is
+    only displaced by a STRICTLY newer update — stale rows (out-of-
+    order replay) and exact ties keep the stored state, so merge order
+    across batches cannot regress latest-state."""
+    from ecowatt_etl_spark.sources.upsert import merge_upsert
+
+    path = str(tmp_path / "t")
+    schema = "id long, ts long, seq long, name string"
+    base = spark.createDataFrame([(1, 100, 5, "cur"), (2, 50, 1, "old2")], schema)
+    merge_upsert(spark, path, base, keys=["id"])
+
+    batch = spark.createDataFrame(
+        [
+            (1, 90, 9, "stale"),   # older ts → must NOT displace
+            (2, 50, 1, "tie"),     # exact tie → stored row wins
+            (3, 10, 0, "new"),     # unmatched → insert
+        ],
+        schema,
+    )
+    merge_upsert(spark, path, batch, keys=["id"], newer_than=["ts", "seq"])
+    assert _read_sorted(spark, path) == [
+        (1, "cur", 5, 100),
+        (2, "old2", 1, 50),
+        (3, "new", 0, 10),
+    ]
+
+    newer = spark.createDataFrame([(1, 100, 6, "adv")], schema)  # same ts, newer seq
+    merge_upsert(spark, path, newer, keys=["id"], newer_than=["ts", "seq"])
+    assert (1, "adv", 6, 100) in _read_sorted(spark, path)
+
+
+def test_upsert_newer_than_is_replay_idempotent(spark, tmp_path):
+    """Replaying the SAME change batch twice must be a no-op the
+    second time (ties keep stored rows)."""
+    from ecowatt_etl_spark.sources.upsert import merge_upsert
+
+    path = str(tmp_path / "t")
+    schema = "id long, ts long, seq long, name string"
+    merge_upsert(
+        spark, path, spark.createDataFrame([(1, 1, 1, "a")], schema), keys=["id"]
+    )
+    batch = spark.createDataFrame([(1, 2, 1, "b"), (2, 1, 1, "c")], schema)
+    merge_upsert(spark, path, batch, keys=["id"], newer_than=["ts", "seq"])
+    first = _read_sorted(spark, path)
+    merge_upsert(spark, path, batch, keys=["id"], newer_than=["ts", "seq"])
+    assert _read_sorted(spark, path) == first
+
+
 def test_upsert_rejects_duplicate_keys_in_batch(spark, tmp_path):
     import pytest
 

@@ -97,6 +97,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q49_stream_stateful_totals", "q49b_stream_stream_join",
     # implementation/oracle changed in round 4
     "q65_ivf_topk", "qe05_year_filter", "qe06_combined_analysis",
+    # new in round 4
+    "q153_bm25_search", "q154_product_quantization",
+    "q155_semantic_neardup",
 )
 
 

@@ -374,44 +374,57 @@ def _trained_centroids(spark: SparkSession, sf_dir: str, em: DataFrame) -> DataF
     return _TRAINED_CENT_CACHE[key]
 
 
-def _sql_kmeans_cents(k: int = _IVF_K, rounds: int = _IVF_ROUNDS, dim: int = 64) -> str:
-    """CTE chain c0..c{rounds} replaying operators/similarity.py::
-    kmeans_train in DuckDB: init = first k vectors; per round, exact-L2
-    argmin assignment (fold-order doubles, ties to the smaller cid)
-    then fixed-point int64 per-dimension means (floor(val·2^40) — the
-    order-independent accumulator both engines sum identically); empty
-    clusters keep their previous centroid."""
+def _sql_kmeans_cents(
+    k: int = _IVF_K,
+    rounds: int = _IVF_ROUNDS,
+    dim: int = 64,
+    prefix: str = "",
+    offset: int = 0,
+) -> str:
+    """CTE chain {prefix}c0..{prefix}c{rounds} replaying
+    operators/similarity.py::kmeans_train in DuckDB: init = first k
+    vectors; per round, exact-L2 argmin assignment (fold-order
+    doubles, ties to the smaller cid) then fixed-point int64
+    per-dimension means (floor(val·2^40) — the order-independent
+    accumulator both engines sum identically); empty clusters keep
+    their previous centroid. ``offset``/``dim`` train on the
+    embedding[offset+1 .. offset+dim] subvector (product-quantization
+    subspaces, q154); ``prefix`` namespaces the CTEs so several
+    chains coexist in one oracle."""
+    p = prefix
+    sub = f"(e.embedding[{offset + 1}:{offset + dim}])"
     ctes = [
-        f"c0 AS (SELECT vec_id AS cid, embedding AS c_emb "
+        f"{p}c0 AS (SELECT vec_id AS cid, "
+        f"embedding[{offset + 1}:{offset + dim}] AS c_emb "
         f"FROM embeddings WHERE vec_id < {k})"
     ]
     for r in range(1, rounds + 1):
-        prev = f"c{r - 1}"
-        ctes.append(f"""a{r} AS (
+        prev = f"{p}c{r - 1}"
+        ctes.append(f"""{p}a{r} AS (
       SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-               {_sql_dot("e.embedding", "e.embedding")}
-               - 2 * {_sql_dot("e.embedding", "c.c_emb")}
+               {_sql_dot(sub, sub)}
+               - 2 * {_sql_dot(sub, "c.c_emb")}
                + {_sql_dot("c.c_emb", "c.c_emb")}, c.cid) AS rk
       FROM embeddings e CROSS JOIN {prev} c)""")
-        ctes.append(f"""s{r} AS (
+        ctes.append(f"""{p}s{r} AS (
       SELECT a.cid, t.i AS di,
-             CAST(CAST(SUM(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE)
+             CAST(CAST(SUM(CAST(floor(CAST(e.embedding[{offset} + t.i] AS DOUBLE)
                                       * 1099511627776) AS BIGINT))
                        AS BIGINT) AS DOUBLE) AS qd,
              COUNT(*) AS n
-      FROM a{r} a, embeddings e, generate_series(1, {dim}) AS t(i)
+      FROM {p}a{r} a, embeddings e, generate_series(1, {dim}) AS t(i)
       WHERE a.rk = 1 AND e.vec_id = a.vec_id
       GROUP BY a.cid, t.i)""")
         ctes.append(
-            f"n{r} AS (SELECT cid, list(qd / n / 1099511627776 ORDER BY di) "
-            f"AS c_emb FROM s{r} GROUP BY cid)"
+            f"{p}n{r} AS (SELECT cid, list(qd / n / 1099511627776 ORDER BY di) "
+            f"AS c_emb FROM {p}s{r} GROUP BY cid)"
         )
-        ctes.append(f"""c{r} AS (
-      SELECT cid, c_emb FROM n{r}
+        ctes.append(f"""{p}c{r} AS (
+      SELECT cid, c_emb FROM {p}n{r}
       UNION ALL
       SELECT c.cid, c.c_emb FROM {prev} c
-      WHERE c.cid NOT IN (SELECT cid FROM n{r}))""")
+      WHERE c.cid NOT IN (SELECT cid FROM {p}n{r}))""")
     return ",\n    ".join(ctes)
 
 
@@ -1115,6 +1128,174 @@ def q123_diversity_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "center_sim",
             "cell_size",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — product quantization: the IVF-PQ storage path
+# ---------------------------------------------------------------------------
+_PQ_M = 4  # subspaces (64 dims → 4 × 16)
+_PQ_SUBDIM = 64 // _PQ_M
+_PQ_K = 16  # centroids per subspace → 4-bit codes, 2 bytes/vector total
+_PQ_ROUNDS = 2
+
+
+def _pq_asg_sql(m: int) -> str:
+    """Final assignment CTE for subspace m: exact-L2 argmin against the
+    trained subspace codebook, emitting (vec_id, subspace, code, d2)."""
+    o = m * _PQ_SUBDIM
+    sub = f"(e.embedding[{o + 1}:{o + _PQ_SUBDIM}])"
+    d2 = (
+        f"{_sql_dot(sub, sub)} - 2 * {_sql_dot(sub, 'c.c_emb')}"
+        f" + {_sql_dot('c.c_emb', 'c.c_emb')}"
+    )
+    return f"""pq{m}asg AS (
+      SELECT vec_id, {m} AS subspace, cid AS code, d2 AS recon_err FROM (
+        SELECT e.vec_id, c.cid, {d2} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM embeddings e CROSS JOIN pq{m}c{_PQ_ROUNDS} c)
+      WHERE rk = 1)"""
+
+
+@query(
+    "q154_product_quantization",
+    oracle=(
+        "WITH "
+        + ",\n    ".join(
+            _sql_kmeans_cents(
+                k=_PQ_K,
+                rounds=_PQ_ROUNDS,
+                dim=_PQ_SUBDIM,
+                prefix=f"pq{m}",
+                offset=m * _PQ_SUBDIM,
+            )
+            for m in range(_PQ_M)
+        )
+        + ",\n    "
+        + ",\n    ".join(_pq_asg_sql(m) for m in range(_PQ_M))
+        + "\n    "
+        + " UNION ALL ".join(
+            f"SELECT vec_id, subspace, code, recon_err FROM pq{m}asg"
+            for m in range(_PQ_M)
+        )
+    ),
+)
+def q154_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each 64-d embedding into 4 16-d
+    subvectors, train an independent 16-centroid codebook per subspace
+    (2 deterministic Lloyd rounds each — the q87/q88 kernel on a
+    slice), and encode every vector as 4 four-bit codes — 2 bytes per
+    vector vs 256 for float32, the compression that makes a 100 TB
+    embedding corpus servable from memory (IVF-PQ: q65's trained cells
+    route the query, PQ codes pay for the candidate scoring). Returns
+    one row per (vector, subspace): the assigned code and the exact
+    squared reconstruction error — the audit surface for codebook
+    quality (sum recon_err over subspaces = total vector distortion).
+
+    Determinism: training and assignment are the same exact-L2 argmin
+    + fixed-point update the IVF quantizer pins, so the DuckDB oracle
+    replays all four codebook trainings CTE-for-CTE. Scale shape: each
+    subspace round is one corpus scan over a 16-dim slice + one K×16
+    aggregate; assignment is a broadcast of 4×16 tiny centroids; codes
+    shuffle nowhere (scan-local argmin via one 16-row broadcast per
+    subspace, reduced by struct-min)."""
+    from ecowatt_etl_spark.operators.similarity import kmeans_train
+
+    em = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for m in range(_PQ_M):
+        o = m * _PQ_SUBDIM
+        sub_em = em.select(
+            "vec_id", F.slice("embedding", o + 1, _PQ_SUBDIM).alias("embedding")
+        )
+        cents, _ = kmeans_train(
+            sub_em, k=_PQ_K, rounds=_PQ_ROUNDS, dim=_PQ_SUBDIM
+        )
+        x, c = F.col("embedding"), F.col("c_emb")
+        d2 = (dot_fold(x, x) - 2 * dot_fold(x, c) + dot_fold(c, c)).alias("d2")
+        scored = sub_em.join(
+            F.broadcast(cents.select("cid", F.col("centroid").alias("c_emb")))
+        ).select("vec_id", "cid", d2)
+        best = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("b"))
+            .select(
+                "vec_id",
+                F.lit(m).alias("subspace"),
+                F.col("b.cid").alias("code"),
+                F.col("b.d2").alias("recon_err"),
+            )
+        )
+        outs.append(best)
+    res = outs[0]
+    for other in outs[1:]:
+        res = res.unionByName(other)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# q155 — semantic near-dup pairs via the trained quantizer
+# ---------------------------------------------------------------------------
+@query(
+    "q155_semantic_neardup",
+    oracle=f"""
+    WITH {_sql_kmeans_cents()},
+    cent AS (
+      SELECT cid, c_emb, {_sql_norm('c_emb')} AS c_norm
+      FROM c{_IVF_ROUNDS}
+    ),
+    asg AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS ark
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT e.vec_id, e.embedding, a.cid
+      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id AND a.ark = 1
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_sql_dot('a.embedding', 'b.embedding')}
+               / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})
+               AS cosine_sim
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM cand WHERE cosine_sim >= {_COS_T}
+    """,
+)
+def q155_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.3) blocked by the
+    TRAINED quantizer's cells instead of q62's data-independent sign
+    blocks — the pairs-problem twin of q65's frontier jump: cells
+    adapt to the data, so near neighbors co-locate and the intra-cell
+    candidate space recovers far more true pairs at a comparable
+    candidate budget (the K=64 cells bound the pair space to
+    Σ per-cell n² ≈ N²/K on a balanced index, same economics as q62's
+    2^8 buckets). Shares q65's session-scoped trained index — build
+    once, serve search (q65), dedup pairs (here), and audits
+    (q123/q129-style) from the same artifact; exact cosine verifies
+    every candidate, so precision is 1.0 by construction and the
+    blocking only bounds recall."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
+    cells = _ivf_cells(spark, sf_dir, em, cent, "trained")
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _COS_T)
     )
 
 

@@ -603,6 +603,171 @@ def q68_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q153 — BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+# Okapi BM25 with the standard k1=1.2, b=0.75 and the always-positive
+# idf = ln(1 + (N − df + 0.5)/(df + 0.5)). Written so every double is
+# bit-reproducible cross-engine: the per-term contributions are
+# PIVOTED to fixed columns and added in query-term order (a SUM over
+# (doc, term) rows would be fold-order-nondeterministic), constants
+# are exact-or-identical literals, and ln/÷ are correctly-rounded in
+# both engines for identical inputs.
+_BM25_SQL_TERMS = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+
+
+def _bm25_contrib_sql(term: str) -> str:
+    return (
+        f"COALESCE(MAX(CASE WHEN term = '{term}' THEN contrib END), "
+        f"CAST(0.0 AS DOUBLE))"
+    )
+
+
+@query(
+    "q153_bm25_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, s AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(w) AS s FROM t)
+      WHERE s IN ({_BM25_SQL_TERMS})
+      GROUP BY doc_id, s
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    contribs AS (
+      -- every float constant CAST to DOUBLE: DuckDB parses bare
+      -- decimal literals as DECIMAL, and DECIMAL-typed arithmetic
+      -- diverges from IEEE double chains by 1 ulp on some inputs
+      SELECT tf.doc_id, tf.term,
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n_docs - df.df + CAST(0.5 AS DOUBLE))
+                  / (df.df + CAST(0.5 AS DOUBLE)))
+               * ((tf.tf * CAST(2.2 AS DOUBLE))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + (CAST(0.75 AS DOUBLE) * (dl.dl / s.avgdl)))))
+               AS contrib
+      FROM tf, df, dl, stats s
+      WHERE df.term = tf.term AND dl.doc_id = tf.doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             {_bm25_contrib_sql(_SEARCH_TERMS[0])}
+               + {_bm25_contrib_sql(_SEARCH_TERMS[1])}
+               + {_bm25_contrib_sql(_SEARCH_TERMS[2])} AS bm25
+      FROM contribs GROUP BY doc_id
+    )
+    SELECT doc_id, bm25,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+    FROM scored
+    ORDER BY rk LIMIT {_SEARCH_K}
+    """,
+)
+def q153_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (disjunctive — any query term scores) for
+    the q68 query set: the relevance-ranking upgrade over q68's raw
+    term-frequency conjunction, and the retrieval primitive a
+    decontamination / near-ground-truth mining pass runs at corpus
+    scale. idf uses the always-positive ln(1 + (N−df+0.5)/(df+0.5))
+    form; tf saturates under k1=1.2 with length normalization b=0.75.
+
+    Scale shape: the exploded token stream is filtered to query terms
+    BEFORE leaving the scan stage (O(hits), not O(tokens)); doc
+    lengths are a scan-local projection; avgdl is a 1-row broadcast;
+    df is |terms| rows broadcast back onto the tf stream; the pivoted
+    score add keeps the double arithmetic fold-order-free so the
+    ranking is bit-stable under any partitioning (and equals the
+    DuckDB oracle's). Top-k is one window over the hit set.
+
+    Determinism note: idf is computed DRIVER-SIDE from the |terms|-row
+    df aggregate (a bounded collect, like q63's query matrix) with
+    CPython math.log, because JVM Math.log and libm ln round a few
+    inputs to different ulps — CPython and DuckDB share the platform
+    libm, so the Python-computed literal matches the oracle's ln()
+    bit-for-bit (verified over the full plausible df range), while an
+    F.log in the plan would not. Everything else is +,-,*,/ — correctly
+    rounded and engine-identical.
+    """
+    import math
+
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("w"))
+    dl = t.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = dl.count()
+    df_map = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    idf_col = None
+    for term in _SEARCH_TERMS:
+        dfv = df_map.get(term, 0)
+        idf_v = math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        branch = F.when(F.col("term") == term, F.lit(idf_v))
+        idf_col = branch if idf_col is None else idf_col.when(
+            F.col("term") == term, F.lit(idf_v)
+        )
+    contribs = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf_col
+                * (
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + (F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+                        )
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+
+    def pivot(term: str) -> F.Column:
+        return F.coalesce(
+            F.max(F.when(F.col("term") == term, F.col("contrib"))), F.lit(0.0)
+        )
+
+    scored = contribs.groupBy("doc_id").agg(
+        (
+            pivot(_SEARCH_TERMS[0])
+            + pivot(_SEARCH_TERMS[1])
+            + pivot(_SEARCH_TERMS[2])
+        ).alias("bm25")
+    )
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SEARCH_K)
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q86 — term co-occurrence statistics
 # ---------------------------------------------------------------------------
 _CO_MIN_DF = 300  # vocabulary: terms present in >= this many docs

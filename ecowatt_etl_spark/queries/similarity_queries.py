@@ -1176,6 +1176,29 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str, em: DataFrame) -> list[DataF
     return _PQ_CODEBOOK_CACHE[key]
 
 
+_PQ_BOOKS_ALL_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _pq_codebooks_all(spark: SparkSession, sf_dir: str, em: DataFrame) -> DataFrame:
+    """All subspace codebooks as ONE tagged (subspace, cid, c_emb)
+    frame, materialized once per (session, sf_dir) — so a consumer
+    joining every codebook (q156's ADC lookup table) costs one scan of
+    one tiny artifact instead of an 8-branch union re-deriving each
+    codebook's lineage."""
+    key = (id(spark), sf_dir)
+    if key not in _PQ_BOOKS_ALL_CACHE:
+        books = _pq_codebooks(spark, sf_dir, em)
+        tagged = [
+            b.select(F.lit(m).alias("subspace"), "cid", "c_emb")
+            for m, b in enumerate(books)
+        ]
+        u = tagged[0]
+        for other in tagged[1:]:
+            u = u.unionByName(other)
+        _PQ_BOOKS_ALL_CACHE[key] = u.localCheckpoint()
+    return _PQ_BOOKS_ALL_CACHE[key]
+
+
 _PQ_CODES_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -1485,30 +1508,30 @@ def q156_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
     cells = _ivf_cells(spark, sf_dir, em, cent, "trained").select("vec_id", "cid")
-    books = _pq_codebooks(spark, sf_dir, em)
     codes = _pq_codes(spark, sf_dir, em).select("vec_id", "subspace", "code")
 
-    # per-query ADC lookup table: (query_id, subspace, code, partial)
+    # per-query ADC lookup table: (query_id, subspace, code, partial) —
+    # one scan of the tiny query set × one scan of the tagged codebook
+    # artifact; the subspace column drives the slice, so no per-subspace
+    # union branches re-derive the lineage (plan-capped by the global
+    # scan-count test)
     qsubs = em.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    parts = []
-    for m in range(_PQ_M):
-        qm = qsubs.select(
-            "query_id",
-            F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("q_sub"),
-        )
-        parts.append(
-            qm.crossJoin(F.broadcast(books[m])).select(
-                "query_id",
-                F.lit(m).alias("subspace"),
-                F.col("cid").alias("code"),
-                dot_fold(F.col("q_sub"), F.col("c_emb")).alias("p"),
-            )
-        )
-    lut = parts[0]
-    for other in parts[1:]:
-        lut = lut.unionByName(other)
+    books_all = _pq_codebooks_all(spark, sf_dir, em)
+    lut = qsubs.crossJoin(F.broadcast(books_all)).select(
+        "query_id",
+        "subspace",
+        F.col("cid").alias("code"),
+        dot_fold(
+            F.slice(
+                F.col("embedding"),
+                F.col("subspace") * _PQ_SUBDIM + F.lit(1),
+                F.lit(_PQ_SUBDIM),
+            ),
+            F.col("c_emb"),
+        ).alias("p"),
+    )
 
     n_cells = _trained_centroids(spark, sf_dir, em).agg(
         F.count("*").alias("n_cells")

@@ -139,6 +139,32 @@ def test_ivf_topk_no_cartesian_on_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_bm25_no_python_and_no_cartesian(spark):
+    """BM25: the whole scoring pipeline must stay JVM-side (tokenize,
+    tf, saturation, pivoted add are Column expressions; idf enters as
+    a literal), and the 1-row stats frame must ride a broadcast, not a
+    cartesian pairing."""
+    plan = _plan(spark, "q153_bm25_search")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_refine_no_cartesian(spark):
+    """IVF-PQ serve path: routing, code joins, and the ADC lookup join
+    are all broadcast/equi joins on small or keyed sides — a cartesian
+    against corpus rows would be the 100 TB failure mode."""
+    plan = _plan(spark, "q156_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_neardup_pairs_by_cell_key(spark):
+    """Trained-cell near-dup: the pair space must form via the cid
+    equi-join (SortMerge/Hash on the cell key), never a cartesian of
+    corpus rows."""
+    plan = _plan(spark, "q155_semantic_neardup")
+    assert "CartesianProduct" not in plan
+
+
 def test_heavy_hitters_reuses_count_exchange(spark):
     """Exact heavy hitters: the corpus-total branch shares the token
     count's shuffle. The static plan shows the pipeline twice; AQE

@@ -49,6 +49,8 @@ HEADLINE = [
     "q71_quality_scores",
     "q74_subword_stats",
     "q75_corpus_pipeline",
+    "q153_bm25_search",
+    "q157_lm_quality",
     "q78_bigram_novelty",
     "q79_doc_chunks",
     "q117_random_projection",

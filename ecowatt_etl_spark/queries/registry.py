@@ -99,7 +99,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q65_ivf_topk", "qe05_year_filter", "qe06_combined_analysis",
     # new in round 4
     "q153_bm25_search", "q154_product_quantization",
-    "q155_semantic_neardup", "q156_ivfpq_topk",
+    "q155_semantic_neardup", "q156_ivfpq_topk", "q157_lm_quality",
 )
 
 

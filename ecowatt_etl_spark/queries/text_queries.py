@@ -768,6 +768,100 @@ def q153_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q157 — bigram-LM quality scoring (statistical fluency signal)
+# ---------------------------------------------------------------------------
+# Probabilities are QUANTIZED to integers — (C(w1,w2)·2^20) div C(w1) —
+# so the per-doc reduction is an order-independent int64 sum and the
+# score is bit-identical cross-engine without transcendentals (a
+# log-perplexity would hit the JVM-vs-libm ln divergence q153 works
+# around; the arithmetic-mean-probability form needs no log at all).
+# Both engines truncate positive integer division identically
+# (Spark DIV, DuckDB //).
+_LM_SCALE = 1 << 20
+
+
+@query(
+    "q157_lm_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS w1
+      FROM t, UNNEST(generate_series(1, len(w))) AS s(i)
+    ),
+    bigr AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, w1,
+               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok)
+      WHERE w2 IS NOT NULL
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigr GROUP BY w1),
+    q AS (
+      SELECT c12.w1, c12.w2, (c12.c12 * {_LM_SCALE}) // c1.c1 AS q
+      FROM c12 JOIN c1 ON c1.w1 = c12.w1
+    ),
+    d AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(q.q) AS BIGINT) AS q_sum
+      FROM bigr b JOIN q ON q.w1 = b.w1 AND q.w2 = b.w2
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, q_sum,
+           CAST(q_sum AS DOUBLE) / n_bigrams / {_LM_SCALE} AS avg_prob
+    FROM d
+    """,
+)
+def q157_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical (language-model) quality scoring: train a bigram LM
+    on the corpus itself and score every document by its mean bigram
+    probability — the CCNet/KenLM-style fluency signal that catches
+    boilerplate, gibberish, and template text that q71's surface
+    heuristics (length/stopword/alnum ratios) miss. Low avg_prob =
+    improbable token transitions = flag for the curation mix.
+
+    Probabilities are integer-quantized (see the constants comment) so
+    the whole pipeline is exact: per-token q = (C(w1,w2)·2^20) div
+    C(w1), per-doc score = Σq / (n·2^20). Scale shape: bigrams form
+    scan-locally (one posexplode + a lead over the per-doc window —
+    one doc_id shuffle); the model is two hash aggregates over bigram
+    types (vocabulary-sized, not corpus-sized); scoring joins the
+    bigram stream back to the model — at 100 TB both sides hash the
+    (w1,w2) pair to an 8-byte key first (q78's join economics) and
+    the model side is map-side-combined. The bigram stream is
+    localCheckpoint'ed once per call: three consumers (two model aggs
+    + the scoring join) would otherwise re-derive the explode+window
+    lineage three times (the q53/q89 recompute lesson, plan-capped)."""
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w1"))
+    wdw = W.partitionBy("doc_id").orderBy("pos")
+    bigr = (
+        tok.withColumn("w2", F.lead("w1").over(wdw))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+        .localCheckpoint()
+    )
+    c12 = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bigr.groupBy("w1").agg(F.count("*").alias("c1"))
+    qt = c12.join(c1, "w1").select(
+        "w1", "w2", F.expr(f"(c12 * {_LM_SCALE}) div c1").alias("q")
+    )
+    scored = bigr.join(qt, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("q").alias("q_sum")
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "q_sum",
+        (F.col("q_sum").cast("double") / F.col("n_bigrams") / F.lit(_LM_SCALE))
+        .alias("avg_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q86 — term co-occurrence statistics
 # ---------------------------------------------------------------------------
 _CO_MIN_DF = 300  # vocabulary: terms present in >= this many docs

@@ -14,13 +14,15 @@ Spark-side equivalent of the reference's SQL-database I/O
 - ``get_sql_table`` (datsetup.py:127-130): query → list of record
   dicts → :func:`to_records`.
 
-No JDBC driver jar ships in this environment, so ``write_jdbc`` is
-exercised by unit tests only up to the Spark writer boundary; the
-wrapper itself is plain ``DataFrameWriter.jdbc``, which any cluster
-with a driver on the classpath runs as-is. At scale, JDBC writes are
-bottlenecked by the database, not Spark — ``num_partitions`` caps the
-number of concurrent connections (default 8) so a 1000-executor job
-cannot open 1000 sessions against one database.
+``write_jdbc`` is exercised LIVE against embedded Apache Derby (on
+Spark's classpath for the Hive metastore): replace/append round-trips,
+replace-overwrite semantics, and PK-constraint enforcement after the
+out-of-band DDL all run through a real database in tests/test_sinks.py
+— plus a no-driver boundary test for databases whose jar is absent
+(the reference's SQL Server). At scale, JDBC writes are bottlenecked
+by the database, not Spark — ``num_partitions`` caps the number of
+concurrent connections (default 8) so a 1000-executor job cannot open
+1000 sessions against one database.
 """
 
 from __future__ import annotations

@@ -1603,6 +1603,114 @@ def q156_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q158 — semantic decontamination via the trained index
+# ---------------------------------------------------------------------------
+@query(
+    "q158_semantic_decontaminate",
+    oracle=f"""
+    WITH {_sql_kmeans_cents()},
+    cent AS (
+      SELECT cid, c_emb, {_sql_norm('c_emb')} AS c_norm
+      FROM c{_IVF_ROUNDS}
+    ),
+    asg AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS ark
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT e.vec_id, e.embedding, a.cid
+      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id AND a.ark = 1
+    ),
+    pasg AS (
+      SELECT q.vec_id AS eval_id, q.embedding AS q_emb, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_dot('q.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS prk
+      FROM embeddings q CROSS JOIN cent c
+      WHERE q.vec_id < {_NQ}
+    ),
+    probes AS (SELECT eval_id, q_emb, cid FROM pasg
+               WHERE prk <= (SELECT CEIL(1.5 * SQRT(COUNT(*))) FROM cent)),
+    hits AS (
+      SELECT x.vec_id AS doc_id, p.eval_id,
+             {_sql_dot('p.q_emb', 'x.embedding')}
+               / ({_sql_norm('p.q_emb')} * {_sql_norm('x.embedding')})
+               AS cosine_sim
+      FROM probes p JOIN cells x ON x.cid = p.cid AND x.vec_id >= {_NQ}
+    )
+    SELECT h.doc_id, d.lang, h.eval_id, h.cosine_sim
+    FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    WHERE h.cosine_sim >= {_COS_T}
+    """,
+)
+def q158_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination: flag every corpus document
+    whose embedding sits within cosine ≥ 0.3 of an eval-set item
+    (vec_id < 8 stands in for the held-out benchmark) — the
+    EMBEDDING-space complement of q96's exact n-gram decontamination:
+    n-gram overlap catches verbatim leakage, this catches paraphrases
+    and translations that share no surface text. Emits (doc, lang,
+    matched eval item, similarity) — the removal list plus the audit
+    trail of WHY each doc was flagged.
+
+    Scale shape: reuses q65's session-scoped trained index — the eval
+    set routes through nprobe cells exactly like a query batch
+    (broadcast probe table, candidates ≈ 19% of the corpus per eval
+    item instead of N), exact cosine verifies every flagged pair (no
+    false positives from the blocking), and the final doc join is an
+    8-byte-key equi-join. An eval set of thousands stays a broadcast;
+    the corpus side never shuffles its vectors — candidates are read
+    in place, cell-partition-pruned. Eval vectors themselves are
+    excluded from the corpus side (a real eval set is disjoint; here
+    it is carved from the table)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
+    cells = _ivf_cells(spark, sf_dir, em, cent, "trained")
+    n_cells = _trained_centroids(spark, sf_dir, em).agg(
+        F.count("*").alias("n_cells")
+    )
+    p_w = W.partitionBy("eval_id").orderBy(F.desc("p_sim"), F.asc("cid"))
+    probes = F.broadcast(
+        em.filter(F.col("vec_id") < _NQ)
+        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(cent)
+        .select(
+            "eval_id",
+            "q_emb",
+            F.col("cid").cast("long").alias("cid"),
+            F.try_divide(
+                dot_fold(F.col("q_emb"), F.col("c_emb")), F.col("c_norm")
+            ).alias("p_sim"),
+        )
+        .withColumn("prk", F.row_number().over(p_w))
+        .crossJoin(F.broadcast(n_cells))
+        .filter(F.col("prk") <= F.ceil(F.lit(1.5) * F.sqrt(F.col("n_cells"))))
+        .select("eval_id", "q_emb", "cid")
+    )
+    hits = (
+        cells.join(
+            probes,
+            (cells["cid"] == probes["cid"]) & (F.col("vec_id") >= _NQ),
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "eval_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _COS_T)
+    )
+    return hits.join(docs, "doc_id").select(
+        "doc_id", "lang", "eval_id", "cosine_sim"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q129 — semantic mixture: language × quantizer-cell distribution
 # ---------------------------------------------------------------------------
 @query(

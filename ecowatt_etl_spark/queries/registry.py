@@ -100,7 +100,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 4
     "q153_bm25_search", "q154_product_quantization",
     "q155_semantic_neardup", "q156_ivfpq_topk", "q157_lm_quality",
-    "q158_semantic_decontaminate",
+    "q158_semantic_decontaminate", "q159_rollup_revenue",
 )
 
 

@@ -993,3 +993,53 @@ def q141_shipclass_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — ROLLUP revenue report (multi-level OLAP aggregate)
+# ---------------------------------------------------------------------------
+@query(
+    "q159_rollup_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS INT) AS g_region,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                AS VARCHAR) AS DOUBLE) AS total_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o, customer c, nation n, region r
+    WHERE c.c_custkey = o.o_custkey
+      AND n.n_nationkey = c.c_nationkey
+      AND r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q159_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level OLAP rollup: order revenue at nation, region, and
+    grand-total levels in ONE pass — `ROLLUP(region, nation)` with
+    GROUPING() markers distinguishing real NULLs from subtotal rows
+    (the dashboard drill-down contract). Spark expands the grouping
+    sets MAP-SIDE: one fact scan, one shuffle keyed by (grouping-set
+    id, keys) — the naive alternative recomputes the join once per
+    level. Dims are broadcast; the exact-decimal revenue sum keeps
+    every level bit-stable cross-engine. At 100 TB this is the
+    standard cube-build shape: shuffle volume is the sum of the
+    per-level group cardinalities (tiny), never the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # customer is fact-sized at scale — its join stays AQE-planned
+    # (shuffle hash on the key at 100 TB, broadcast at test SFs);
+    # only the true dims are pinned broadcast
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        exact_sum("o_totalprice", "total_revenue"),
+        F.count("*").alias("n_orders"),
+    )

@@ -1257,3 +1257,113 @@ def q144_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — Count-Min sketch build + estimation audit
+# ---------------------------------------------------------------------------
+# d=4 depths x w=256 buckets; bucket_j(t) = md5-derived hash of "j|t"
+# (the portable word-hash idiom) mod w. Counters are exact integers, so
+# the whole sketch AND the estimates are bit-identical cross-engine —
+# a SKETCH operator with an exact oracle, unlike the HLL path (q09b)
+# whose estimator is engine-internal and stays rows-only.
+_CMS_D, _CMS_W = 4, 256
+_CMS_TOPK = 10
+
+
+def _cms_bucket_sql(j: int, var: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5('{j}|' || {var}), 1, 15)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@query(
+    "q161_countmin_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT s AS t
+      FROM (SELECT UNNEST({_SQL_TOKENS}) AS s FROM documents)
+    ),
+    cms AS (
+      SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+      FROM (
+        {" UNION ALL ".join(f"SELECT {j} AS depth, {_cms_bucket_sql(j, 't')} AS bucket, t FROM toks" for j in range(_CMS_D))}
+      ) GROUP BY depth, bucket
+    ),
+    heavy AS (
+      SELECT t, exact_count FROM (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_count,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+        FROM toks GROUP BY t)
+      WHERE rk <= {_CMS_TOPK}
+    ),
+    probes AS (
+      {" UNION ALL ".join(f"SELECT t, exact_count, {j} AS depth, {_cms_bucket_sql(j, 't')} AS bucket FROM heavy" for j in range(_CMS_D))}
+    )
+    SELECT p.t AS term, p.exact_count,
+           MIN(c.counter) AS cms_estimate,
+           MIN(c.counter) - p.exact_count AS overestimate
+    FROM probes p JOIN cms c ON c.depth = p.depth AND c.bucket = p.bucket
+    GROUP BY p.t, p.exact_count
+    """,
+)
+def q161_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream (d=4 × w=256
+    integer counters, md5-derived bucket hashes) plus the estimation
+    audit for the exact top-10 terms: estimate = min over depths of
+    the term's bucket counters, reported next to the exact count and
+    the (provably ≥ 0) overestimate. This is the mergeable fixed-size
+    frequency sketch a streaming/distributed pipeline keeps when the
+    vocabulary doesn't fit anywhere — 1024 counters stand in for any
+    number of distinct tokens, per-partition sketches sum cell-wise
+    (counter addition is the merge operator), and the CM guarantee
+    (estimate ≥ truth, error ≤ N·e/w with prob 1−e^−d) is checked
+    here against ground truth rather than asserted.
+
+    Unlike the HLL sketch (q09b, rows-only — engine-internal
+    estimator), every counter and estimate is exact integer
+    arithmetic on portable hashes, so the full build+probe pipeline
+    hash-matches the DuckDB oracle. Scale shape: the build is ONE
+    map-side-combined aggregate over the exploded token stream (each
+    scan task emits ≤ d·w partial cells); probes join the d·topk
+    probe rows against the 1024-row sketch — broadcast-trivial."""
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("t"))
+
+    def bucket(j: int, col: F.Column) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{j}|"), col))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _CMS_W
+
+    cells = toks.select(
+        F.posexplode(F.array(*[bucket(j, F.col("t")) for j in range(_CMS_D)]))
+        .alias("depth", "bucket")
+    )
+    cms = cells.groupBy("depth", "bucket").agg(F.count("*").alias("counter"))
+
+    counts = toks.groupBy("t").agg(F.count("*").alias("exact_count"))
+    rk_w = W.orderBy(F.desc("exact_count"), F.asc("t"))
+    heavy = (
+        counts.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= _CMS_TOPK)
+        .select("t", "exact_count")
+    )
+    probes = heavy.select(
+        "t",
+        "exact_count",
+        F.posexplode(F.array(*[bucket(j, F.col("t")) for j in range(_CMS_D)]))
+        .alias("depth", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["depth", "bucket"])
+        .groupBy("t", "exact_count")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("t").alias("term"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )

@@ -1043,3 +1043,60 @@ def q159_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("o_totalprice", "total_revenue"),
         F.count("*").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — exact per-group median (rank construction, no percentile UDF)
+# ---------------------------------------------------------------------------
+@query(
+    "q160_median_order_value",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(cnt) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS VARCHAR) AS DOUBLE) / COUNT(*) AS median_price
+    FROM r
+    WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+    GROUP BY o_orderpriority
+    """,
+)
+def q160_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median order value per priority class via the rank
+    construction — select the middle row (odd n) or both middle rows
+    (even n) with one window, average them — instead of
+    percentile_approx (whose sketch answer differs run-to-run and
+    engine-to-engine) or DuckDB's interpolating MEDIAN(): identical
+    row selection on both engines makes an order statistic
+    hash-checkable. The two windows (row_number + count) share one
+    partitioning, so Catalyst computes both in a single exchange +
+    sort; the post-filter aggregate sees ≤2 rows per group through
+    exact decimal. At 100 TB an exact median costs this one
+    per-group sort — the documented upgrade path when the group count
+    explodes is approx_percentile (q09b's sketch economics)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = W.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.expr("(cnt + 1) div 2"))
+        | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.max("cnt").alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("median_price"),
+    )

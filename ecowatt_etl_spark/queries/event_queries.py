@@ -1329,3 +1329,137 @@ def q149_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — gap-fill with LINEAR INTERPOLATION (hypertable interpolate())
+# ---------------------------------------------------------------------------
+@query(
+    "q162_interpolated_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      FROM bounds
+    ),
+    grid AS (
+      SELECT hours.bucket, e.event_type
+      FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grid.bucket, grid.event_type, agg.n_obs, agg.v
+      FROM grid LEFT JOIN agg
+        ON agg.bucket = grid.bucket AND agg.event_type = grid.event_type
+    ),
+    ctx AS (
+      SELECT bucket, event_type, n_obs, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS pb,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM g
+    )
+    SELECT strftime(bucket, '{_SQL_TS_FMT}') AS window_start,
+           event_type,
+           COALESCE(n_obs, 0) AS n_obs,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * ((epoch(bucket) - epoch(pb))
+                                    / (epoch(nb) - epoch(pb)))
+                ELSE NULL END AS value_interp
+    FROM ctx
+    """,
+)
+def q162_interpolated_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly mean-value series with LINEAR INTERPOLATION —
+    the full hypertable `time_bucket_gapfill(...) + interpolate()`
+    shape (q49d covers the zero-fill half): hours with no
+    observations for a type get the value linearly interpolated
+    between the nearest observed hours on either side; leading and
+    trailing gaps (no anchor on one side) stay NULL, matching the
+    standard interpolate() contract.
+
+    Determinism: the hourly means route through exact decimal; the
+    interpolation is one fixed arithmetic expression over those
+    settled doubles and an exact integer epoch ratio — bit-identical
+    cross-engine. Scale shape: the fact contributes one map-side-
+    combined (bucket × type) aggregate; everything after runs on the
+    dense grid (O(hours × types), tiny forever) — two window passes
+    per type (forward last-observed, backward next-observed) over ONE
+    event_type exchange, grid join broadcast exactly like q49d."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_obs"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    g = F.broadcast(agg).join(grid, ["bucket", "event_type"], "right")
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    ctx = g.select(
+        "bucket",
+        "event_type",
+        "n_obs",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(w_prev).alias("pb"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(w_next).alias("nb"),
+    )
+    frac = (
+        F.unix_timestamp("bucket") - F.unix_timestamp("pb")
+    ) / (F.unix_timestamp("nb") - F.unix_timestamp("pb"))
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return ctx.select(
+        F.date_format("bucket", _TS_FMT).alias("window_start"),
+        "event_type",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        interp.alias("value_interp"),
+    )

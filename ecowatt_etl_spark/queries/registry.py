@@ -102,7 +102,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q155_semantic_neardup", "q156_ivfpq_topk", "q157_lm_quality",
     "q158_semantic_decontaminate", "q159_rollup_revenue",
     "q160_median_order_value", "q161_countmin_audit",
-    "q162_interpolated_gapfill",
+    "q162_interpolated_gapfill", "q163_kmv_distinct",
 )
 
 

@@ -1367,3 +1367,99 @@ def q161_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — KMV distinct-count sketch + accuracy audit
+# ---------------------------------------------------------------------------
+# k-minimum-values estimator over the 60-bit md5 hash space: keep the k
+# smallest distinct hash values per group; estimate = (k-1)·2^60 / h_k.
+# Every step is deterministic integer/double arithmetic on portable
+# hashes, so the ESTIMATE hash-matches the oracle — the second sketch
+# (after q161's Count-Min) whose estimator is itself value-checked,
+# in contrast to engine-internal HLL (q09b, rows-only).
+_KMV_K = 64
+_KMV_SPACE = 1 << 60  # md5 15-hex-digit prefix range
+
+
+@query(
+    "q163_kmv_distinct",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT lang, s AS t
+      FROM (SELECT lang, UNNEST({_SQL_TOKENS}) AS s FROM documents)
+    ),
+    exact AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct_exact
+      FROM dt GROUP BY lang
+    ),
+    h AS (
+      SELECT DISTINCT lang,
+             CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM dt
+    ),
+    r AS (
+      SELECT lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h
+    ),
+    kth AS (SELECT lang, h AS h_k FROM r WHERE rn = {_KMV_K})
+    SELECT e.lang, e.n_distinct_exact,
+           COALESCE(CAST({(_KMV_K - 1) * _KMV_SPACE} AS DOUBLE)
+                      / CAST(k.h_k AS DOUBLE),
+                    CAST(e.n_distinct_exact AS DOUBLE)) AS kmv_estimate,
+           (COALESCE(CAST({(_KMV_K - 1) * _KMV_SPACE} AS DOUBLE)
+                       / CAST(k.h_k AS DOUBLE),
+                     CAST(e.n_distinct_exact AS DOUBLE))
+            - e.n_distinct_exact) / e.n_distinct_exact AS rel_err
+    FROM exact e LEFT JOIN kth k ON k.lang = e.lang
+    """,
+)
+def q163_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-token estimate per language,
+    audited against the exact distinct count. The sketch state is the
+    k=64 smallest distinct 60-bit md5 hashes per group — mergeable
+    (union two sketches, re-take the k smallest), fixed-size, and the
+    basis of the theta-sketch family; estimate = (k−1)·2^60 / h_k,
+    with the exact count as the documented fallback when a group has
+    fewer than k distinct values. Standard error is 1/sqrt(k−2) ≈ 13%
+    at k=64 — the audit column shows where the real error lands.
+
+    Cross-engine: hashes are the portable md5 idiom; the kth-smallest
+    selection is an integer rank; the estimate divides two exactly-
+    agreed doubles — so unlike HLL (q09b) the estimator itself is
+    hash-checked. Scale shape: one distinct over (lang, token-hash)
+    (map-side partial), one per-group rank window over ≤ distinct-
+    hash rows; at 100 TB the k smallest per partition pre-prune the
+    window input (each task keeps its local k minima — the classic
+    KMV combine), so the exchange carries O(tasks·k) rows."""
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("lang", F.explode(tokens("text")).alias("t")).distinct()
+    exact = dt.groupBy("lang").agg(F.count("*").alias("n_distinct_exact"))
+    h = dt.select(
+        "lang",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    rw = W.partitionBy("lang").orderBy("h")
+    kth = (
+        h.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == _KMV_K)
+        .select("lang", F.col("h").alias("h_k"))
+    )
+    est = F.coalesce(
+        F.lit(float((_KMV_K - 1) * _KMV_SPACE)) / F.col("h_k").cast("double"),
+        F.col("n_distinct_exact").cast("double"),
+    )
+    return (
+        exact.join(kth, "lang", "left")
+        .select(
+            "lang",
+            "n_distinct_exact",
+            est.alias("kmv_estimate"),
+            ((est - F.col("n_distinct_exact")) / F.col("n_distinct_exact")).alias(
+                "rel_err"
+            ),
+        )
+    )

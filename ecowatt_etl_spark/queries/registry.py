@@ -51,6 +51,7 @@ def _load_all() -> None:
     import ecowatt_etl_spark.queries.relational  # noqa: F401
     import ecowatt_etl_spark.queries.similarity_queries  # noqa: F401
     import ecowatt_etl_spark.queries.text_queries  # noqa: F401
+    import ecowatt_etl_spark.queries.timeseries_queries  # noqa: F401
     import ecowatt_etl_spark.queries.tpch_queries  # noqa: F401
 
 
@@ -103,6 +104,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q158_semantic_decontaminate", "q159_rollup_revenue",
     "q160_median_order_value", "q161_countmin_audit",
     "q162_interpolated_gapfill", "q163_kmv_distinct",
+    "q164_ohlc_bars", "q165_time_weighted_avg", "q166_locf_impute",
+    "q167_mad_anomalies",
 )
 
 

@@ -1,0 +1,400 @@
+"""Time-series analytics over the event stream: OHLC bars, time-weighted
+averages, last-observation-carried-forward imputation, and robust
+(median/MAD) anomaly detection.
+
+These are the hypertable-style operators a metrics warehouse layers on
+top of raw events (reference scope: the dashboard aggregations in
+``main.py`` — per-bucket summaries over a time column — generalized to
+the standard time-series toolkit). All four follow the engine's exact
+cross-engine arithmetic discipline: order statistics are selected by
+rank (identical row choice in Spark and DuckDB), money/metric values
+ride integer micro-units or decimals through every reduction, and only
+a final fixed-order division runs in double — so every query is
+hash-checkable against the DuckDB oracle, no tolerance.
+
+Scale notes per query live on the functions; the common theme is that
+q164 is windowless (ONE hash aggregate — at 100 TB an OHLC rollup must
+not per-bucket sort), and q165–q167 each spend exactly one exchange on
+their natural partition key (user_id / event_type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ecowatt_etl_spark.queries.registry import query
+from ecowatt_etl_spark.sources.tables import load_table
+
+# Composite ordering key for arg_min/arg_max-style selection without a
+# struct comparator (DuckDB's arg_min only orders by scalars):
+# epoch-micros * 10^7 + event_id, carried as decimal(38,0) in Spark and
+# HUGEINT in DuckDB — exact on both sides, and event_id < 10^7 holds by
+# construction of the synthetic ids at every sf (asserted in tests).
+_ORD_KEY_SQL = "CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id"
+
+
+def _ord_key() -> F.Column:
+    return (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10_000_000)
+        + F.col("event_id")
+    ).alias("ord_key")
+
+
+# Micro-unit fixed-point view of ``value`` (exact: value is rendered
+# through decimal(18,6) first, so both engines quantize identically).
+_V_US_SQL = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+
+def _v_us() -> F.Column:
+    return (
+        (F.col("value").cast("decimal(18,6)") * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("v_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 — OHLC candlestick bars per (event_type, day), windowless
+# ---------------------------------------------------------------------------
+@query(
+    "q164_ohlc_bars",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS bar_date,
+             {_V_US_SQL} AS v_us,
+             {_ORD_KEY_SQL} AS ord_key
+      FROM events
+    )
+    SELECT event_type, bar_date,
+           CAST(arg_min(v_us, ord_key) AS DOUBLE) / 1000000 AS open,
+           CAST(MAX(v_us) AS DOUBLE) / 1000000 AS high,
+           CAST(MIN(v_us) AS DOUBLE) / 1000000 AS low,
+           CAST(arg_max(v_us, ord_key) AS DOUBLE) / 1000000 AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(CAST(SUM(CAST(v_us AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+             / 1000000 AS total_value
+    FROM pts
+    GROUP BY event_type, bar_date
+    """,
+)
+def q164_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) candlestick bars per event type
+    — the financial/metrics rollup shape — computed WINDOWLESS: open
+    and close are ``min_by``/``max_by`` over a composite
+    (epoch-micros, event_id) ordering key, so the whole bar is ONE
+    hash aggregate with map-side partials. The naive formulation
+    (row_number window per bar, pick first/last) would sort every
+    partition of a 100 TB event log; this shape shuffles only
+    per-(type, day) partial states — O(bars), not O(events) — and is
+    the one to reach for when bars are the ingest-time rollup.
+    Ties on ts are broken by event_id inside the ordering key, so the
+    selected open/close rows are deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("bar_date"),
+        _v_us(),
+        _ord_key(),
+    )
+    return pts.groupBy("event_type", "bar_date").agg(
+        (F.min_by("v_us", "ord_key").cast("double") / 1_000_000).alias("open"),
+        (F.max("v_us").cast("double") / 1_000_000).alias("high"),
+        (F.min("v_us").cast("double") / 1_000_000).alias("low"),
+        (F.max_by("v_us", "ord_key").cast("double") / 1_000_000).alias("close"),
+        F.count("*").alias("n_trades"),
+        (
+            F.sum(F.col("v_us").cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / 1_000_000
+        ).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165 — time-weighted average value per user (hypertable time_weight())
+# ---------------------------------------------------------------------------
+@query(
+    "q165_time_weighted_avg",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) AS t_us,
+             {_V_US_SQL} AS v_us,
+             {_ORD_KEY_SQL} AS ord_key
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, v_us,
+             lead(t_us) OVER (PARTITION BY user_id ORDER BY ord_key)
+               - t_us AS dt_us
+      FROM pts
+    ),
+    agg AS (
+      SELECT user_id,
+             COUNT(*) AS n_obs,
+             SUM(CAST(v_us AS HUGEINT) * dt_us) AS wsum,
+             SUM(CAST(dt_us AS HUGEINT)) AS span_us
+      FROM seg WHERE dt_us IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_obs AS BIGINT) AS n_segments,
+           CAST(span_us AS BIGINT) AS span_us,
+           CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+             / CAST(span_us AS BIGINT) / 1000000 AS twa_value
+    FROM agg
+    """,
+)
+def q165_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — hypertable
+    ``time_weight('LOCF', ...)`` semantics: each observation holds its
+    value until the next one, so the mean weights each reading by its
+    holding duration instead of treating a burst of samples as equal
+    votes. One lead() window and one aggregate, both keyed on
+    user_id: Catalyst reuses the window's hashpartitioning for the
+    groupBy, so the event log is exchanged ONCE. Products ride
+    HUGEINT/decimal(38,0) (micro-value × micro-duration overflows
+    int64 by design), and the final double division happens in the
+    same fixed order on both engines. At 100 TB this is the canonical
+    per-entity sessionless rollup — shuffle O(events) once on the
+    entity key, state O(1) per entity."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        _v_us(),
+        _ord_key(),
+    )
+    w = W.partitionBy("user_id").orderBy("ord_key")
+    seg = pts.select(
+        "user_id",
+        "v_us",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("v_us").cast("decimal(38,0)") * F.col("dt_us")).alias("wsum"),
+        F.sum("dt_us").alias("span_us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_segments",
+        "span_us",
+        (
+            F.col("wsum").cast("string").cast("double")
+            / F.col("span_us")
+            / 1_000_000
+        ).alias("twa_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — LOCF imputation on a dense (user × day) grid
+# ---------------------------------------------------------------------------
+@query(
+    "q166_locf_impute",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             {_V_US_SQL} AS v_us,
+             {_ORD_KEY_SQL} AS ord_key
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, arg_max(v_us, ord_key) AS v_us
+      FROM pts GROUP BY user_id, day
+    ),
+    bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL '1 day')) AS DATE)
+               AS day
+      FROM bounds
+    ),
+    grid AS (
+      SELECT u.user_id, days.day
+      FROM days CROSS JOIN (SELECT DISTINCT user_id FROM events) u
+    ),
+    g AS (
+      SELECT grid.user_id, grid.day, daily.v_us
+      FROM grid LEFT JOIN daily
+        ON daily.user_id = grid.user_id AND daily.day = grid.day
+    )
+    SELECT user_id, day,
+           CAST(v_us IS NULL AND last_value(v_us IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) IS NOT NULL
+                AS BOOLEAN) AS filled,
+           CAST(last_value(v_us IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000
+             AS value_locf
+    FROM g
+    """,
+)
+def q166_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily series with last-observation-carried-
+    forward imputation — the feature-store companion to q162's linear
+    interpolation (LOCF is the causal variant: it never reads the
+    future, so it is the one a training pipeline may use). Day cells
+    with no observation inherit the user's most recent daily closing
+    value (``arg_max`` by the composite ts/event_id key — windowless,
+    like q164); days before a user's first observation stay NULL and
+    are flagged. The event log contributes one (user, day) aggregate;
+    the carry-forward window runs on the dense O(users × days) grid,
+    never on raw events — the same events-aggregate-then-grid shape
+    as q162, with the grid join broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        _v_us(),
+        _ord_key(),
+    )
+    daily = pts.groupBy("user_id", "day").agg(
+        F.max_by("v_us", "ord_key").alias("v_us")
+    )
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("lo"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    grid = days.crossJoin(ev.select("user_id").distinct())
+    g = F.broadcast(daily).join(grid, ["user_id", "day"], "right")
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last("v_us", ignorenulls=True).over(w_prev)
+    return g.select(
+        "user_id",
+        "day",
+        (F.col("v_us").isNull() & carried.isNotNull()).alias("filled"),
+        (carried.cast("double") / 1_000_000).alias("value_locf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — robust anomaly detection: median/MAD outlier counts per type
+# ---------------------------------------------------------------------------
+@query(
+    "q167_mad_anomalies",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, event_id, {_V_US_SQL} AS v_us
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, v_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v_us, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM pts
+    ),
+    med AS (
+      -- med2 = 2 * exact median, kept integral (sum of the two middle
+      -- ranks, or twice the single middle) so deviations stay integer
+      SELECT event_type,
+             CAST(SUM(v_us) * 2 // COUNT(*) AS BIGINT) AS med2
+      FROM r WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT pts.event_type, pts.event_id,
+             ABS(2 * pts.v_us - med.med2) AS d2
+      FROM pts JOIN med ON pts.event_type = med.event_type
+    ),
+    rd AS (
+      SELECT event_type, d2,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d2, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    ),
+    mad AS (
+      -- mad4 = 4 * exact MAD (same doubling trick, one level deeper)
+      SELECT event_type,
+             CAST(SUM(d2) * 2 // COUNT(*) AS BIGINT) AS mad4
+      FROM rd WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(med.med2) AS DOUBLE) / 2 / 1000000 AS median_value,
+           CAST(MAX(mad.mad4) AS DOUBLE) / 4 / 1000000 AS mad_value,
+           -- |v - med| > 3 * MAD  <=>  4*d2 > 3*mad4, all integer
+           CAST(SUM(CASE WHEN 4 * dev.d2 > 3 * mad.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev
+    JOIN med ON dev.event_type = med.event_type
+    JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def q167_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier report: exact median and exact MAD
+    (median absolute deviation) via the q160 rank construction, then
+    a count of events beyond the classic 3×MAD fence. MAD is the
+    estimator curation pipelines use where stddev is useless (one
+    wild sensor shifts a mean fence; the median/MAD fence moves only
+    at 50% contamination). EVERYTHING is integer: values ride
+    micro-units, the median is kept doubled (med2 = 2·median) and the
+    MAD quadrupled (mad4 = 4·MAD) so half-steps from even-n midpoints
+    never leave the integers, and the fence test |v−med| > 3·MAD is
+    evaluated as 4·|2v−med2| > 3·mad4 — exact on both engines, no
+    float anywhere before the two display columns. Cost: two
+    per-type sorted windows (median, then deviation median) and two
+    broadcast-sized joins of the per-type medians back onto the
+    events — at 100 TB the documented downgrade is approx_percentile
+    for both order statistics; the fence algebra is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_type", "event_id", _v_us())
+
+    def _doubled_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        wc = W.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("cnt"),
+        )
+        mid = r.filter(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        return mid.groupBy("event_type").agg(
+            F.expr(f"CAST(SUM({col}) * 2 DIV COUNT(*) AS BIGINT)").alias(out)
+        )
+
+    med = _doubled_median(pts, "v_us", "med2")
+    dev = pts.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.lit(2) * F.col("v_us") - F.col("med2")).alias("d2"),
+    )
+    mad = _doubled_median(dev, "d2", "mad4")
+    joined = dev.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.max("med2").cast("double") / 2 / 1_000_000).alias("median_value"),
+        (F.max("mad4").cast("double") / 4 / 1_000_000).alias("mad_value"),
+        F.sum(
+            F.when(F.lit(4) * F.col("d2") > F.lit(3) * F.col("mad4"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
+    )

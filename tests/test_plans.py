@@ -529,3 +529,33 @@ def test_q146_partition_pruning_reaches_listing(spark):
     # post-scan Filter node remains in the tree
     tree = plan.split("\n\n")[0]
     assert "Filter" not in tree, tree
+
+
+def _hash_exchange_count(plan: str) -> int:
+    import re
+
+    tree = plan.split("\n\n")[0]
+    n = 0
+    for i in re.findall(r"Exchange \((\d+)\)", tree):
+        m = re.search(rf"\({i}\) Exchange\n(?:.*\n)*?Arguments: (\w+)", plan)
+        if m and m.group(1).startswith("hashpartitioning"):
+            n += 1
+    return n
+
+
+def test_q164_ohlc_is_windowless_single_aggregate(spark):
+    """OHLC bars must be ONE hash aggregate (min_by/max_by over the
+    composite ordering key) — zero Window/Sort nodes and a single
+    exchange keyed on (type, day). A per-bar row_number formulation
+    would per-partition sort the whole event log at 100 TB."""
+    plan = _plan(spark, "q164_ohlc_bars")
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert _hash_exchange_count(plan) == 1
+
+
+def test_q165_twa_reuses_window_partitioning_for_agg(spark):
+    """The lead() window and the per-user aggregate must share ONE
+    user_id exchange — the event log is shuffled once, not twice."""
+    plan = _plan(spark, "q165_time_weighted_avg")
+    assert _hash_exchange_count(plan) == 1

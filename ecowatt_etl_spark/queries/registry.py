@@ -47,6 +47,7 @@ def _load_all() -> None:
     import ecowatt_etl_spark.queries.dedup_queries  # noqa: F401
     import ecowatt_etl_spark.queries.ecowatt_queries  # noqa: F401
     import ecowatt_etl_spark.queries.event_queries  # noqa: F401
+    import ecowatt_etl_spark.queries.layout_queries  # noqa: F401
     import ecowatt_etl_spark.queries.multimodal_queries  # noqa: F401
     import ecowatt_etl_spark.queries.relational  # noqa: F401
     import ecowatt_etl_spark.queries.similarity_queries  # noqa: F401
@@ -105,7 +106,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q160_median_order_value", "q161_countmin_audit",
     "q162_interpolated_gapfill", "q163_kmv_distinct",
     "q164_ohlc_bars", "q165_time_weighted_avg", "q166_locf_impute",
-    "q167_mad_anomalies",
+    "q167_mad_anomalies", "q168_zorder_layout",
 )
 
 

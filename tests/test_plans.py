@@ -559,3 +559,16 @@ def test_q165_twa_reuses_window_partitioning_for_agg(spark):
     user_id exchange — the event log is shuffled once, not twice."""
     plan = _plan(spark, "q165_time_weighted_avg")
     assert _hash_exchange_count(plan) == 1
+
+
+def test_q168_zorder_audit_is_windowless_and_codegen(spark):
+    """The Morton key must be pure codegen arithmetic: no Window, no
+    Sort, no Python evaluation anywhere in the plan; the only
+    hash-partitioned exchange is the per-bucket aggregate (the 1-row
+    min/max frame arrives via broadcast)."""
+    plan = _plan(spark, "q168_zorder_layout")
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "Python" not in plan
+    assert _hash_exchange_count(plan) == 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats frame

@@ -362,3 +362,85 @@ def q151_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         xor_agg("event_id").alias("xor_id"),
         count_agg("event_id").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — chi-square independence test: event_type × A/B variant
+# ---------------------------------------------------------------------------
+@query(
+    "q172_chisq_variant",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS variant,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+    c AS (SELECT variant, SUM(o) AS ct FROM cells GROUP BY 1),
+    t AS (SELECT SUM(o) AS n FROM cells)
+    SELECT cells.event_type, cells.variant,
+           CAST(o AS BIGINT) AS observed,
+           CAST(CAST(rt * ct AS VARCHAR) AS DOUBLE) / n AS expected,
+           CAST(CAST(CAST(o * n - rt * ct AS HUGEINT)
+                     * (o * n - rt * ct) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n AS HUGEINT) * rt * ct AS VARCHAR) AS DOUBLE)
+             AS chi2_term
+    FROM cells
+    JOIN m ON cells.event_type = m.event_type
+    JOIN c ON cells.variant = c.variant
+    CROSS JOIN t
+    """,
+)
+def q172_chisq_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test for the event_type × experiment-
+    variant contingency table (variant = props.k mod 2 — the hash-
+    bucket assignment an A/B platform derives from a feature flag).
+    Emits the per-cell decomposition — observed, expected, and the
+    (O−E)²/E term — which is what an experimenter actually reads
+    (WHICH cell drives the statistic); the global χ² is the sum of a
+    fixed, tiny set of terms (|types|×|variants| rows).
+
+    Exactness: observed counts and both marginals are integers, so
+    O·N − rt·ct is exact (decimal/HUGEINT through the square, far
+    past int64); expected and the χ² term are string-routed
+    correctly-rounded conversions plus one division each —
+    bit-identical cross-engine, the q103/q92 discipline. Scale: one
+    map-side-combined (type, variant) count over the scan; marginals
+    re-aggregate the TINY cell table, never the events; three
+    broadcast joins of sub-kilobyte frames."""
+    from ecowatt_etl_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") % 2).alias("variant"),
+    ).agg(F.count("*").alias("o"))
+    m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    c = cells.groupBy("variant").agg(F.sum("o").alias("ct"))
+    t = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(c), "variant")
+        .crossJoin(F.broadcast(t))
+    )
+    diff = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("decimal(19,0)")
+    num = (diff * diff).cast("decimal(38,0)")
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.col("rt") * F.col("ct")
+    ).cast("decimal(38,0)")
+    return j.select(
+        "event_type",
+        "variant",
+        F.col("o").cast("long").alias("observed"),
+        (
+            (F.col("rt") * F.col("ct")).cast("decimal(38,0)")
+            .cast("string")
+            .cast("double")
+            / F.col("n")
+        ).alias("expected"),
+        (
+            num.cast("string").cast("double")
+            / den.cast("string").cast("double")
+        ).alias("chi2_term"),
+    )

@@ -861,3 +861,63 @@ def q130_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc_id"),
         F.md5(F.array_join(ids_sorted, ",")).alias("content_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — deterministic weighted sampling (size-biased, A-ES style)
+# ---------------------------------------------------------------------------
+_WSAMPLE_K = 100
+
+
+@query(
+    "q170_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(concat('0x', substring(
+                    md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT)
+               // GREATEST(n_chars, 1) AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, priority
+    FROM keyed
+    ORDER BY priority, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+)
+def q170_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: each doc
+    draws a keyed-md5 uniform 60-bit integer, divides it by its weight
+    (n_chars — longer documents proportionally likelier), and the k
+    smallest priorities win. This is the integer-arithmetic sibling of
+    the A-ES exponential-jump sampler (A-ES ranks by u^(1/w); ranking
+    by u/w biases the same direction with zero float ops, so the draw
+    is reproducible bit-for-bit across engines AND across reruns — the
+    property a training-data lottery must have to be auditable).
+    Complements q93 (fixed rate), q99 (fixed size per stratum): this
+    one is fixed size, globally weight-biased.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each scan
+    partition keeps its local top-k, the driver merges partition
+    winners; no global sort, no full shuffle, ever. The md5 draw is
+    scan-local codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        # floor division, NOT `/` (double) — the priority must stay an
+        # exact integer to match the oracle's `//`
+        u.alias("u"),
+    ).selectExpr(
+        "doc_id", "source", "n_chars", "u div GREATEST(n_chars, 1) AS priority"
+    )
+    return keyed.orderBy("priority", "doc_id").limit(_WSAMPLE_K)

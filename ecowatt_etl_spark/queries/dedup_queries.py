@@ -1038,3 +1038,226 @@ def q135_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens")
         ).alias("dropped_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — sorted-neighborhood near-dup candidates + exact Jaccard verify
+# ---------------------------------------------------------------------------
+_SNM_W = 4  # neighborhood window (rank distance within a block)
+_SNM_KEY = 24  # sort-key prefix length
+_SNM_BLOCK = 2  # block prefix length — the parallel unit
+
+
+@query(
+    "q169_sorted_neighborhood",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       1, {_SNM_BLOCK}) AS block,
+             substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       1, {_SNM_KEY}) AS sort_key
+      FROM documents
+    ),
+    rr AS (
+      SELECT doc_id, block,
+             ROW_NUMBER() OVER (PARTITION BY block
+                                ORDER BY sort_key, doc_id) AS rn
+      FROM r
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rr a JOIN rr b
+        ON a.block = b.block
+       AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_W}
+    ),
+    e AS ({_SQL_E}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_inter
+      FROM cand
+      JOIN e ea ON ea.doc_id = cand.doc_a
+      JOIN e eb ON eb.doc_id = cand.doc_b AND eb.h = ea.h
+      GROUP BY cand.doc_a, cand.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+           CAST(i.n_inter * 10000 // (sa.n + sb.n - i.n_inter) AS BIGINT)
+             AS jaccard_bp
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter * 10000 >= 3000 * (sa.n + sb.n - i.n_inter)
+    """,
+)
+def q169_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection — the third candidate-
+    generation strategy next to LSH banding (q53) and prefix blocking
+    (q58): sort the corpus by a normalized-text key and compare only
+    rows within a fixed rank window. Classic SNM sorts globally; this
+    implementation partitions by a short block prefix FIRST and ranks
+    within blocks, so the sort parallelizes by block (the standard
+    blocked-SNM hybrid) at the documented cost of missing pairs that
+    straddle a block boundary — deterministic on both engines, unlike
+    a sampled RangePartitioner order. Candidates (≤ W per row, O(W·n)
+    total — the knob LSH lacks: candidate volume is CAPPED, independent
+    of how skewed the corpus is) are verified with EXACT Jaccard over
+    the session shingle-hash index (q53's artifact, reused — no second
+    tokenize/md5 pass), reported in integer basis points with a
+    30% floor. At 100 TB: one block-keyed exchange for ranking, one
+    doc-keyed join against the standing index — both bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    r = d.select(
+        "doc_id",
+        F.substring(norm, 1, _SNM_BLOCK).alias("block"),
+        F.substring(norm, 1, _SNM_KEY).alias("sort_key"),
+    )
+    from pyspark.sql.window import Window as W
+
+    rr = r.select(
+        "doc_id",
+        "block",
+        F.row_number()
+        .over(W.partitionBy("block").orderBy("sort_key", "doc_id"))
+        .alias("rn"),
+    )
+    a, b = rr.alias("a"), rr.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + _SNM_W),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    e, _ = shingle_index(spark, sf_dir)
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), "h")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    n_union = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("n_inter") * 10000 >= 3000 * n_union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            n_union.cast("long").alias("n_union"),
+            F.expr("CAST(n_inter * 10000 DIV (na + nb - n_inter) AS BIGINT)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 — TF-IDF-weighted shingle cosine pairs (rare-overlap near-dup)
+# ---------------------------------------------------------------------------
+_TFIDF_DF_CAP = 50  # posting-list cap: shingles in more docs carry no signal
+_TFIDF_MIN_COS = 0.5
+
+
+@query(
+    "q171_tfidf_shingle_pairs",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+    w AS (
+      SELECT e.doc_id, e.h,
+             CAST(nd.n_docs * 1000 // df.df AS BIGINT) AS wt
+      FROM e JOIN df ON e.h = df.h CROSS JOIN nd
+      WHERE df.df <= {_TFIDF_DF_CAP}
+    ),
+    norms AS (
+      SELECT doc_id, SUM(CAST(wt AS HUGEINT) * wt) AS nn
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(a.wt AS HUGEINT) * b.wt) AS dot,
+             COUNT(*) AS n_shared
+      FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+               / (sqrt(CAST(CAST(na.nn AS VARCHAR) AS DOUBLE))
+                  * sqrt(CAST(CAST(nb.nn AS VARCHAR) AS DOUBLE))) AS cos_sim
+      FROM dots
+      JOIN norms na ON na.doc_id = dots.doc_a
+      JOIN norms nb ON nb.doc_id = dots.doc_b
+    )
+    SELECT * FROM scored WHERE cos_sim >= {_TFIDF_MIN_COS}
+    """,
+)
+def q171_tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by TF-IDF-WEIGHTED shingle cosine — the weighted
+    complement to q54's unweighted Jaccard: two documents sharing ten
+    boilerplate shingles score near zero, two sharing ten RARE
+    shingles score near one, which is the ranking a curation reviewer
+    actually wants. Weights are fixed-point integer IDF
+    (N·1000 // df, binary tf over distinct shingles), so dot products
+    and norms accumulate exactly (HUGEINT/decimal); cosine is three
+    correctly-rounded ops (two sqrt, one divide) over string-routed
+    casts — bit-identical cross-engine, threshold comparison included.
+
+    Scale: the df aggregate and the posting-list self-join ride the
+    SAME exploded (doc, h) index q53/q169 share (session artifact, no
+    re-tokenize); the df cap bounds the self-join at Σ df² over capped
+    lists — the identical economics as q54, plus one broadcast of the
+    1-row corpus count. Everything shuffles on 8-byte hashes, never
+    text."""
+    d = load_table(spark, sf_dir, "documents")
+    e, _ = shingle_index(spark, sf_dir)
+    nd = d.agg(F.count("*").alias("n_docs"))
+    df_t = e.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _TFIDF_DF_CAP
+    )
+    w = (
+        e.join(df_t, "h")
+        .crossJoin(F.broadcast(nd))
+        .selectExpr("doc_id", "h", "CAST(n_docs * 1000 DIV df AS BIGINT) AS wt")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("nn")
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "h", F.col("wt").alias("wb"))
+    dots = (
+        wa.join(wb, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    cos = F.col("dot").cast("string").cast("double") / (
+        F.sqrt(F.col("na").cast("string").cast("double"))
+        * F.sqrt(F.col("nb").cast("string").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _TFIDF_MIN_COS)
+    )

@@ -106,7 +106,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q160_median_order_value", "q161_countmin_audit",
     "q162_interpolated_gapfill", "q163_kmv_distinct",
     "q164_ohlc_bars", "q165_time_weighted_avg", "q166_locf_impute",
-    "q167_mad_anomalies", "q168_zorder_layout",
+    "q167_mad_anomalies", "q168_zorder_layout", "q169_sorted_neighborhood",
+    "q170_weighted_sample", "q171_tfidf_shingle_pairs",
+    "q172_chisq_variant", "q173_pareto_suppliers",
 )
 
 

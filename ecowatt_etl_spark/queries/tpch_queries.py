@@ -1100,3 +1100,100 @@ def q160_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — Pareto-frontier (skyline) suppliers: price vs ship latency
+# ---------------------------------------------------------------------------
+@query(
+    "q173_pareto_suppliers",
+    oracle="""
+    WITH perf AS (
+      SELECT l_suppkey AS s_suppkey,
+             COUNT(*) AS n_items,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST((1 - l_discount) AS DECIMAL(18,6))
+                      * 1000000000000 AS HUGEINT)) AS ps,
+             SUM(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS HUGEINT)) AS ds
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_suppkey
+    )
+    SELECT a.s_suppkey, s.s_name,
+           CAST(a.n_items AS BIGINT) AS n_items,
+           CAST(CAST(a.ps AS VARCHAR) AS DOUBLE) / a.n_items
+             / 1000000000000 AS avg_price,
+           CAST(CAST(a.ds AS VARCHAR) AS DOUBLE) / a.n_items
+             AS avg_delay_days
+    FROM perf a JOIN supplier s ON s.s_suppkey = a.s_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM perf b
+      WHERE b.s_suppkey <> a.s_suppkey
+        AND b.ps * a.n_items <= a.ps * b.n_items
+        AND b.ds * a.n_items <= a.ds * b.n_items
+        AND (b.ps * a.n_items < a.ps * b.n_items
+             OR b.ds * a.n_items < a.ds * b.n_items)
+    )
+    """,
+)
+def q173_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the suppliers no other supplier
+    beats on BOTH average effective price and average ship latency —
+    the multi-objective shortlist a sourcing analyst wants where a
+    single weighted score would bake in an arbitrary tradeoff.
+    Dominance is decided on EXACT cross-multiplied rationals
+    (psum_b·n_a ≤ psum_a·n_b, never a float average — sums ride
+    picounit integers/HUGEINT), so the frontier membership is
+    bit-stable cross-engine; the display averages are string-routed
+    divisions after the fact.
+
+    Scale: the skyline's quadratic dominance test runs on the
+    PER-SUPPLIER AGGREGATE (|suppliers| rows — bounded by the
+    dimension, not the fact), after one supplier-keyed aggregate over
+    the lineitem⋈orders join. The anti-join compiles to a broadcast
+    nested loop over that tiny frame, which is exactly right at
+    |suppliers| ≪ |facts|; a frontier over unbounded point sets would
+    need the sort-based sweep instead (documented, not this shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    v_pico = (
+        dec("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+        * F.lit(1_000_000_000_000)
+    ).cast("decimal(38,0)")
+    perf = j.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(v_pico).alias("ps"),
+        F.sum(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ds"),
+    )
+    a = perf.alias("a")
+    b = perf.alias("b")
+    dominated = (
+        (F.col("b.s_suppkey") != F.col("a.s_suppkey"))
+        & (F.col("b.ps") * F.col("a.n_items") <= F.col("a.ps") * F.col("b.n_items"))
+        & (F.col("b.ds") * F.col("a.n_items") <= F.col("a.ds") * F.col("b.n_items"))
+        & (
+            (F.col("b.ps") * F.col("a.n_items") < F.col("a.ps") * F.col("b.n_items"))
+            | (F.col("b.ds") * F.col("a.n_items") < F.col("a.ds") * F.col("b.n_items"))
+        )
+    )
+    frontier = a.join(F.broadcast(b), dominated, "left_anti")
+    return frontier.join(F.broadcast(s), "s_suppkey").select(
+        "s_suppkey",
+        "s_name",
+        F.col("n_items").cast("long").alias("n_items"),
+        (
+            F.col("ps").cast("string").cast("double")
+            / F.col("n_items")
+            / 1_000_000_000_000
+        ).alias("avg_price"),
+        (
+            F.col("ds").cast("string").cast("double") / F.col("n_items")
+        ).alias("avg_delay_days"),
+    )

@@ -38,11 +38,16 @@ HEADLINE = [
     "q48_range_lookback",
     "q49f_funnel",
     "q136_variant_props",
+    # time-series toolkit (r4)
+    "q164_ohlc_bars",
+    "q167_mad_anomalies",
     # training-data pipeline
     "q51_hash_dedup",
     "q53_minhash_lsh_pairs",
     "q127_incremental_neardup",
     "q57_dedup_clusters",
+    "q169_sorted_neighborhood",
+    "q171_tfidf_shingle_pairs",
     "q61_cosine_topk",
     "q64_lsh_topk",
     "q65_ivf_topk",
@@ -60,6 +65,7 @@ HEADLINE = [
     "q144_boilerplate_strip",
     # warehouse maintenance / gates
     "q152_dq_audit",
+    "q168_zorder_layout",
 ]
 
 

@@ -58,9 +58,7 @@ def _v_us() -> F.Column:
 # ---------------------------------------------------------------------------
 # q164 — OHLC candlestick bars per (event_type, day), windowless
 # ---------------------------------------------------------------------------
-@query(
-    "q164_ohlc_bars",
-    oracle=f"""
+_Q164_ORACLE = f"""
     WITH pts AS (
       SELECT event_type,
              CAST(date_trunc('day', ts) AS DATE) AS bar_date,
@@ -78,8 +76,10 @@ def _v_us() -> F.Column:
              / 1000000 AS total_value
     FROM pts
     GROUP BY event_type, bar_date
-    """,
-)
+    """
+
+
+@query("q164_ohlc_bars", oracle=_Q164_ORACLE)
 def q164_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC (open/high/low/close) candlestick bars per event type
     — the financial/metrics rollup shape — computed WINDOWLESS: open
@@ -398,3 +398,27 @@ def q167_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_anomalies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — the SAME OHLC bars under Structured Streaming (exact oracle)
+# ---------------------------------------------------------------------------
+@query("q174_stream_ohlc", oracle=_Q164_ORACLE)
+def q174_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q164's daily OHLC bars executed as a Structured Streaming query
+    (file replay → 1-hour watermark → memory sink, complete mode):
+    min_by/max_by are declarative aggregates, so each live bar is five
+    scalars of state per (type, day) that late data folds into until
+    the watermark closes the bar — the ingest-time rollup shape where
+    bars are SERVED while the day is still open. Integer micro-unit
+    values and post-aggregate display divisions make the full replay
+    bit-identical to batch q164, so this carries q164's EXACT oracle —
+    batch/stream parity as a value gate (the q44/q45 discipline)."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        ohlc_bars_stream,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    bars = ohlc_bars_stream(read_events_stream(spark, sf_dir))
+    return run_to_completion(bars, "q174_stream_ohlc_sink", output_mode="complete")

@@ -416,3 +416,52 @@ def stateful_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ohlc_bars_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Daily OHLC candlestick bars as a streaming aggregation — the
+    q164 rollup maintained incrementally: min_by/max_by over the
+    composite (epoch-micros, event_id) ordering key are declarative
+    aggregates, so the bar state per (type, day) is five scalars and
+    late data folds in exactly like any other streaming agg until the
+    watermark finalizes the bar. Values ride integer micro-units; the
+    display divisions happen after the aggregate, so a replayed stream
+    is bit-identical to the batch q164 (its exact oracle rides along).
+    """
+    v_us = (
+        (F.col("value").cast("decimal(18,6)") * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("v_us")
+    )
+    ord_key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10_000_000)
+        + F.col("event_id")
+    ).alias("ord_key")
+    pts = events.select("event_type", "ts", v_us, ord_key)
+    return (
+        pts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            (F.min_by("v_us", "ord_key").cast("double") / 1_000_000).alias("open"),
+            (F.max("v_us").cast("double") / 1_000_000).alias("high"),
+            (F.min("v_us").cast("double") / 1_000_000).alias("low"),
+            (F.max_by("v_us", "ord_key").cast("double") / 1_000_000).alias("close"),
+            F.count("*").alias("n_trades"),
+            (
+                F.sum(F.col("v_us").cast("decimal(38,0)"))
+                .cast("string")
+                .cast("double")
+                / 1_000_000
+            ).alias("total_value"),
+        )
+        .select(
+            F.to_date("w.start").alias("bar_date"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+            "total_value",
+        )
+    )

@@ -1261,3 +1261,136 @@ def q171_tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= _TFIDF_MIN_COS)
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — theta-sketch set operations: per-source-pair intersection
+#         estimates from mergeable KMV sketches, audited vs exact
+# ---------------------------------------------------------------------------
+_THETA_K = 64
+_THETA_SPACE = 1 << 60  # md5 15-hex-digit prefix range
+
+
+@query(
+    "q175_theta_intersection",
+    oracle=f"""
+    WITH eh AS (
+      SELECT DISTINCT d.source, e.h
+      FROM ({_SQL_E}) e JOIN documents d ON d.doc_id = e.doc_id
+    ),
+    r AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM eh
+    ),
+    sk AS (SELECT source, h, rn FROM r WHERE rn <= {_THETA_K}),
+    theta AS (SELECT source, h AS th FROM sk WHERE rn = {_THETA_K}),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             LEAST(a.th, b.th) AS theta
+      FROM theta a JOIN theta b ON a.source < b.source
+    ),
+    below AS (
+      SELECT p.source_a, p.source_b, p.theta, COUNT(*) AS n_below
+      FROM pairs p
+      JOIN sk sa ON sa.source = p.source_a
+      JOIN sk sb ON sb.source = p.source_b AND sb.h = sa.h
+      WHERE sa.h < p.theta
+      GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common_exact
+      FROM eh a JOIN eh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.theta AS BIGINT) AS theta,
+           CAST(COALESCE(x.n_common_exact, 0) AS BIGINT) AS n_common_exact,
+           CAST(COALESCE(b.n_below, 0) AS BIGINT) AS n_below_theta,
+           CAST(CAST(CAST(COALESCE(b.n_below, 0) AS HUGEINT)
+                     * {_THETA_SPACE} AS VARCHAR) AS DOUBLE)
+             / CAST(p.theta AS DOUBLE) AS inter_estimate
+    FROM pairs p
+    LEFT JOIN below b ON b.source_a = p.source_a AND b.source_b = p.source_b
+    LEFT JOIN exact x ON x.source_a = p.source_a AND x.source_b = p.source_b
+    """,
+)
+def q175_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS: estimate the distinct-shingle
+    overlap of every source pair from their fixed-size KMV sketches
+    alone — the cross-corpus contamination / overlap matrix computed
+    WITHOUT a cross-corpus join. Each source keeps its k=64 smallest
+    distinct 60-bit hashes (q163's mergeable state); a pair's
+    intersection estimate is the theta rule: θ = min(θ_a, θ_b),
+    count the common sketch hashes below θ, scale by 2^60/θ. The
+    exact per-pair overlap rides along as the audit column.
+
+    Determinism: sketch membership is an integer rank, θ a LEAST of
+    two integers, the estimate one string-routed division — the
+    estimator itself hash-checks cross-engine (q161/q163 discipline).
+    Scale: per-source sketches are O(k) rows built with per-partition
+    local minima (the KMV combine); the PAIRWISE stage touches only
+    O(|sources|²·k) sketch rows — at 10k sources that is 6M tiny rows
+    where the exact join would cross-join corpora; the exact audit
+    here is the sf0.01 luxury, dropped at scale (that is the point)."""
+    d = load_table(spark, sf_dir, "documents")
+    e, _ = shingle_index(spark, sf_dir)
+    eh = (
+        e.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    from pyspark.sql.window import Window as W
+
+    rw = W.partitionBy("source").orderBy("h")
+    sk = eh.withColumn("rn", F.row_number().over(rw)).filter(
+        F.col("rn") <= _THETA_K
+    )
+    theta = sk.filter(F.col("rn") == _THETA_K).select(
+        "source", F.col("h").alias("th")
+    )
+    ta = theta.select(F.col("source").alias("source_a"), F.col("th").alias("tha"))
+    tb = theta.select(F.col("source").alias("source_b"), F.col("th").alias("thb"))
+    pairs = ta.join(tb, F.col("source_a") < F.col("source_b")).select(
+        "source_a", "source_b", F.least("tha", "thb").alias("theta")
+    )
+    sa = sk.select(F.col("source").alias("source_a"), "h")
+    sb = sk.select(F.col("source").alias("source_b"), "h")
+    below = (
+        pairs.join(sa, "source_a")
+        .join(sb, ["source_b", "h"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("source_a", "source_b", "theta")
+        .agg(F.count("*").alias("n_below"))
+    )
+    xa = eh.select(F.col("source").alias("source_a"), "h")
+    xb = eh.select(F.col("source").alias("source_b"), "h")
+    exact = (
+        xa.join(xb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common_exact"))
+    )
+    n_below = F.coalesce(F.col("n_below"), F.lit(0))
+    est = (
+        (n_below.cast("decimal(38,0)") * F.lit(_THETA_SPACE))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .cast("double")
+        / F.col("theta").cast("double")
+    )
+    return (
+        pairs.join(below.drop("theta"), ["source_a", "source_b"], "left")
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("theta").cast("long").alias("theta"),
+            F.coalesce(F.col("n_common_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_common_exact"),
+            n_below.cast("long").alias("n_below_theta"),
+            est.alias("inter_estimate"),
+        )
+    )

@@ -140,3 +140,106 @@ def q168_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — join-key skew diagnostics across the warehouse's shuffle keys
+# ---------------------------------------------------------------------------
+_SKEW_COLS: tuple[tuple[str, str], ...] = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("documents", "source"),
+)
+_SALT_TARGET = 100_000  # rows per task a single shuffle partition absorbs
+
+
+def _skew_block_sql(tbl: str, col: str) -> str:
+    return f"""
+    SELECT '{tbl}.{col}' AS key_col,
+           MAX(nk) AS n_keys, MAX(tot) AS total_rows,
+           MAX(CASE WHEN rd = 1 THEN freq END) AS max_freq,
+           MAX(CASE WHEN rd = 1 THEN k END) AS hot_key,
+           MAX(CASE WHEN rn = (nk + 1) // 2 THEN freq END) AS p50_freq,
+           MAX(CASE WHEN rn = (99 * nk + 99) // 100 THEN freq END) AS p99_freq,
+           (MAX(CASE WHEN rd = 1 THEN freq END) + {_SALT_TARGET - 1})
+             // {_SALT_TARGET} AS suggested_salt
+    FROM (
+      SELECT k, freq,
+             ROW_NUMBER() OVER (ORDER BY freq, k) AS rn,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, k) AS rd,
+             COUNT(*) OVER () AS nk,
+             SUM(freq) OVER () AS tot
+      FROM (SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS freq
+            FROM {tbl} GROUP BY 1)
+    )
+    """
+
+
+@query(
+    "q176_skew_report",
+    oracle=" UNION ALL ".join(
+        _skew_block_sql(t, c) for t, c in _SKEW_COLS
+    ),
+)
+def q176_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for every join/aggregation key the
+    warehouse shuffles on: per key column, the distinct-key count,
+    max/p50/p99 per-key frequencies (percentile_disc semantics — an
+    integer rank picks an actual frequency, so the report is exact),
+    the hottest key itself, and a salting recommendation
+    (ceil(max_freq / rows-per-task)) — the number `salted_join`/q28
+    takes as its fan-out. This is the query you run BEFORE a 100 TB
+    join to decide broadcast vs shuffle vs salt; AQE fixes moderate
+    skew at runtime, but a key with salt > 1 here needs the explicit
+    treatment.
+
+    Scale: each block is one map-side-combined frequency aggregate
+    over its table (shuffle O(distinct keys)); the rank windows run
+    over the COUNTS table, bounded by key cardinality, not the fact —
+    at extreme key cardinality the documented downgrade is
+    approx_percentile over frequencies. Six independent blocks union
+    into a 6-row report."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window as W
+
+    frames = []
+    for tbl, col in _SKEW_COLS:
+        t = load_table(spark, sf_dir, tbl)
+        f = t.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count("*").alias("freq")
+        )
+        r = f.select(
+            "k",
+            "freq",
+            F.row_number().over(W.orderBy("freq", "k")).alias("rn"),
+            F.row_number().over(W.orderBy(F.desc("freq"), "k")).alias("rd"),
+            F.count("*").over(W.partitionBy()).alias("nk"),
+            F.sum("freq").over(W.partitionBy()).alias("tot"),
+        )
+        frames.append(
+            r.agg(
+                F.lit(f"{tbl}.{col}").alias("key_col"),
+                F.max("nk").alias("n_keys"),
+                F.max("tot").alias("total_rows"),
+                F.max(F.when(F.col("rd") == 1, F.col("freq"))).alias("max_freq"),
+                F.max(F.when(F.col("rd") == 1, F.col("k"))).alias("hot_key"),
+                F.max(
+                    F.when(F.col("rn") == F.expr("(nk + 1) div 2"), F.col("freq"))
+                ).alias("p50_freq"),
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(99 * nk + 99) div 100"),
+                        F.col("freq"),
+                    )
+                ).alias("p99_freq"),
+                F.expr(
+                    f"(MAX(CASE WHEN rd = 1 THEN freq END) + {_SALT_TARGET - 1})"
+                    f" div {_SALT_TARGET}"
+                ).alias("suggested_salt"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)

@@ -109,7 +109,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q167_mad_anomalies", "q168_zorder_layout", "q169_sorted_neighborhood",
     "q170_weighted_sample", "q171_tfidf_shingle_pairs",
     "q172_chisq_variant", "q173_pareto_suppliers", "q174_stream_ohlc",
-    "q175_theta_intersection", "q176_skew_report",
+    "q175_theta_intersection", "q176_skew_report", "q177_winsorize",
 )
 
 

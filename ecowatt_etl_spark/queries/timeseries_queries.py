@@ -422,3 +422,108 @@ def q174_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bars = ohlc_bars_stream(read_events_stream(spark, sf_dir))
     return run_to_completion(bars, "q174_stream_ohlc_sink", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# q177 — exact winsorization report (clip at p01/p99 rank statistics)
+# ---------------------------------------------------------------------------
+@query(
+    "q177_winsorize",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, event_id, {_V_US_SQL} AS v_us FROM events
+    ),
+    r AS (
+      SELECT event_type, v_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v_us, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM pts
+    ),
+    fences AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (cnt + 99) // 100 THEN v_us END) AS lo,
+             MAX(CASE WHEN rn = (99 * cnt + 99) // 100 THEN v_us END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT pts.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(f.lo AS DOUBLE) / 1000000 AS p01,
+           CAST(f.hi AS DOUBLE) / 1000000 AS p99,
+           CAST(SUM(CASE WHEN v_us < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN v_us > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(CAST(SUM(CAST(v_us AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) / 1000000 AS mean_raw,
+           CAST(CAST(SUM(CAST(GREATEST(f.lo, LEAST(f.hi, v_us)) AS HUGEINT))
+                     AS VARCHAR) AS DOUBLE)
+             / COUNT(*) / 1000000 AS mean_winsorized
+    FROM pts JOIN fences f ON f.event_type = pts.event_type
+    GROUP BY pts.event_type, f.lo, f.hi
+    """,
+)
+def q177_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report per event type: clip values at the EXACT
+    p01/p99 order statistics (percentile_disc by integer rank — the
+    q160/q167 discipline, so fence selection is identical on both
+    engines) and report how many observations each tail clips plus
+    the raw vs winsorized mean. This is the standard outlier
+    treatment a feature pipeline applies before scaling (q10's
+    min-max normalize is exactly the op winsorizing protects: one
+    wild sensor otherwise owns the range).
+
+    All comparisons and the clipped sum are integer micro-units; the
+    two means are string-routed divisions. Cost: one per-type rank
+    window to pick fences (the 100 TB downgrade is approx_percentile),
+    one broadcast of the 5-row fence table, one hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_type", "event_id", _v_us())
+    w = W.partitionBy("event_type").orderBy("v_us", "event_id")
+    wc = W.partitionBy("event_type")
+    r = pts.select(
+        "event_type",
+        "v_us",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    fences = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 99) div 100"), F.col("v_us"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(99 * cnt + 99) div 100"), F.col("v_us"))
+        ).alias("hi"),
+    )
+    j = pts.join(F.broadcast(fences), "event_type")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v_us")))
+    return j.groupBy("event_type", "lo", "hi").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v_us") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("v_us") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        (
+            F.sum(F.col("v_us").cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / F.count("*")
+            / 1_000_000
+        ).alias("mean_raw"),
+        (
+            F.sum(clipped.cast("decimal(38,0)")).cast("string").cast("double")
+            / F.count("*")
+            / 1_000_000
+        ).alias("mean_winsorized"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("lo").cast("double") / 1_000_000).alias("p01"),
+        (F.col("hi").cast("double") / 1_000_000).alias("p99"),
+        "n_clipped_low",
+        "n_clipped_high",
+        "mean_raw",
+        "mean_winsorized",
+    )

@@ -572,3 +572,19 @@ def test_q168_zorder_audit_is_windowless_and_codegen(spark):
     assert "Python" not in plan
     assert _hash_exchange_count(plan) == 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats frame
+
+
+def test_q170_weighted_sample_is_take_ordered(spark):
+    """The weighted lottery must compile to TakeOrderedAndProject —
+    per-partition local top-k merged on the driver — never a global
+    sort of the corpus."""
+    plan = _plan(spark, "q170_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q169_snm_has_no_global_sort(spark):
+    """Blocked-SNM contract: ranking sorts WITHIN block partitions
+    (window exchanges are hash-partitioned); nothing funnels the
+    corpus through a single partition."""
+    plan = _plan(spark, "q169_sorted_neighborhood")
+    assert "Exchange SinglePartition" not in plan

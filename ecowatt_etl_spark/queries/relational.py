@@ -2023,3 +2023,101 @@ def q152_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q178 — point-in-time (PIT) join of the fact against the SCD2 dimension
+# ---------------------------------------------------------------------------
+@query(
+    "q178_pit_join",
+    oracle=f"""
+    WITH ver AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal,
+             DATE '1994-01-01' AS valid_from,
+             CASE WHEN s_suppkey % 10 = 3 THEN DATE '1997-01-01' END AS valid_to
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal + 50,
+             DATE '1997-01-01', DATE '1999-01-01'
+      FROM supplier WHERE s_suppkey % 10 = 3
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal + 100,
+             DATE '1999-01-01', NULL
+      FROM supplier WHERE s_suppkey % 10 = 3
+    )
+    SELECT v.s_nationkey, v.valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_exact_sum_product("l_extendedprice", "(1 - l_discount)", "revenue")}
+    FROM lineitem l
+    JOIN ver v
+      ON v.s_suppkey = l.l_suppkey
+     AND CAST(l.l_shipdate AS DATE) >= v.valid_from
+     AND (v.valid_to IS NULL OR CAST(l.l_shipdate AS DATE) < v.valid_to)
+    GROUP BY v.s_nationkey, v.valid_from
+    """,
+)
+def q178_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every lineitem is attributed to the supplier
+    VERSION that was valid on its ship date — the query-side
+    complement of q148's SCD2 maintenance, and the join every
+    versioned-dimension warehouse (and every leakage-safe ML feature
+    store) lives on: joining the current dimension row instead would
+    leak future attributes into historical facts. The history is
+    produced by the same operator q148 gates (sources/upsert.py::
+    scd2_apply — change batch at 1997-01-01/+50 and 1999-01-01/+100,
+    chain closing value-checked there); this query proves the
+    RETRIEVAL side: the (valid_from, valid_to] interval predicate
+    routes each of the seven shipping years to the right generation.
+
+    Scale: the versioned dimension stays dimension-sized (versions
+    multiply it by small constants), so the PIT join is a BROADCAST
+    hash join on s_suppkey with the interval predicate evaluated
+    post-match — the fact never shuffles. For a version chain too
+    deep to broadcast, the documented fallback is the q46 as-of
+    construction (union fact+versions, one running-struct window per
+    key). Revenue rides exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("ship_date"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    from ecowatt_etl_spark.sources.upsert import scd2_apply
+
+    dim = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.lit("1994-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changed = s.filter(F.col("s_suppkey") % 10 == 3)
+    changes = changed.select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.col("s_acctbal") + 50).alias("s_acctbal"),
+        F.lit("1997-01-01").cast("date").alias("valid_from"),
+    ).unionByName(
+        changed.select(
+            "s_suppkey",
+            "s_nationkey",
+            (F.col("s_acctbal") + 100).alias("s_acctbal"),
+            F.lit("1999-01-01").cast("date").alias("valid_from"),
+        )
+    )
+    hist = scd2_apply(dim, changes, keys=["s_suppkey"])
+    cond = (
+        (F.col("s_suppkey") == F.col("l_suppkey"))
+        & (F.col("ship_date") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_date") < F.col("valid_to")))
+    )
+    j = li.join(F.broadcast(hist), cond)
+    return j.groupBy("s_nationkey", "valid_from").agg(
+        F.count("*").alias("n_items"),
+        exact_sum_product(
+            "l_extendedprice", F.lit(1) - F.col("l_discount"), "revenue"
+        ),
+    )

@@ -1463,3 +1463,139 @@ def q163_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — Bloom filter build + false-positive audit
+# ---------------------------------------------------------------------------
+# m bits / k independent md5-derived hash positions per element. The
+# "filter" is represented relationally as the DISTINCT set-bit table —
+# membership testing is then a semi-join, which is exactly what Spark's
+# runtime bloom pruning does physically with a bitmap.
+_BLOOM_M = 1024
+_BLOOM_K = 4
+
+
+def _bloom_pos_sql(i: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5('bloom{i}:' || md5(text)), 1, 15))"
+        f" AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos(i: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}:"), F.md5("text"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+@query(
+    "q179_bloom_audit",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, doc_id % 5 = 0 AS is_member,
+             list_distinct([{", ".join(_bloom_pos_sql(i) for i in range(_BLOOM_K))}])
+               AS ps
+      FROM documents
+    ),
+    bits AS (
+      SELECT DISTINCT UNNEST(ps) AS bit FROM pos WHERE is_member
+    ),
+    flat AS (
+      SELECT doc_id, is_member, len(ps) AS n_pos, UNNEST(ps) AS bit FROM pos
+    ),
+    hits AS (
+      SELECT f.doc_id, f.is_member, MAX(f.n_pos) AS n_pos,
+             COUNT(b.bit) AS n_hit
+      FROM flat f LEFT JOIN bits b ON b.bit = f.bit
+      GROUP BY f.doc_id, f.is_member
+    )
+    SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_set_bits,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN is_member AND n_hit = n_pos THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_member_hits,
+           CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tested,
+           CAST(SUM(CASE WHEN NOT is_member AND n_hit = n_pos THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN NOT is_member AND n_hit = n_pos THEN 1 ELSE 0 END)
+                * 10000
+                // SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS fpr_bp
+    FROM hits
+    """,
+)
+def q179_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership structure with a full accuracy audit —
+    the last of the sketch family (Count-Min q161, KMV q163, theta
+    set-ops q175, MinHash/SimHash q52–q56): k=4 md5-derived bit
+    positions over m=1024 bits for a member set (every 5th document),
+    then EVERY document tested against the filter. The audit proves
+    the two bloom guarantees numerically: n_member_hits = n_members
+    (zero false negatives, structural), and the false-positive rate
+    lands near (n_set_bits/m)^k — reported in integer basis points.
+    The filter is held relationally as the distinct set-bit table and
+    membership is a semi-join on bit positions, which is the
+    declarative twin of what the engine's runtime bloom-join pruning
+    (test_runtime_bloom_filter_prunes_shuffle_join) does with a
+    physical bitmap.
+
+    Exactness: every position is portable md5 integer arithmetic;
+    flagged = (distinct positions hit) == (distinct positions), all
+    counts integers — bit-identical cross-engine. Scale: the bit
+    table is ≤ m rows (broadcast — a bloom filter's entire point is
+    fitting in memory); the corpus is tested scan-side with one
+    aggregate; sizing is m/n bits per element, so at a larger member
+    set this m SATURATES and the audit's fpr_bp column is the alarm
+    that says so (measured: 32% occupancy → ~1% FPR at sf0.01)."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("is_member"),
+        F.array_distinct(
+            F.array(*[_bloom_pos(i) for i in range(_BLOOM_K)])
+        ).alias("ps"),
+    )
+    bits = (
+        pos.filter("is_member")
+        .select(F.explode("ps").alias("bit"))
+        .distinct()
+    )
+    flat = pos.select(
+        "doc_id", "is_member", F.size("ps").alias("n_pos"), F.explode("ps").alias("bit")
+    )
+    hits = (
+        flat.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("doc_id", "is_member")
+        .agg(F.max("n_pos").alias("n_pos"), F.count("hit").alias("n_hit"))
+    )
+    n_set_bits = bits.agg(F.count("*").alias("n_set_bits"))
+    flagged = F.col("n_hit") == F.col("n_pos")
+    member = F.when(F.col("is_member"), 1).otherwise(0)
+    nonmember = F.when(~F.col("is_member"), 1).otherwise(0)
+    fp = F.when(~F.col("is_member") & flagged, 1).otherwise(0)
+    return hits.crossJoin(F.broadcast(n_set_bits)).agg(
+        F.lit(_BLOOM_M).cast("long").alias("m_bits"),
+        F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
+        F.max("n_set_bits").cast("long").alias("n_set_bits"),
+        F.sum(member).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("is_member") & flagged, 1).otherwise(0))
+        .cast("long")
+        .alias("n_member_hits"),
+        F.sum(nonmember).cast("long").alias("n_tested"),
+        F.sum(fp).cast("long").alias("n_false_positives"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT is_member AND n_hit = n_pos THEN 1 ELSE 0 END)"
+            " * 10000 DIV SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("fpr_bp"),
+    )

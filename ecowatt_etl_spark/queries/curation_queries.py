@@ -921,3 +921,59 @@ def q170_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars", "u div GREATEST(n_chars, 1) AS priority"
     )
     return keyed.orderBy("priority", "doc_id").limit(_WSAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# q180 — per-language percentile calibration (length feature, exact bp)
+# ---------------------------------------------------------------------------
+@query(
+    "q180_length_calibration",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(CASE WHEN cnt = 1 THEN 0
+                     ELSE (rn - 1) * 10000 // (cnt - 1) END AS BIGINT)
+             AS length_pct_bp
+    FROM r
+    """,
+)
+def q180_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile calibration of document length — the
+    percent_rank feature a multilingual filter thresholds on instead
+    of raw length (a 400-char document is short for English prose,
+    long for CJK; per-language percentiles make one threshold mean
+    the same thing everywhere). Reported in integer basis points
+    ((rank−1)·10⁴ // (n−1), percent_rank's exact rational scaled and
+    floored) so the feature is bit-stable cross-engine — the
+    per-stratum companion to q128's global deciles.
+
+    Scale: one rank window per language partition (the stratum is the
+    shuffle key); the cnt window shares the same exchange. Feature
+    computation at 100 TB is exactly this shape, with
+    approx_percentile as the documented downgrade when exact ranks
+    stop being worth a per-stratum sort."""
+    d = load_table(spark, sf_dir, "documents")
+    wr = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = W.partitionBy("lang")
+    r = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            "CAST(CASE WHEN cnt = 1 THEN 0"
+            " ELSE (rn - 1) * 10000 DIV (cnt - 1) END AS BIGINT)"
+        ).alias("length_pct_bp"),
+    )

@@ -1463,3 +1463,120 @@ def q162_interpolated_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
         interp.alias("value_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — linear multi-touch attribution (exact integer value splits)
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@query(
+    "q181_linear_attribution",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) AS c_us, event_id AS c_id,
+             CAST(date_trunc('day', ts) AS DATE) AS c_day
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.user_id, p.p_id, p.v_us, c.c_id, c.c_day,
+             CAST(c.c_us AS HUGEINT) * 10000000 + c.c_id AS c_ord
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND (c.c_us < p.p_us OR (c.c_us = p.p_us AND c.c_id < p.p_id))
+       AND c.c_us > p.p_us - {_ATTR_WINDOW_US}
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY p_id) AS n_touch,
+             MIN(c_ord) OVER (PARTITION BY p_id) AS first_ord
+      FROM pairs
+    ),
+    shares AS (
+      SELECT c_day,
+             v_us // n_touch
+               + CASE WHEN c_ord = first_ord
+                      THEN v_us - (v_us // n_touch) * n_touch
+                      ELSE 0 END AS share_us
+      FROM sized
+    )
+    SELECT c_day AS touch_day,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+           CAST(CAST(SUM(CAST(share_us AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+             / 1000000 AS attributed_value
+    FROM shares GROUP BY c_day
+    """,
+)
+def q181_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase's value split
+    EQUALLY across every click the user made in the 7 preceding days
+    (q49j's last-touch sibling; linear is what growth teams use when
+    no single touch deserves full credit). The split is exact integer
+    arithmetic: each touch gets v_us div n, and the division
+    remainder goes to the EARLIEST touch (deterministic, and the sum
+    of shares reconstructs every purchase to the microunit — an
+    auditor can reconcile attributed revenue against the ledger
+    exactly, which float splits cannot promise).
+
+    Scale: the purchase×click pairing is the bounded interval join
+    (q49a's shape — equi-shuffle on user_id, time predicate inside
+    the key group, pair count capped by the lookback window); the
+    per-purchase size/min ride two windows over ONE p_id exchange;
+    the final rollup is O(days)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        F.col("event_id").alias("c_id"),
+        F.to_date(F.date_trunc("day", "ts")).alias("c_day"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.col("event_id").alias("p_id"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("v_us"),
+    )
+    pairs = purch.join(
+        clicks,
+        (purch["user_id"] == clicks["user_id"])
+        & (
+            (F.col("c_us") < F.col("p_us"))
+            | ((F.col("c_us") == F.col("p_us")) & (F.col("c_id") < F.col("p_id")))
+        )
+        & (F.col("c_us") > F.col("p_us") - _ATTR_WINDOW_US),
+    ).select(
+        "p_id",
+        "v_us",
+        "c_id",
+        "c_day",
+        (
+            F.col("c_us").cast("decimal(38,0)") * 10_000_000 + F.col("c_id")
+        ).alias("c_ord"),
+    )
+    wp = W.partitionBy("p_id")
+    sized = pairs.select(
+        "*",
+        F.count("*").over(wp).alias("n_touch"),
+        F.min("c_ord").over(wp).alias("first_ord"),
+    )
+    share = F.expr(
+        "v_us DIV n_touch + CASE WHEN c_ord = first_ord"
+        " THEN v_us - (v_us DIV n_touch) * n_touch ELSE 0 END"
+    )
+    shares = sized.select("c_day", share.alias("share_us"))
+    return shares.groupBy(F.col("c_day").alias("touch_day")).agg(
+        F.count("*").alias("n_credited_touches"),
+        (
+            F.sum(F.col("share_us").cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / 1_000_000
+        ).alias("attributed_value"),
+    )

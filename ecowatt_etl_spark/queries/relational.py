@@ -2121,3 +2121,45 @@ def q178_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", F.lit(1) - F.col("l_discount"), "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — correlated LATERAL top-k (one ANSI text, both engines)
+# ---------------------------------------------------------------------------
+_Q187_SQL = """
+WITH rev AS (
+  SELECT n.n_regionkey, n.n_name,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * CAST((1 - l_discount) AS DECIMAL(18,6)))
+                   AS VARCHAR(64)) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_regionkey, n.n_name
+)
+SELECT r.r_name AS region, t.n_name AS nation, t.revenue
+FROM region r, LATERAL (
+  SELECT n_name, revenue FROM rev
+  WHERE rev.n_regionkey = r.r_regionkey
+  ORDER BY revenue DESC, n_name
+  LIMIT 2
+) t
+"""
+
+
+@query("q187_lateral_topk", oracle=_Q187_SQL)
+def q187_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — the ANSI form of per-group top-k
+    (each region pulls its own top-2 revenue nations from a
+    correlated, ordered, limited subquery), executing the SAME text
+    on Spark 4 and the DuckDB oracle (the q150 shared-SQL pattern).
+    Catalyst decorrelates the lateral subquery into the window/rank
+    plan rather than re-running it per outer row, so the SQL-surface
+    convenience costs the same as the explicit q23 WindowGroupLimit
+    formulation; revenue rides exact decimal with the string-routed
+    final cast, and the DESC tie is broken by name so the LIMIT cut
+    is total-order deterministic."""
+    from ecowatt_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
+    return spark.sql(_Q187_SQL)

@@ -588,3 +588,14 @@ def test_q169_snm_has_no_global_sort(spark):
     corpus through a single partition."""
     plan = _plan(spark, "q169_sorted_neighborhood")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q187_lateral_decorrelates_to_rank_window(spark):
+    """The correlated LATERAL LIMIT subquery must decorrelate into a
+    rank-window plan joined broadcast — never a nested-loop re-run of
+    the subquery per outer row."""
+    plan = _plan(spark, "q187_lateral_topk")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan

@@ -71,14 +71,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q135, event q49f–q49j/q45b/q131–q133/q136, multimodal q84/q137,
     # relational q69/q85/q101/q104, similarity q67/q87/q117/q118/
     # q123/q129, text q68/q78/q79/q86/q138, TPC-H q106/q107/q115.
-    # This round's window: (a) the r03 spill — the 25 oracle-backed
-    # queries that have NEVER had a driver row (the round-3 additions
+    # Round-4 window: (a) the r03 spill — the 25 oracle-backed
+    # queries that had NEVER had a driver row (the round-3 additions
     # q140–q152 and the TPC-H tail), (b) the 4 streaming queries whose
     # r1 rows predate their oracles (stale `err: no_oracle` — oracles
     # exist now, convert to green), (c) the 3 queries whose
-    # implementation or oracle changed THIS round (q65 trained-IVF
-    # rework, qe05/qe06 new golden oracles). New round-4 queries are
-    # appended here as they land so they ship with driver evidence.
+    # implementation or oracle changed in round 4 (q65 trained-IVF
+    # rework, qe05/qe06 new golden oracles). New round-4 queries
+    # (q153–q187) are appended as they land; the ~50-slot cutoff falls
+    # inside them (≈ after q170), so q171–q187 SPILL to round 5 — all
+    # have local exact-parity evidence (tests/test_oracle_parity.py),
+    # and the round-5 rotation should promote them to the front the
+    # way this round promoted the r03 spill.
     # new r3 operators, never checked (riskiest shapes first — ADVICE)
     "q149_stream_cdc_upsert", "q150_recursive_cte",
     "q140_priority_late_count", "q141_shipclass_priority",

@@ -343,3 +343,171 @@ def q186_segment_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
         (F.col("dig_a") == F.col("dig_b")).alias("segments_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — right-to-erasure: keyed DELETE with preservation proof
+# ---------------------------------------------------------------------------
+_ERASE_USER = 7
+
+
+@query(
+    "q188_right_to_erasure",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(CAST(concat('0x', substring(
+                  md5(CAST(event_id AS VARCHAR) || '|'
+                      || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)), 1, 15))
+                AS BIGINT) AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS content_digest
+    FROM events
+    WHERE user_id <> {_ERASE_USER}
+    GROUP BY user_id
+    """,
+)
+def q188_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure end-to-end: bootstrap a scratch copy of the
+    event log, DELETE one user's rows by key (sources/upsert.py::
+    delete_keys — the anti-join + rewrite verb that completes the
+    warehouse set: MERGE q147, SCD2 q148, CDC q149, DELETE here),
+    then read the table BACK and emit a per-user content digest. The
+    oracle computes the same digests straight from the source minus
+    the erased user, so the value check proves BOTH erasure claims at
+    once: the subject's rows are gone (their user_id row is absent),
+    and every other user's data survived the rewrite byte-for-byte
+    (149 digests match — deletion did not corrupt bystanders, the
+    half of an erasure audit that usually goes unchecked).
+
+    Scale: the deletion key set is tiny and broadcasts into the anti
+    join; with a partition_col the rewrite touches only partitions
+    holding the subject's rows (partition-pruned dynamic overwrite);
+    the digest proof is q186's order-independent segment-digest
+    machinery keyed by user."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+    from ecowatt_etl_spark.sources.upsert import delete_keys
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/erasure_events"
+    ev.write.mode("overwrite").parquet(path)  # deterministic bootstrap per run
+    subject = ev.sparkSession.range(1).select(
+        F.lit(_ERASE_USER).cast("long").alias("user_id")
+    )
+    delete_keys(spark, path, subject, keys=["user_id"])
+    back = spark.read.parquet(path)
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("|"),
+                    F.col("v").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_h.cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("content_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — small-file compaction with content-identity proof
+# ---------------------------------------------------------------------------
+_COMPACT_FROM = 64
+_COMPACT_TO = 4
+
+
+def _q189_digest_row(stage: str) -> str:
+    return f"""
+    SELECT '{stage}' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(CAST(concat('0x', substring(
+                  md5(CAST(event_id AS VARCHAR) || '|'
+                      || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)), 1, 15))
+                AS BIGINT) AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS content_digest
+    FROM events
+    """
+
+
+@query(
+    "q189_compact_files",
+    oracle=(
+        _q189_digest_row("before_compaction")
+        + " UNION ALL "
+        + _q189_digest_row("after_compaction")
+    ),
+)
+def q189_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a first-class maintenance job: the
+    event log is written fragmented ({_COMPACT_FROM} files — the shape
+    a streaming ingest leaves behind, where every micro-batch commits
+    a sliver per partition), then compacted by rewrite into
+    {_COMPACT_TO} right-sized files. The query emits a per-stage
+    (row count, order-independent content digest) pair and the oracle
+    derives both stages from the source — so the value check IS the
+    compaction safety proof: the rewrite changed file topology and
+    nothing else. File counts themselves are pinned in
+    tests/test_r4_invariants.py (64 → 4); they are engine-layout
+    facts, not relational ones, so they stay out of the oracle.
+
+    Scale: compaction is one columnar read + repartition + write —
+    no shuffle beyond the repartition that defines the output file
+    count; at 100 TB it runs per-partition on a schedule, and the
+    digest (computed in the same pass as the rewrite scan) makes
+    each compacted partition auditable before the old files are
+    dropped."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    frag = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/compact_frag"
+    tight = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/compact_tight"
+    ev.repartition(_COMPACT_FROM).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(_COMPACT_TO).write.mode(
+        "overwrite"
+    ).parquet(tight)
+
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("|"),
+                    F.col("v").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def stage(path: str, name: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(row_h.cast("decimal(38,0)"))
+                .cast("string")
+                .cast("double")
+                .alias("content_digest"),
+            )
+            .select(F.lit(name).alias("stage"), "n_rows", "content_digest")
+        )
+    return stage(frag, "before_compaction").unionByName(
+        stage(tight, "after_compaction")
+    )

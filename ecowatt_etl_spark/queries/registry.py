@@ -117,7 +117,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q178_pit_join", "q179_bloom_audit", "q180_length_calibration",
     "q181_linear_attribution", "q182_ratio_to_report", "q183_top_paths",
     "q184_diurnal_profile", "q185_feature_hashing", "q186_segment_reconcile",
-    "q187_lateral_topk",
+    "q187_lateral_topk", "q188_right_to_erasure", "q189_compact_files",
 )
 
 

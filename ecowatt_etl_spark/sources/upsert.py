@@ -162,3 +162,45 @@ def scd2_apply(
         end_col, F.lead(effective_col).over(chain_w).cast(end_type)
     )
     return closed.unionByName(new_rows.select(closed.columns))
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """DELETE by key from the parquet table at `path`: every row whose
+    key appears in `keys_df` is removed — the missing warehouse verb
+    next to MERGE (merge_upsert) and SCD2 (scd2_apply), and the
+    primitive behind right-to-erasure requests. Implemented as one
+    LEFT ANTI join against the (small, broadcastable) key set and a
+    rewrite; with `partition_col` the rewrite is partition-pruned via
+    dynamic partition overwrite exactly like merge_upsert — only
+    partitions that contained a deleted key are rewritten. The
+    surviving frame is localCheckpoint'ed before the overwrite for
+    the same self-read reason as merge_upsert. With a transactional
+    table format the rewrite becomes a delete-file commit; the anti-
+    join shape is identical."""
+    target = spark.read.parquet(path)
+    del_keys = keys_df.select(keys).distinct()
+    if partition_col:
+        parts = [
+            r[0]
+            for r in target.join(del_keys, keys, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        scope = target.filter(F.col(partition_col).isin(parts))
+        kept = scope.join(del_keys, keys, "left_anti").localCheckpoint()
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    else:
+        kept = target.join(del_keys, keys, "left_anti").localCheckpoint()
+        kept.write.mode("overwrite").parquet(path)

@@ -135,3 +135,45 @@ def test_theta_intersection_is_sane(spark):
     for r in _q("q175_theta_intersection").fn(spark, SF_ORACLE).collect():
         assert 0 <= r["n_below_theta"] <= _THETA_K
         assert (r["inter_estimate"] == 0.0) == (r["n_below_theta"] == 0)
+
+
+def test_compaction_actually_compacts_the_file_topology(spark):
+    """q189's relational proof covers content identity; this pins the
+    layout half: the fragmented write produces _COMPACT_FROM parquet
+    files, the compacted rewrite exactly _COMPACT_TO."""
+    import glob
+
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.queries.layout_queries import (
+        _COMPACT_FROM,
+        _COMPACT_TO,
+    )
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+
+    _q("q189_compact_files").fn(spark, SF_ORACLE).collect()
+    tok = bucket_token(SF_ORACLE)
+    frag = glob.glob(f"{SCRATCH_ROOT}/{tok}/compact_frag/part-*.parquet")
+    tight = glob.glob(f"{SCRATCH_ROOT}/{tok}/compact_tight/part-*.parquet")
+    assert len(frag) == _COMPACT_FROM
+    assert len(tight) == _COMPACT_TO
+
+
+def test_erasure_removes_only_the_subject(spark):
+    """After q188 runs, the scratch table must contain zero rows for
+    the erased subject and the full row count for everyone else."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.queries.layout_queries import _ERASE_USER
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    _q("q188_right_to_erasure").fn(spark, SF_ORACLE).collect()
+    back = spark.read.parquet(
+        f"{SCRATCH_ROOT}/{bucket_token(SF_ORACLE)}/erasure_events"
+    )
+    assert back.filter(F.col("user_id") == _ERASE_USER).count() == 0
+    expected = (
+        load_table(spark, SF_ORACLE, "events")
+        .filter(F.col("user_id") != _ERASE_USER)
+        .count()
+    )
+    assert back.count() == expected

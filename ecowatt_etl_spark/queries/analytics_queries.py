@@ -444,3 +444,120 @@ def q172_chisq_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             / den.cast("string").cast("double")
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — cogrouped applyInPandas: order-vs-lineitem reconciliation
+# ---------------------------------------------------------------------------
+@query(
+    "q190_cogroup_order_audit",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_items,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST((1 - l_discount) AS DECIMAL(18,6))
+                      * 1000000000000 AS HUGEINT) // 1000000) AS items_us
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS total_us
+      FROM orders
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_itemless,
+           CAST(SUM(CASE WHEN li.l_orderkey IS NOT NULL
+                          AND li.items_us <> o.total_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(MAX(CASE WHEN li.l_orderkey IS NOT NULL
+                         THEN ABS(li.items_us - o.total_us) ELSE 0 END)
+                AS BIGINT) AS max_abs_delta_us
+    FROM o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation through the COGROUP Arrow API —
+    ``groupBy().cogroup().applyInPandas`` receives each order key's
+    header rows AND its item rows as two aligned pandas frames, the
+    shape for per-key logic that needs both sides at once without
+    materializing the join (claims-vs-payments matching, ledger
+    tie-outs). This completes the engine's Arrow-UDx inventory
+    (pandas_udf q151, grouped-map q91, mapInPandas q81/q83, state
+    q49/q133, UDTF q138 — cogroup was the one missing shape). Each
+    order's item total is recomputed in int64 micro-units INSIDE the
+    Python worker (pandas int64 arithmetic — deterministic, no float
+    drift) and compared to the header total; per-status counts of
+    itemless, matched, and mismatched orders aggregate the per-key
+    verdicts. The oracle states the same semantics as a relational
+    left join, so the exotic API path is value-gated against plain
+    SQL — the parity discipline q91 applies to grouped-map.
+
+    Scale: cogroup shuffles BOTH sides once on the key (same
+    экономics as the join it replaces) and streams aligned Arrow
+    batches per key group; per-group state is one order's rows. The
+    verdict aggregate is an ordinary hash agg over one row per
+    order."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("total_us"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        # per-item micro-value floored exactly like the oracle's
+        # HUGEINT // 1000000 (picounits → microunits) so pandas sums
+        # the identical integers
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
+            " * CAST((1 - l_discount) AS DECIMAL(18,6))"
+            " * 1000000000000 AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"
+        ).alias("item_us"),
+    )
+
+    def audit(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        status = odf["o_orderstatus"].iloc[0]
+        total = int(odf["total_us"].iloc[0])
+        if len(ldf) == 0:
+            return pd.DataFrame(
+                [{"o_orderstatus": status, "kind": "itemless", "delta_us": 0}]
+            )
+        items = int(ldf["item_us"].sum())
+        kind = "matched" if items == total else "mismatched"
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderstatus": status,
+                    "kind": kind,
+                    "delta_us": abs(items - total),
+                }
+            ]
+        )
+
+    verdicts = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            audit, "o_orderstatus string, kind string, delta_us long"
+        )
+    )
+    return verdicts.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("kind") == "itemless", 1).otherwise(0))
+        .cast("long")
+        .alias("n_itemless"),
+        F.sum(F.when(F.col("kind") == "mismatched", 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(F.when(F.col("kind") != "itemless", F.col("delta_us")).otherwise(0))
+        .cast("long")
+        .alias("max_abs_delta_us"),
+    )

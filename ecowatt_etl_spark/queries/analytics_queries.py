@@ -498,7 +498,7 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL — the parity discipline q91 applies to grouped-map.
 
     Scale: cogroup shuffles BOTH sides once on the key (same
-    экономics as the join it replaces) and streams aligned Arrow
+    economics as the join it replaces) and streams aligned Arrow
     batches per key group; per-group state is one order's rows. The
     verdict aggregate is an ordinary hash agg over one row per
     order."""

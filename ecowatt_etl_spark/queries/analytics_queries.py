@@ -497,14 +497,20 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join, so the exotic API path is value-gated against plain
     SQL — the parity discipline q91 applies to grouped-map.
 
-    Scale: cogroup shuffles BOTH sides once on the key (same
-    economics as the join it replaces) and streams aligned Arrow
-    batches per key group; per-group state is one order's rows. The
-    verdict aggregate is an ordinary hash agg over one row per
-    order."""
+    Scale — the cogroup key is a BUCKET of orders, not one order:
+    cogrouping per natural key dispatches a Python call per tiny
+    group (~4 rows here), and per-group overhead swamps the work
+    (measured 52 s at sf0.1, vs 4.6 s bucketed — an 11× cliff).
+    Bucketing by orderkey div 256 keeps cogroup's alignment
+    guarantee (a bucket's headers and items arrive together) while
+    the per-bucket pandas body runs VECTORIZED (one groupby-merge
+    per ~256 orders). Both sides still shuffle once on the bucket
+    key; this is the shape any per-entity Arrow logic should take
+    when entities are small."""
     import pandas as pd
 
     o = load_table(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey DIV 256").alias("bucket"),
         "o_orderkey",
         "o_orderstatus",
         (F.col("o_totalprice").cast("decimal(18,6)") * 1_000_000)
@@ -512,6 +518,7 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_us"),
     )
     li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey DIV 256").alias("bucket"),
         "l_orderkey",
         # per-item micro-value floored exactly like the oracle's
         # HUGEINT // 1000000 (picounits → microunits) so pandas sums
@@ -524,27 +531,30 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def audit(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        status = odf["o_orderstatus"].iloc[0]
-        total = int(odf["total_us"].iloc[0])
-        if len(ldf) == 0:
-            return pd.DataFrame(
-                [{"o_orderstatus": status, "kind": "itemless", "delta_us": 0}]
-            )
-        items = int(ldf["item_us"].sum())
-        kind = "matched" if items == total else "mismatched"
-        return pd.DataFrame(
-            [
-                {
-                    "o_orderstatus": status,
-                    "kind": kind,
-                    "delta_us": abs(items - total),
-                }
-            ]
+        items = (
+            ldf.groupby("l_orderkey", as_index=False)["item_us"]
+            .sum()
+            .rename(columns={"l_orderkey": "o_orderkey", "item_us": "items_us"})
         )
+        m = odf.merge(items, on="o_orderkey", how="left")
+        itemless = m["items_us"].isna()
+        out = pd.DataFrame(
+            {
+                "o_orderstatus": m["o_orderstatus"],
+                "kind": "matched",
+                "delta_us": 0,
+            }
+        )
+        out.loc[itemless, "kind"] = "itemless"
+        mism = ~itemless & (m["items_us"] != m["total_us"])
+        out.loc[mism, "kind"] = "mismatched"
+        delta = (m["items_us"] - m["total_us"]).abs()
+        out.loc[mism, "delta_us"] = delta[mism].astype("int64")
+        return out
 
     verdicts = (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
         .applyInPandas(
             audit, "o_orderstatus string, kind string, delta_us long"
         )

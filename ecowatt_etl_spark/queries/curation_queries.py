@@ -977,3 +977,84 @@ def q180_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (rn - 1) * 10000 DIV (cnt - 1) END AS BIGINT)"
         ).alias("length_pct_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — eval-set n-gram contamination overlap report (GPT-3 style)
+# ---------------------------------------------------------------------------
+_OVL_N = 5  # gram width; the method is the 13-gram GPT-3 audit, width a knob
+
+
+def _sql_ngrams(n: int) -> str:
+    join = " || ' ' || ".join(f"{_SQL_W}[i+{k}]" for k in range(n))
+    return f"""
+    list_distinct(
+      CASE WHEN len({_SQL_W}) >= {n}
+           THEN list_transform(generate_series(1, len({_SQL_W}) - {n - 1}),
+                               i -> {join})
+           ELSE [array_to_string({_SQL_W}, ' ')] END)
+    """
+
+
+@query(
+    "q192_ngram_overlap_report",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source, md5(UNNEST({_sql_ngrams(_OVL_N)})) AS gh
+      FROM documents
+    ),
+    train AS (
+      SELECT DISTINCT gh FROM g WHERE source <> '{_EVAL_SRC}'
+    ),
+    ev AS (
+      SELECT doc_id, gh FROM g WHERE source = '{_EVAL_SRC}'
+    )
+    SELECT ev.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN train.gh IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlapping,
+           CAST(SUM(CASE WHEN train.gh IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS overlap_bp
+    FROM ev LEFT JOIN train ON train.gh = ev.gh
+    GROUP BY ev.doc_id
+    """,
+)
+def q192_ngram_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document n-gram contamination REPORT — the GPT-3-style
+    audit (13-gram there, {_OVL_N}-gram here on this short-document
+    corpus; width is a constant): for every document of the held-out
+    benchmark slice, the fraction of its distinct n-grams that also
+    occur anywhere in the training split, in integer basis points.
+    q96 answers the operational question (which TRAIN docs to drop);
+    this answers the eval owner's question (which EVAL items are
+    compromised and how badly — 10000 bp means the answer is
+    literally in the training set), which is the number papers
+    report as the contamination rate.
+
+    Scale: distinct train grams reduce to one digest set (shuffle on
+    the digest — at 100 TB the 8-byte portable hash replaces the
+    32-char md5, the q53 economics); eval grams are a tiny fraction
+    and the presence join is digest-keyed. No text is ever joined."""
+    d = load_table(spark, sf_dir, "documents")
+    from ecowatt_etl_spark.operators.dedup import shingles
+
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles("text", n=_OVL_N)).alias("s"),
+    ).select("doc_id", "source", F.md5("s").alias("gh"))
+    train = (
+        g.filter(F.col("source") != _EVAL_SRC).select("gh").distinct()
+    )
+    ev = g.filter(F.col("source") == _EVAL_SRC).select("doc_id", "gh")
+    j = ev.join(train.withColumn("hit", F.lit(1)), "gh", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlapping"),
+        F.expr(
+            "CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("overlap_bp"),
+    )

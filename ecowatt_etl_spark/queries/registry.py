@@ -118,7 +118,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q181_linear_attribution", "q182_ratio_to_report", "q183_top_paths",
     "q184_diurnal_profile", "q185_feature_hashing", "q186_segment_reconcile",
     "q187_lateral_topk", "q188_right_to_erasure", "q189_compact_files",
-    "q190_cogroup_order_audit",
+    "q190_cogroup_order_audit", "q191_chunk_dedup_report",
+    "q192_ngram_overlap_report",
 )
 
 

@@ -1665,3 +1665,77 @@ def q185_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("signed_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — paragraph/chunk-level dedup report (sub-document duplication)
+# ---------------------------------------------------------------------------
+@query(
+    "q191_chunk_dedup_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, w, n_tok,
+             CASE WHEN n_tok <= {_CHUNK_SIZE} THEN 1
+                  ELSE (n_tok - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                         // {_CHUNK_STRIDE} + 1 END AS n_chunks
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(least({_CHUNK_SIZE}, n_tok - i * {_CHUNK_STRIDE}) AS BIGINT)
+               AS chunk_tokens,
+             md5(array_to_string(
+                   w[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+                   ' ')) AS chunk_md5
+      FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    ),
+    df AS (SELECT chunk_md5, COUNT(*) AS df FROM chunks GROUP BY chunk_md5)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN df.df > 1 THEN c.chunk_tokens ELSE 0 END)
+                AS BIGINT) AS dup_tokens,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS dup_frac_bp
+    FROM chunks c JOIN df ON df.chunk_md5 = c.chunk_md5
+    GROUP BY c.doc_id
+    """,
+)
+def q191_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication report: documents are chunked by q79's
+    token windows and each chunk is checked against the CORPUS-WIDE
+    chunk frequency — the paragraph-level dedup modern curation
+    pipelines run after document-level dedup (q50–q59), because
+    templated corpora duplicate at the paragraph grain while every
+    full document stays unique (boilerplate headers, licence blocks,
+    quoted threads). Per document: chunk count, duplicated-chunk
+    count, duplicated token mass, and the duplication fraction in
+    integer basis points — the inputs to a strip-or-drop policy
+    (q144 is the strip side for mined boilerplate).
+
+    Scale: composes the q79 chunk frame (explode inside the
+    projection); the frequency table groups on 32-char digests and
+    joins back on the same key — shuffle O(chunks × digest), document
+    text never moves twice. Exactly the q51 hash-dedup economics one
+    level down the grain."""
+    chunks = q79_doc_chunks(spark, sf_dir)
+    cdf = chunks.groupBy("chunk_md5").agg(F.count("*").alias("df"))
+    j = chunks.join(cdf, "chunk_md5")
+    dup = F.when(F.col("df") > 1, 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(dup).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("df") > 1, F.col("chunk_tokens")).otherwise(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.expr(
+            "CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("dup_frac_bp"),
+    )

@@ -2163,3 +2163,59 @@ def q187_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
     return spark.sql(_Q187_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q193 — custom Python Data Source (Spark 4 DataSource API): date dim
+# ---------------------------------------------------------------------------
+@query(
+    "q193_python_datasource",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2024-12-31',
+                                         INTERVAL '1 day')) AS DATE) AS d
+    )
+    SELECT CAST(month(d) AS INTEGER) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_weekend,
+           MIN(d) AS first_date, MAX(d) AS last_date
+    FROM cal GROUP BY 1
+    """,
+)
+def q193_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom PYTHON DATA SOURCE (the Spark 4 DataSource API —
+    sources/pydatasource.py) read as a first-class
+    ``spark.read.format("date_dim")`` table: the calendar dimension is
+    GENERATED procedurally, one InputPartition per month, so the read
+    parallelizes like a file scan with zero driver-side rows. This is
+    the engine's extension point for systems with no built-in
+    connector (internal APIs, proprietary formats, simulators) — the
+    source registers once per session and then behaves exactly like
+    parquet in joins, filters, and aggregates. The query rolls the
+    generated 2024 calendar up per month (day counts, weekend counts,
+    date bounds) and the DuckDB oracle regenerates the same calendar
+    relationally — so the custom-source read path is value-gated
+    end-to-end, ISO weekday semantics included.
+
+    Scale: partition-per-month fans a 50-year calendar across 600
+    tasks; a generator source's partition scheme IS its scan
+    parallelism, the same capacity decision as file splits."""
+    from ecowatt_etl_spark.sources.pydatasource import register_date_dim
+
+    register_date_dim(spark)
+    cal = (
+        spark.read.format("date_dim")
+        .option("start", "2024-01-01")
+        .option("end", "2024-12-31")
+        .load()
+    )
+    return cal.groupBy("month").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.when(F.col("is_weekend"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_weekend"),
+        F.min("date").alias("first_date"),
+        F.max("date").alias("last_date"),
+    )

@@ -601,3 +601,64 @@ def q184_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seasonal_delta"),
         F.expr("CAST(n * 24 * 10000 DIV tn AS BIGINT)").alias("load_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — custom Python STREAMING data source, value-gated end to end
+# ---------------------------------------------------------------------------
+_TICKS_TOTAL = 1000
+_TICK_BUCKETS = 8
+
+
+@query(
+    "q194_python_stream_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(generate_series(0, {_TICKS_TOTAL - 1})) AS tick
+    )
+    SELECT CAST(tick % {_TICK_BUCKETS} AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM((tick * 2654435761) % 10000) AS BIGINT) AS total_cents,
+           CAST(MIN(tick) AS BIGINT) AS first_tick,
+           CAST(MAX(tick) AS BIGINT) AS last_tick
+    FROM t GROUP BY 1
+    """,
+)
+def q194_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python DataSource API (q193 is the
+    batch half): a custom SimpleDataSourceStreamReader emits a
+    deterministic tick stream in offset-tracked micro-batches
+    (offsets are tick indices, so recovery replays exactly), and a
+    streaming aggregation rolls it up per bucket in complete mode.
+    The DuckDB oracle regenerates the tick arithmetic relationally —
+    the whole custom-source micro-batch pipeline (offset management,
+    batch slicing, streaming agg state) is value-gated, not just
+    smoke-tested. This is the template for reading a real queue/API
+    the engine has no connector for: replace the generator arithmetic
+    with the client call; keep the offset contract and the oracle
+    discipline.
+
+    Scale: the simple stream reader pulls slices on the DRIVER — the
+    right variant for low-volume control streams; a high-volume
+    source implements the partitioned DataSourceStreamReader instead
+    (executor-parallel reads, same offset contract). All values are
+    int64-exact (Knuth multiplicative hash mod 10⁴)."""
+    from ecowatt_etl_spark.sources.pydatasource import register_tick_stream
+    from ecowatt_etl_spark.streaming.events_stream import run_to_completion
+
+    register_tick_stream(spark)
+    ticks = (
+        spark.readStream.format("tick_stream")
+        .option("ticks_total", str(_TICKS_TOTAL))
+        .option("n_buckets", str(_TICK_BUCKETS))
+        .load()
+    )
+    agg = ticks.groupBy("bucket").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum("amount_cents").cast("long").alias("total_cents"),
+        F.min("tick_id").alias("first_tick"),
+        F.max("tick_id").alias("last_tick"),
+    )
+    return run_to_completion(
+        agg, "q194_python_stream_sink", output_mode="complete"
+    )

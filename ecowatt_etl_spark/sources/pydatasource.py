@@ -72,3 +72,69 @@ def register_date_dim(spark) -> None:
     if not getattr(spark, key, False):
         spark.dataSource.register(DateDimSource)
         setattr(spark, key, True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the DataSource API: a deterministic tick stream
+# ---------------------------------------------------------------------------
+# SimpleDataSourceStreamReader is the bounded-state variant: the engine
+# asks for (start → latest) slices by offset; offsets here are plain
+# tick indices, so replay is exact and the stream is fully
+# deterministic — the property that lets a custom source carry a
+# value-checked oracle like any batch table.
+
+
+class TickStreamReader:
+    """SimpleDataSourceStreamReader for a generated tick stream.
+
+    Emits ``ticks_total`` rows (tick_id, bucket, amount_cents) across
+    micro-batches of ``batch_size``. Content is pure arithmetic on the
+    tick index: bucket = tick mod n_buckets, amount_cents =
+    (tick·2654435761) mod 10000 — a Knuth multiplicative hash, exact
+    in int64."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("ticks_total", "1000"))
+        self.batch = int(options.get("batch_size", "128"))
+        self.n_buckets = int(options.get("n_buckets", "8"))
+
+    def initialOffset(self):
+        return {"tick": 0}
+
+    def read(self, start: dict):
+        lo = start["tick"]
+        hi = min(lo + self.batch, self.total)
+        rows = [
+            (t, t % self.n_buckets, (t * 2654435761) % 10000)
+            for t in range(lo, hi)
+        ]
+        return iter(rows), {"tick": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            (t, t % self.n_buckets, (t * 2654435761) % 10000)
+            for t in range(start["tick"], end["tick"])
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TickStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tick_stream"
+
+    def schema(self) -> str:
+        return "tick_id BIGINT, bucket INT, amount_cents BIGINT"
+
+    def simpleStreamReader(self, schema):
+        return TickStreamReader(self.options)
+
+
+def register_tick_stream(spark) -> None:
+    """Idempotent per-session registration of the tick_stream source."""
+    key = "_ecowatt_tick_stream_registered"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(TickStreamSource)
+        setattr(spark, key, True)

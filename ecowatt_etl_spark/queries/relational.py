@@ -2219,3 +2219,56 @@ def q193_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("date").alias("first_date"),
         F.max("date").alias("last_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+@query(
+    "q195_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * CAST((1 - l_discount) AS DECIMAL(18,6))
+                         * CAST((1 + l_tax) AS DECIMAL(18,6)))
+                     AS VARCHAR) AS DOUBLE) AS total_charge
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q195_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL-DEFINED scalar function (Spark 4's ``CREATE TEMPORARY
+    FUNCTION ... RETURNS ... RETURN <expr>``): the business rule
+    "charge = price × (1−discount) × (1+tax)" is declared ONCE as a
+    catalog function and reused by name — the governance shape
+    warehouses want for shared metric definitions (one definition,
+    every query consistent), and the first-class alternative to
+    copy-pasting the expression or registering a (slow, opaque)
+    Python UDF. Because the body is a SQL expression, Catalyst
+    INLINES it — the plan is identical to writing the expression by
+    hand: whole-stage codegen, exact decimals, no Python, pushdown
+    unobstructed. The oracle states the expanded expression, proving
+    the function path changes nothing.
+
+    Scale: zero cost — the function exists only in the catalog; the
+    executed plan is the plain exact-decimal aggregate."""
+    from ecowatt_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION effective_charge("
+        "price DOUBLE, discount DOUBLE, tax DOUBLE) RETURNS DECIMAL(38,6) "
+        "RETURN CAST(price AS DECIMAL(18,6))"
+        " * CAST((1 - discount) AS DECIMAL(18,6))"
+        " * CAST((1 + tax) AS DECIMAL(18,6))"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(CAST(SUM(effective_charge(l_extendedprice, l_discount,
+                                              l_tax)) AS STRING) AS DOUBLE)
+                 AS total_charge
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -120,7 +120,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q187_lateral_topk", "q188_right_to_erasure", "q189_compact_files",
     "q190_cogroup_order_audit", "q191_chunk_dedup_report",
     "q192_ngram_overlap_report", "q193_python_datasource",
-    "q194_python_stream_source", "q195_sql_udf",
+    "q194_python_stream_source", "q195_sql_udf", "q196_ivf_persist_serve",
 )
 
 

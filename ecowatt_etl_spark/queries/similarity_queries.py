@@ -514,11 +514,18 @@ def q65_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortizes."""
     em = load_table(spark, sf_dir, "embeddings")
     cent_df = _trained_centroids(spark, sf_dir, em)
+    cells = _ivf_cells(spark, sf_dir, em, F.broadcast(cent_df), "trained")
+    return _ivf_serve(em, cent_df, cells)
+
+
+def _ivf_serve(em: DataFrame, cent_df: DataFrame, cells: DataFrame) -> DataFrame:
+    """q65's serve path over an already-built IVF index (centroids +
+    cell assignments) — shared by the session-cached q65 and the
+    persisted-artifact q196, so both serve the identical plan."""
     cent = F.broadcast(cent_df)
     # adaptive probe depth: one-row aggregate, broadcast-cross-joined
     # into the rank filter (never a driver round-trip)
     n_cells = cent_df.agg(F.count("*").alias("n_cells"))
-    cells = _ivf_cells(spark, sf_dir, em, cent, "trained")
     p_w = W.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("cid"))
     probes = F.broadcast(
         em.filter(F.col("vec_id") < _NQ)
@@ -1784,3 +1791,49 @@ def q129_semantic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — IVF index persistence: write artifacts, reload, serve
+# ---------------------------------------------------------------------------
+from ecowatt_etl_spark.queries.registry import _REGISTRY as _REG  # noqa: E402
+
+_Q65_ORACLE_TEXT = _REG["q65_ivf_topk"].oracle
+
+
+@query("q196_ivf_persist_serve", oracle=_Q65_ORACLE_TEXT)
+def q196_ivf_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index LIFECYCLE: q65's trained coarse quantizer and
+    inverted file are PERSISTED to parquet — the cells table
+    physically ``partitionBy("cid")``, which is the layout claim the
+    q65 docstring makes for 100 TB ("each query's probes touch nprobe
+    partitions") made real on disk — then RELOADED cold and served
+    through the exact same serve path (_ivf_serve). Carrying q65's
+    oracle proves the round-trip is lossless: training floats,
+    centroid norms, and cell assignments survive
+    serialize/deserialize bit-for-bit, so an index built offline
+    tonight serves tomorrow's query batches with identical answers —
+    the durability contract a real vector-serving deployment assumes
+    and almost never verifies.
+
+    Scale: the write is one corpus pass clustered by cell; serving
+    reads ONLY the probed cells' partitions (directory pruning on
+    cid — at 64 cells and nprobe=12, ~81% of the index is never
+    opened). Centroids are a K-row parquet file, broadcast on load."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent_df = _trained_centroids(spark, sf_dir, em)
+    cells = _ivf_cells(spark, sf_dir, em, F.broadcast(cent_df), "trained")
+
+    root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}"
+    cent_path, cells_path = f"{root}/ivf_centroids", f"{root}/ivf_cells"
+    cent_df.write.mode("overwrite").parquet(cent_path)
+    cells.write.mode("overwrite").partitionBy("cid").parquet(cells_path)
+
+    cent2 = spark.read.parquet(cent_path)
+    cells2 = spark.read.parquet(cells_path).select(
+        "vec_id", "embedding", F.col("cid").cast("long").alias("cid")
+    )
+    return _ivf_serve(em, cent2, cells2)

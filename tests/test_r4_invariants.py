@@ -177,3 +177,18 @@ def test_erasure_removes_only_the_subject(spark):
         .count()
     )
     assert back.count() == expected
+
+
+def test_ivf_index_persists_partitioned_by_cell(spark):
+    """q196's cells artifact must be physically laid out one directory
+    per cell — the probe-locality layout the serve path prunes on."""
+    import glob
+    import os
+
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+
+    _q("q196_ivf_persist_serve").fn(spark, SF_ORACLE).collect()
+    cells_dir = f"{SCRATCH_ROOT}/{bucket_token(SF_ORACLE)}/ivf_cells"
+    part_dirs = [d for d in glob.glob(f"{cells_dir}/cid=*") if os.path.isdir(d)]
+    assert len(part_dirs) > 1  # clustered by cell, not a flat dump

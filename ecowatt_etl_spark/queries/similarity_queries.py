@@ -380,6 +380,7 @@ def _sql_kmeans_cents(
     dim: int = 64,
     prefix: str = "",
     offset: int = 0,
+    src: str = "embeddings",
 ) -> str:
     """CTE chain {prefix}c0..{prefix}c{rounds} replaying
     operators/similarity.py::kmeans_train in DuckDB: init = first k
@@ -396,7 +397,7 @@ def _sql_kmeans_cents(
     ctes = [
         f"{p}c0 AS (SELECT vec_id AS cid, "
         f"embedding[{offset + 1}:{offset + dim}] AS c_emb "
-        f"FROM embeddings WHERE vec_id < {k})"
+        f"FROM {src} WHERE vec_id < {k})"
     ]
     for r in range(1, rounds + 1):
         prev = f"{p}c{r - 1}"
@@ -406,14 +407,14 @@ def _sql_kmeans_cents(
                {_sql_dot(sub, sub)}
                - 2 * {_sql_dot(sub, "c.c_emb")}
                + {_sql_dot("c.c_emb", "c.c_emb")}, c.cid) AS rk
-      FROM embeddings e CROSS JOIN {prev} c)""")
+      FROM {src} e CROSS JOIN {prev} c)""")
         ctes.append(f"""{p}s{r} AS (
       SELECT a.cid, t.i AS di,
              CAST(CAST(SUM(CAST(floor(CAST(e.embedding[{offset} + t.i] AS DOUBLE)
                                       * 1099511627776) AS BIGINT))
                        AS BIGINT) AS DOUBLE) AS qd,
              COUNT(*) AS n
-      FROM {p}a{r} a, embeddings e, generate_series(1, {dim}) AS t(i)
+      FROM {p}a{r} a, {src} e, generate_series(1, {dim}) AS t(i)
       WHERE a.rk = 1 AND e.vec_id = a.vec_id
       GROUP BY a.cid, t.i)""")
         ctes.append(
@@ -1837,3 +1838,116 @@ def q196_ivf_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", F.col("cid").cast("long").alias("cid")
     )
     return _ivf_serve(em, cent2, cells2)
+
+
+# ---------------------------------------------------------------------------
+# q197 — incremental IVF ingest: route a new batch into standing cells
+# ---------------------------------------------------------------------------
+@query(
+    "q197_ivf_incremental_ingest",
+    oracle=f"""
+    WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 9),
+    batch AS (SELECT * FROM embeddings WHERE vec_id % 10 = 9),
+    {_sql_kmeans_cents(src="base")},
+    cent AS (
+      SELECT cid, c_emb, {_sql_norm('c_emb')} AS c_norm
+      FROM c{_IVF_ROUNDS}
+    ),
+    basg AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS ark
+      FROM base e CROSS JOIN cent c
+    ),
+    existing AS (
+      SELECT cid, COUNT(*) AS n_existing FROM basg WHERE ark = 1 GROUP BY cid
+    ),
+    nasg AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS ark
+      FROM batch e CROSS JOIN cent c
+    ),
+    arrivals AS (
+      SELECT cid, COUNT(*) AS n_new FROM nasg WHERE ark = 1 GROUP BY cid
+    )
+    SELECT cent.cid,
+           CAST(COALESCE(x.n_existing, 0) AS BIGINT) AS n_existing,
+           CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new,
+           CAST(CASE WHEN COALESCE(x.n_existing, 0) = 0 THEN -1
+                     ELSE COALESCE(a.n_new, 0) * 10000 // x.n_existing END
+                AS BIGINT) AS growth_bp
+    FROM cent
+    LEFT JOIN existing x ON x.cid = cent.cid
+    LEFT JOIN arrivals a ON a.cid = cent.cid
+    """,
+)
+def q197_ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest — the serving-time half of index
+    maintenance: a new vector batch (every 10th id, simulating the
+    day's arrivals) is ROUTED into the standing index's cells by the
+    same trained-quantizer assignment, with NO retrain. The report is
+    the per-cell growth ledger (existing population, arrivals, growth
+    in basis points, −1 flagging cells that never had population) —
+    exactly what decides WHEN to retrain: balanced growth means the
+    quantizer still fits the distribution; concentrated growth means
+    drift, and the hot cells' probe cost is rising. The quantizer is
+    trained on the BASE corpus only (the oracle replays that training
+    with the batch held out), so the check also proves the routing of
+    unseen vectors is deterministic.
+
+    Scale: routing a batch is one broadcast cross-join of batch ×
+    centroids emitting (vec_id, cid) — cost scales with the BATCH,
+    not the corpus (q127's ingest economics for the vector index);
+    appended rows land in their cell's partition of the q196 layout.
+    Retrain remains the nightly job; this is the intraday path."""
+    from ecowatt_etl_spark.operators.similarity import kmeans_train
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") % 10 != 9)
+    batch = em.filter(F.col("vec_id") % 10 == 9)
+    cents, _ = kmeans_train(base, k=_IVF_K, rounds=_IVF_ROUNDS)
+    cent_df = cents.select(
+        "cid",
+        F.col("centroid").alias("c_emb"),
+        l2_norm(F.col("centroid")).alias("c_norm"),
+    )
+    cent = F.broadcast(cent_df)
+
+    def route(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy(F.desc("a_sim"), F.asc("cid"))
+        return (
+            df.crossJoin(cent)
+            .select(
+                "vec_id",
+                "cid",
+                F.try_divide(
+                    dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
+                ).alias("a_sim"),
+            )
+            .withColumn("ark", F.row_number().over(w))
+            .filter(F.col("ark") == 1)
+        )
+
+    existing = route(base).groupBy("cid").agg(F.count("*").alias("n_existing"))
+    arrivals = route(batch).groupBy("cid").agg(F.count("*").alias("n_new"))
+    j = (
+        cent_df.select("cid")
+        .join(existing, "cid", "left")
+        .join(arrivals, "cid", "left")
+    )
+    ne = F.coalesce(F.col("n_existing"), F.lit(0))
+    nn = F.coalesce(F.col("n_new"), F.lit(0))
+    return j.select(
+        "cid",
+        ne.cast("long").alias("n_existing"),
+        nn.cast("long").alias("n_new"),
+        F.expr(
+            "CAST(CASE WHEN COALESCE(n_existing, 0) = 0 THEN -1"
+            " ELSE COALESCE(n_new, 0) * 10000 DIV n_existing END AS BIGINT)"
+        ).alias("growth_bp"),
+    )

@@ -1904,7 +1904,10 @@ def q197_ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids emitting (vec_id, cid) — cost scales with the BATCH,
     not the corpus (q127's ingest economics for the vector index);
     appended rows land in their cell's partition of the q196 layout.
-    Retrain remains the nightly job; this is the intraday path."""
+    (The demo recomputes n_existing by routing the base corpus because
+    the synthetic setup has no standing index metadata — a deployment
+    reads those counts from q196's persisted cells.) Retrain remains
+    the nightly job; this is the intraday path."""
     from ecowatt_etl_spark.operators.similarity import kmeans_train
 
     em = load_table(spark, sf_dir, "embeddings")

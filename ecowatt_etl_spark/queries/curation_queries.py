@@ -1058,3 +1058,125 @@ def q192_ngram_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("overlap_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — curation funnel report (the dataset-paper survival table)
+# ---------------------------------------------------------------------------
+_FUNNEL_LANGS = "('en', 'de', 'fr', 'es')"  # zh has no space-tokenized support
+_FUNNEL_STAGES = (
+    "ingested",
+    "lang_filter",
+    "length_filter",
+    "quality_filter",
+    "exact_dedup",
+)
+
+
+@query(
+    "q198_curation_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_W}) AS BIGINT) AS n_tokens,
+             length(text) AS n_chars,
+             least(len({_SQL_W}) / 100.0, 1.0) * 0.4
+               + least((CAST(len(list_filter({_SQL_W},
+                         x -> x IN ('the','a','of','and','to')))
+                        AS DOUBLE) / len({_SQL_W})) * 5.0, 1.0) * 0.3
+               + CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                      AS DOUBLE) / length(lower(text)) * 0.3 AS q,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS dup_rank
+      FROM documents
+    ),
+    staged AS (
+      SELECT n_tokens,
+             CASE WHEN lang NOT IN {_FUNNEL_LANGS} THEN 1
+                  WHEN NOT (n_tokens >= 10 AND n_chars <= 20000) THEN 2
+                  WHEN NOT (q >= 0.5) THEN 3
+                  WHEN dup_rank <> 1 THEN 4
+                  ELSE 5 END AS passed
+      FROM t
+    ),
+    tot AS (SELECT COUNT(*) AS n0, SUM(n_tokens) AS t0 FROM staged)
+    SELECT s.i AS stage_id, s.nm AS stage,
+           CAST(SUM(CASE WHEN passed >= s.i THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           CAST(SUM(CASE WHEN passed >= s.i THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN passed >= s.i THEN 1 ELSE 0 END) * 10000
+                // MAX(tot.n0) AS BIGINT) AS docs_retained_bp
+    FROM staged CROSS JOIN tot
+    CROSS JOIN (VALUES (1, 'ingested'), (2, 'lang_filter'),
+                       (3, 'length_filter'), (4, 'quality_filter'),
+                       (5, 'exact_dedup')) AS s(i, nm)
+    GROUP BY s.i, s.nm
+    """,
+)
+def q198_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL table — the survival report every dataset
+    paper publishes (C4, Gopher, RefinedWeb all lead with one):
+    documents and tokens surviving each cumulative stage — language
+    keep-list → length fence → quality threshold → exact dedup
+    (canonical rank over the q51 normalized-text hash). Stages are
+    encoded as the FIRST predicate a document fails, so one scan and
+    ONE aggregate produce every cumulative row (survivors of stage i
+    = docs whose first failure is later than i) — no per-stage
+    re-scan, which is what makes the funnel free at 100 TB (the
+    dedup window rides the same hash the dedup stage itself needs).
+    Retention is integer basis points against ingest; the quality
+    threshold applies to q71's bit-identical composite score, so the
+    float boundary is engine-safe.
+
+    The funnel ORDER is the standard one — cheap scan-local
+    predicates first, the shuffle-bearing dedup last, so each stage
+    sees only the previous stage's survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    from ecowatt_etl_spark.operators.dedup import normalized_text
+    from ecowatt_etl_spark.operators.text import quality_features
+
+    feats = quality_features("text")
+    w_dup = W.partitionBy(F.md5(normalized_text("text"))).orderBy("doc_id")
+    t = d.select(
+        "doc_id",
+        "lang",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_chars"].alias("n_chars"),
+        feats["quality_score"].alias("q"),
+        F.row_number().over(w_dup).alias("dup_rank"),
+    )
+    langs = [x.strip(" '") for x in _FUNNEL_LANGS.strip("()").split(",")]
+    passed = (
+        F.when(~F.col("lang").isin(langs), 1)
+        .when(~((F.col("n_tokens") >= 10) & (F.col("n_chars") <= 20000)), 2)
+        .when(~(F.col("q") >= 0.5), 3)
+        .when(F.col("dup_rank") != 1, 4)
+        .otherwise(5)
+    )
+    staged = t.select("n_tokens", passed.alias("passed"))
+    tot = staged.agg(F.count("*").alias("n0"))
+    stages = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("i"), F.lit(nm).alias("nm"))
+            for i, nm in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    exploded = staged.crossJoin(F.broadcast(tot)).select(
+        "n_tokens", "passed", "n0", F.explode(stages).alias("s")
+    )
+    keep = F.col("passed") >= F.col("s.i")
+    return exploded.groupBy(
+        F.col("s.i").alias("stage_id"), F.col("s.nm").alias("stage")
+    ).agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(
+            "CAST(SUM(CASE WHEN passed >= s.i THEN 1 ELSE 0 END) * 10000"
+            " DIV MAX(n0) AS BIGINT)"
+        ).alias("docs_retained_bp"),
+    )

@@ -121,7 +121,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q190_cogroup_order_audit", "q191_chunk_dedup_report",
     "q192_ngram_overlap_report", "q193_python_datasource",
     "q194_python_stream_source", "q195_sql_udf", "q196_ivf_persist_serve",
-    "q197_ivf_incremental_ingest",
+    "q197_ivf_incremental_ingest", "q198_curation_funnel",
+    "q199_pipe_syntax",
 )
 
 

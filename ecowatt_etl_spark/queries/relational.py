@@ -2272,3 +2272,50 @@ def q195_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — SQL pipe syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+@query(
+    "q199_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                     AS VARCHAR) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 100
+    """,
+)
+def q199_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4's ``|>`` operators, the GoogleSQL
+    pipe-flow surface): the query reads top-to-bottom as a dataflow —
+    FROM → WHERE → AGGREGATE → WHERE-on-aggregate — instead of the
+    inside-out SELECT nesting, and compiles to the IDENTICAL plan as
+    the classic formulation (the oracle is that classic formulation,
+    so the equivalence is value-checked, exact decimals included).
+    Pipe syntax matters to this engine because generated and
+    hand-maintained pipelines compose by APPENDING stages — the form
+    a query builder or an LLM emitting SQL naturally produces.
+
+    Scale: surface-only — same Catalyst plan, same single exact-
+    decimal hash aggregate with the status filter pushed to the
+    scan."""
+    from ecowatt_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                               AS STRING) AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 100
+        |> SELECT o_orderpriority, n_orders, total_price
+        """
+    )

@@ -1180,3 +1180,147 @@ def q198_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV MAX(n0) AS BIGINT)"
         ).alias("docs_retained_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — the dataset card: one governance row per source
+# ---------------------------------------------------------------------------
+@query(
+    "q200_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             CAST(len({_SQL_W}) AS BIGINT) AS n_tokens,
+             n_chars,
+             CAST(least(len({_SQL_W}) / 100.0, 1.0) * 0.4
+               + least((CAST(len(list_filter({_SQL_W},
+                         x -> x IN ('the','a','of','and','to')))
+                        AS DOUBLE) / len({_SQL_W})) * 5.0, 1.0) * 0.3
+               + CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                      AS DOUBLE) / length(lower(text)) * 0.3
+               AS DECIMAL(18,12)) AS q_dec,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS dup_rank
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS crn,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM t
+    ),
+    med AS (
+      SELECT source,
+             CAST(SUM(n_chars) * 2 // COUNT(*) AS BIGINT) AS med2_chars
+      FROM ranked WHERE crn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY source
+    ),
+    lang_rank AS (
+      SELECT source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS lrk
+      FROM t GROUP BY source, lang
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(q_dec) AS VARCHAR) AS DOUBLE) / COUNT(*)
+             AS mean_quality,
+           CAST(SUM(CASE WHEN dup_rank <> 1 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS dup_bp,
+           CAST(MAX(med.med2_chars) AS DOUBLE) / 2 AS median_chars,
+           MAX(CASE WHEN lr.lrk = 1 THEN lr.lang END) AS top_lang
+    FROM t
+    JOIN med ON med.source = t.source
+    JOIN lang_rank lr ON lr.source = t.source AND lr.lrk = 1
+    GROUP BY t.source
+    """,
+)
+def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD: one governance row per source — document and
+    token counts, mean quality (per-row composite scores quantized to
+    decimal(18,12) before summing, so the mean is order-independent
+    and hash-exact), exact-duplicate rate in basis points (q51's
+    canonical rank), exact median document length (the q160 doubled-
+    median construction, per source), and the dominant language
+    (mode, ties lexicographic). This is the artifact a dataset
+    release publishes and a data-governance review reads — and it
+    composes six of the engine's families (quality q71, dedup q51,
+    order statistics q160, mode ranking, mixture q98, token stats
+    q70) into ONE value-gated result, the q100 discipline applied to
+    reporting.
+
+    Scale: one scan computes every per-doc feature; the dup window
+    rides the text-hash key, the median and mode windows ride the
+    source key — three exchanges total, none carrying document
+    text beyond the first hash."""
+    from ecowatt_etl_spark.operators.dedup import normalized_text
+    from ecowatt_etl_spark.operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    w_dup = W.partitionBy(F.md5(normalized_text("text"))).orderBy("doc_id")
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        feats["n_tokens"].alias("n_tokens"),
+        "n_chars",
+        feats["quality_score"].cast("decimal(18,12)").alias("q_dec"),
+        F.row_number().over(w_dup).alias("dup_rank"),
+    )
+    w_med = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_cnt = W.partitionBy("source")
+    ranked = t.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w_med).alias("crn"),
+        F.count("*").over(w_cnt).alias("cnt"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("crn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("crn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("source")
+        .agg(F.expr("CAST(SUM(n_chars) * 2 DIV COUNT(*) AS BIGINT)").alias("med2"))
+    )
+    lang_rank = (
+        t.groupBy("source", "lang")
+        .agg(F.count("*").alias("lc"))
+        .withColumn(
+            "lrk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("lc"), "lang")
+            ),
+        )
+        .filter(F.col("lrk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum("q_dec").cast("string").cast("double") / F.count("*")
+            ).alias("mean_quality"),
+            F.expr(
+                "CAST(SUM(CASE WHEN dup_rank <> 1 THEN 1 ELSE 0 END) * 10000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("dup_bp"),
+        )
+        .join(F.broadcast(med), "source")
+        .join(F.broadcast(lang_rank), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+            "dup_bp",
+            (F.col("med2").cast("double") / 2).alias("median_chars"),
+            "top_lang",
+        )
+    )

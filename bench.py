@@ -63,6 +63,8 @@ HEADLINE = [
     "q139_bpe_train",
     "q142_bpe_encode",
     "q144_boilerplate_strip",
+    "q191_chunk_dedup_report",
+    "q200_dataset_card",
     # warehouse maintenance / gates
     "q152_dq_audit",
     "q168_zorder_layout",

@@ -1954,3 +1954,86 @@ def q197_ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE COALESCE(n_new, 0) * 10000 DIV n_existing END AS BIGINT)"
         ).alias("growth_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — metadata-FILTERED ANN search (post-filter over the IVF index)
+# ---------------------------------------------------------------------------
+_FILT_LABEL = 3
+
+
+@query(
+    "q201_filtered_ann",
+    oracle=f"""
+    WITH {_sql_kmeans_cents()},
+    cent AS (
+      SELECT cid, c_emb, {_sql_norm('c_emb')} AS c_norm
+      FROM c{_IVF_ROUNDS}
+    ),
+    asg AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dot('e.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS ark
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT e.vec_id, e.embedding, a.cid
+      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id AND a.ark = 1
+      WHERE e.label = {_FILT_LABEL}
+    ),
+    pasg AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_dot('q.embedding', 'c.c_emb')} / c.c_norm DESC,
+                        c.cid) AS prk
+      FROM embeddings q CROSS JOIN cent c
+      WHERE q.vec_id < {_NQ}
+    ),
+    probes AS (SELECT query_id, q_emb, cid FROM pasg
+               WHERE prk <= (SELECT CEIL(1.5 * SQRT(COUNT(*))) FROM cent)),
+    scored AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             {_sql_dot('p.q_emb', 'x.embedding')}
+               / ({_sql_norm('p.q_emb')} * {_sql_norm('x.embedding')}) AS cosine_sim
+      FROM probes p JOIN cells x ON x.cid = p.cid AND x.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def q201_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — top-k among only the corpus
+    vectors matching a predicate (label = {_FILT_LABEL}), served from
+    q65's trained IVF index with the filter applied POST-ROUTING on
+    the probed cells. Filtered search is the dominant production ANN
+    shape (tenant scoping, language scoping, freshness windows) and
+    its failure mode is precisely this post-filter: probing nprobe
+    cells sized for UNfiltered search and then discarding non-matching
+    candidates shrinks the effective candidate pool by the filter's
+    selectivity, so recall degrades as filters tighten. The honest
+    mitigations — raise nprobe with selectivity, or partition the
+    index BY the filter column (q196's layout with label as a second
+    partition key) — are a probe-depth knob and a layout decision,
+    not new machinery; the oracle replays training + routing + the
+    filtered serve, so the semantics are value-locked while the knob
+    moves.
+
+    Scale: identical to q65 plus one scan-local predicate on the
+    probed cells; with the label-partitioned layout the predicate
+    becomes directory pruning and reads NOTHING outside the tenant."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cent_df = _trained_centroids(spark, sf_dir, em)
+    cells = _ivf_cells(spark, sf_dir, em, F.broadcast(cent_df), "trained")
+    lab = em.select("vec_id", "label")
+    cells_f = cells.join(lab, "vec_id").filter(
+        F.col("label") == _FILT_LABEL
+    ).select("vec_id", "embedding", "cid")
+    return _ivf_serve(em, cent_df, cells_f)

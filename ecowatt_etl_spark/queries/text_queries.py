@@ -622,6 +622,77 @@ def _bm25_contrib_sql(term: str) -> str:
     )
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BM25-scored hit set (doc_id, bm25) for the q153 query
+    terms — shared by q153's top-k ranking and q202's hybrid fusion,
+    so both rank the identical bit-stable scores."""
+    import math
+
+    from ecowatt_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("w"))
+    dl = t.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = dl.count()
+    df_map = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    idf_col = None
+    for term in _SEARCH_TERMS:
+        dfv = df_map.get(term, 0)
+        idf_v = math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        branch = F.when(F.col("term") == term, F.lit(idf_v))
+        idf_col = branch if idf_col is None else idf_col.when(
+            F.col("term") == term, F.lit(idf_v)
+        )
+    contribs = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf_col
+                * (
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + (F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+                        )
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+
+    def pivot(term: str) -> F.Column:
+        return F.coalesce(
+            F.max(F.when(F.col("term") == term, F.col("contrib"))), F.lit(0.0)
+        )
+
+    scored = contribs.groupBy("doc_id").agg(
+        (
+            pivot(_SEARCH_TERMS[0])
+            + pivot(_SEARCH_TERMS[1])
+            + pivot(_SEARCH_TERMS[2])
+        ).alias("bm25")
+    )
+    return scored
+
+
 @query(
     "q153_bm25_search",
     oracle=f"""
@@ -695,70 +766,7 @@ def q153_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.log in the plan would not. Everything else is +,-,*,/ — correctly
     rounded and engine-identical.
     """
-    import math
-
-    from ecowatt_etl_spark.operators.text import tokens
-
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens("text").alias("w"))
-    dl = t.select("doc_id", F.size("w").cast("long").alias("dl"))
-    stats = dl.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        t.select("doc_id", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*_SEARCH_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    n_docs = dl.count()
-    df_map = {
-        r["term"]: r["df"]
-        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
-    }
-    idf_col = None
-    for term in _SEARCH_TERMS:
-        dfv = df_map.get(term, 0)
-        idf_v = math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
-        branch = F.when(F.col("term") == term, F.lit(idf_v))
-        idf_col = branch if idf_col is None else idf_col.when(
-            F.col("term") == term, F.lit(idf_v)
-        )
-    contribs = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "term",
-            (
-                idf_col
-                * (
-                    (F.col("tf") * F.lit(2.2))
-                    / (
-                        F.col("tf")
-                        + F.lit(1.2)
-                        * (
-                            F.lit(0.25)
-                            + (F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
-                        )
-                    )
-                )
-            ).alias("contrib"),
-        )
-    )
-
-    def pivot(term: str) -> F.Column:
-        return F.coalesce(
-            F.max(F.when(F.col("term") == term, F.col("contrib"))), F.lit(0.0)
-        )
-
-    scored = contribs.groupBy("doc_id").agg(
-        (
-            pivot(_SEARCH_TERMS[0])
-            + pivot(_SEARCH_TERMS[1])
-            + pivot(_SEARCH_TERMS[2])
-        ).alias("bm25")
-    )
+    scored = _bm25_scored(spark, sf_dir)
     w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -1738,4 +1746,140 @@ def q191_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 10000"
             " DIV COUNT(*) AS BIGINT)"
         ).alias("dup_frac_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — hybrid retrieval: BM25 + vector ranks fused by RRF
+# ---------------------------------------------------------------------------
+from ecowatt_etl_spark.queries.similarity_queries import (  # noqa: E402
+    _sql_dot,
+    _sql_norm,
+)
+
+_RRF_K = 60  # the standard RRF damping constant
+_FUSE_DEPTH = 50  # per-retriever candidate depth
+_FUSE_TOP = 10
+_QVEC_ID = 0  # the semantic query: embedding of vec_id 0
+
+
+@query(
+    "q202_hybrid_rrf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, s AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(w) AS s FROM t)
+      WHERE s IN ({_BM25_SQL_TERMS})
+      GROUP BY doc_id, s
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    contribs AS (
+      SELECT tf.doc_id, tf.term,
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n_docs - df.df + CAST(0.5 AS DOUBLE))
+                  / (df.df + CAST(0.5 AS DOUBLE)))
+               * ((tf.tf * CAST(2.2 AS DOUBLE))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + (CAST(0.75 AS DOUBLE) * (dl.dl / s.avgdl)))))
+               AS contrib
+      FROM tf, df, dl, stats s
+      WHERE df.term = tf.term AND dl.doc_id = tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM (SELECT doc_id,
+                   {_bm25_contrib_sql(_SEARCH_TERMS[0])}
+                     + {_bm25_contrib_sql(_SEARCH_TERMS[1])}
+                     + {_bm25_contrib_sql(_SEARCH_TERMS[2])} AS bm25
+            FROM contribs GROUP BY doc_id)
+      QUALIFY lex_rank <= {_FUSE_DEPTH}
+    ),
+    qv AS (SELECT embedding AS q_emb FROM embeddings
+           WHERE vec_id = {_QVEC_ID}),
+    sem AS (
+      SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY {_sql_dot('qv.q_emb', 'e.embedding')}
+                 / ({_sql_norm('qv.q_emb')} * {_sql_norm('e.embedding')}) DESC,
+               e.vec_id) AS sem_rank
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id <> {_QVEC_ID}
+      QUALIFY sem_rank <= {_FUSE_DEPTH}
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           lex.lex_rank, sem.sem_rank,
+           COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + lex.lex_rank),
+                    CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + sem.sem_rank),
+                        CAST(0.0 AS DOUBLE)) AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_FUSE_TOP}
+    """,
+)
+def q202_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the shape modern RAG stacks serve: a lexical
+    candidate list (q153's BM25 scorer, shared bit-stable scores) and
+    a semantic candidate list (cosine against a query embedding,
+    doc_id ↔ vec_id aligned in this synthetic corpus) fused by
+    Reciprocal Rank Fusion: score = Σ 1/(k + rank), k={_RRF_K}. RRF
+    is the fusion every hybrid search engine defaults to precisely
+    because it consumes only RANKS — integers — so two retrievers
+    with incomparable score scales compose without calibration, and
+    (the engine's angle) the fused ordering is exactly reproducible:
+    ranks are deterministic (score desc, id tiebreak), and the fused
+    score is two fixed-order divisions — value-checked end to end
+    across both retrieval pipelines and the fusion.
+
+    Scale: each retriever prunes to its own top-{_FUSE_DEPTH} before
+    the fusion join (depth × 2 rows — nothing corpus-sized is
+    joined); BM25 keeps q153's scan-side term filter, the semantic
+    side is one broadcast query vector against the corpus (or q65's
+    index when the corpus outgrows brute force)."""
+    from ecowatt_etl_spark.operators.similarity import cosine
+
+    scored = _bm25_scored(spark, sf_dir)
+    w_lex = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        scored.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= _FUSE_DEPTH)
+        .select("doc_id", "lex_rank")
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        em.filter(F.col("vec_id") == _QVEC_ID).select(
+            F.col("embedding").alias("q_emb")
+        )
+    )
+    w_sem = W.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = (
+        em.filter(F.col("vec_id") != _QVEC_ID)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+        .withColumn("sem_rank", F.row_number().over(w_sem))
+        .filter(F.col("sem_rank") <= _FUSE_DEPTH)
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(_FUSE_TOP)
     )

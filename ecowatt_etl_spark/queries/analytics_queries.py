@@ -571,3 +571,74 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_abs_delta_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — Benford's-law first-digit audit over order totals
+# ---------------------------------------------------------------------------
+# log10(1 + 1/d) in basis points — a fixed table, NOT computed with
+# log() at query time: ln/log10 are not correctly-rounded in every
+# libm, and the audit only needs the standard reference proportions.
+_BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792,
+               6: 669, 7: 580, 8: 512, 9: 458}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items()
+)
+
+
+@query(
+    "q205_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n_obs) AS n FROM counts)
+    SELECT c.digit,
+           CAST(c.n_obs AS BIGINT) AS n_obs,
+           CAST(c.n_obs * 10000 // t.n AS BIGINT) AS observed_bp,
+           CAST(CASE c.digit {_BENFORD_CASE} END AS BIGINT) AS benford_bp,
+           CAST(c.n_obs * 10000 // t.n
+                - CASE c.digit {_BENFORD_CASE} END AS BIGINT) AS excess_bp
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def q205_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fraud/synthetic-data screen auditors run on any money column:
+    naturally-occurring amounts follow log10(1+1/d) first-digit
+    frequencies, and fabricated or uniformly-generated ones (like
+    this synthetic corpus — the audit SHOWS that, which is the
+    point of an audit) do not. Observed shares are integer basis
+    points; the Benford reference is a fixed table rather than a
+    query-time log() (libm rounding is not engine-portable; the
+    reference proportions are constants of mathematics), so every
+    column of the report is integer-exact.
+
+    Scale: one digit-extraction projection (string head of the
+    floored integer — scan-local codegen) and one 9-group
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    benford = F.expr(f"CASE digit {_BENFORD_CASE} END")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.expr("CAST(n_obs * 10000 DIV n AS BIGINT)").alias("observed_bp"),
+        benford.cast("long").alias("benford_bp"),
+        (F.expr("n_obs * 10000 DIV n") - benford)
+        .cast("long")
+        .alias("excess_bp"),
+    )

@@ -123,7 +123,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q194_python_stream_source", "q195_sql_udf", "q196_ivf_persist_serve",
     "q197_ivf_incremental_ingest", "q198_curation_funnel",
     "q199_pipe_syntax", "q200_dataset_card", "q201_filtered_ann",
-    "q202_hybrid_rrf",
+    "q202_hybrid_rrf", "q203_forecast_backtest", "q204_cusum_changepoint",
+    "q205_benford_audit",
 )
 
 

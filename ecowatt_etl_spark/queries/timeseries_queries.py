@@ -662,3 +662,198 @@ def q194_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         agg, "q194_python_stream_sink", output_mode="complete"
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — seasonal-naive forecast BACKTEST (per-type daily, exact MAE)
+# ---------------------------------------------------------------------------
+_BT_SEASON = 7  # weekly seasonality
+_BT_HOLDOUT = 7  # last 7 days are the test window
+
+
+@query(
+    "q203_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_V_US_SQL}) AS v_us
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, v_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS dn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM daily
+    ),
+    joined AS (
+      SELECT t.event_type, t.day,
+             t.v_us AS actual_us, f.v_us AS forecast_us
+      FROM idx t JOIN idx f
+        ON f.event_type = t.event_type AND f.dn = t.dn - {_BT_SEASON}
+      WHERE t.dn > t.nd - {_BT_HOLDOUT}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(CAST(ABS(actual_us - forecast_us) AS HUGEINT))
+                     AS VARCHAR) AS DOUBLE) / COUNT(*) / 1000000 AS mae,
+           CAST(CAST(SUM(CAST(ABS(actual_us - forecast_us) AS HUGEINT))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(ABS(actual_us) AS HUGEINT))
+                         AS VARCHAR) AS DOUBLE) AS wape
+    FROM joined GROUP BY event_type
+    """,
+)
+def q203_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST — the evaluation harness that justifies (or
+    kills) any forecasting model: the seasonal-naive baseline
+    (forecast = the value {_BT_SEASON} days earlier) is scored on the
+    final {_BT_HOLDOUT}-day holdout per event type, reporting MAE and
+    WAPE. Seasonal-naive is THE baseline every forecast benchmark
+    (M-competitions onward) requires you to beat; a warehouse that
+    can backtest it in one query can backtest any model whose
+    predictions land in a table. Errors accumulate in integer
+    micro-units (|actual − forecast| summed exactly), the two
+    metrics are final string-routed divisions — hash-exact.
+
+    Scale: one (type, day) aggregate over events; the forecast
+    lookup is a self-join on day-index within the tiny daily frame;
+    everything after the first aggregate is O(types × days)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(_v_us()).alias("v_us"))
+    w = W.partitionBy("event_type").orderBy("day")
+    wc = W.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "v_us",
+        F.row_number().over(w).alias("dn"),
+        F.count("*").over(wc).alias("nd"),
+    )
+    t = idx.select(
+        "event_type",
+        "day",
+        F.col("v_us").alias("actual_us"),
+        "dn",
+        "nd",
+    )
+    f = idx.select(
+        F.col("event_type").alias("f_type"),
+        F.col("v_us").alias("forecast_us"),
+        (F.col("dn") + _BT_SEASON).alias("f_dn"),
+    )
+    joined = t.join(
+        f,
+        (F.col("f_type") == F.col("event_type")) & (F.col("f_dn") == F.col("dn")),
+    ).filter(F.col("dn") > F.col("nd") - _BT_HOLDOUT)
+    abs_err = F.abs(F.col("actual_us") - F.col("forecast_us")).cast("decimal(38,0)")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (
+            F.sum(abs_err).cast("string").cast("double")
+            / F.count("*")
+            / 1_000_000
+        ).alias("mae"),
+        (
+            F.sum(abs_err).cast("string").cast("double")
+            / F.sum(F.abs(F.col("actual_us")).cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+        ).alias("wape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q204 — CUSUM change-point detection over the daily series
+# ---------------------------------------------------------------------------
+@query(
+    "q204_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_V_US_SQL}) AS v_us
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, SUM(v_us) AS tot, COUNT(*) AS nd
+      FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+      -- S_t = Σ (nd·v_i − tot), kept in nd-scaled integer units so the
+      -- running sum of (value − mean) never leaves the integers
+      SELECT d.event_type, d.day,
+             SUM(CAST(m.nd AS HUGEINT) * d.v_us - m.tot)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS s_scaled,
+             m.nd, m.tot
+      FROM daily d JOIN m ON m.event_type = d.event_type
+    ),
+    peak AS (
+      SELECT event_type, day, s_scaled, nd,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(s_scaled) DESC, day) AS pk
+      FROM cusum
+    )
+    SELECT event_type,
+           day AS changepoint_day,
+           CAST(CAST(s_scaled AS VARCHAR) AS DOUBLE)
+             / nd / 1000000 AS cusum_peak,
+           CAST(nd AS BIGINT) AS n_days
+    FROM peak WHERE pk = 1
+    """,
+)
+def q204_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection: the day where the cumulative sum
+    of (daily value − series mean) peaks in magnitude — the classic
+    estimator of WHERE a level shift happened (monitoring's answer
+    to 'when did this metric break', and the segmentation primitive
+    behind drift-aware training-data selection). The running sum is
+    kept EXACTLY integral by working in nd-scaled units
+    (S_t = Σ nd·vᵢ − tot ≡ nd·Σ(vᵢ − mean)), so the peak day is an
+    integer argmax — no float accumulation anywhere near the
+    decision; the displayed peak is one string-routed division.
+
+    Scale: one (type, day) aggregate, one per-type mean over the
+    daily frame, one running-sum window over O(types × days) rows.
+    The detector never touches raw events after the first
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(_v_us()).alias("v_us"))
+    m = daily.groupBy("event_type").agg(
+        F.sum("v_us").alias("tot"), F.count("*").alias("nd")
+    )
+    j = daily.join(F.broadcast(m), "event_type")
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    term = (
+        F.col("nd").cast("decimal(38,0)") * F.col("v_us") - F.col("tot")
+    ).cast("decimal(38,0)")
+    cusum = j.select(
+        "event_type",
+        "day",
+        "nd",
+        F.sum(term).over(w_run).alias("s_scaled"),
+    )
+    w_pk = W.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s_scaled"))), F.asc("day")
+    )
+    return (
+        cusum.withColumn("pk", F.row_number().over(w_pk))
+        .filter(F.col("pk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            (
+                F.col("s_scaled").cast("string").cast("double")
+                / F.col("nd")
+                / 1_000_000
+            ).alias("cusum_peak"),
+            F.col("nd").cast("long").alias("n_days"),
+        )
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ecowatt_etl_spark.queries.registry import query
 from ecowatt_etl_spark.sources.tables import load_table
@@ -641,4 +642,192 @@ def q205_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("n_obs * 10000 DIV n") - benford)
         .cast("long")
         .alias("excess_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — Gini concentration of customer revenue (whale analysis)
+# ---------------------------------------------------------------------------
+@query(
+    "q206_gini_revenue",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT)) AS v_us
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT v_us,
+             ROW_NUMBER() OVER (ORDER BY v_us, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM cust
+    ),
+    s AS (
+      SELECT MAX(n) AS n,
+             SUM(CAST(i AS HUGEINT) * v_us) AS iwsum,
+             SUM(CAST(v_us AS HUGEINT)) AS vsum
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(CAST(vsum AS VARCHAR) AS DOUBLE) / 1000000 AS total_revenue,
+           CAST(CAST(2 * iwsum - (n + 1) * vsum AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n AS HUGEINT) * vsum AS VARCHAR) AS DOUBLE)
+             AS gini
+    FROM s
+    """,
+)
+def q206_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    number behind every "whale" conversation (how much of the book
+    sits on how few customers), computed by the exact rank identity
+    G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over micro-unit integers:
+    the rank weighting, both sums, and the numerator/denominator stay
+    integral (HUGEINT/decimal), so the single displayed division is
+    the only float op. Ranks tie-break on customer key, making the
+    order statistic total.
+
+    Scale: one per-customer aggregate, one global rank over the
+    customer frame (the documented per-stratum variant partitions by
+    segment and ranks within), one 3-value reduction. The customer
+    frame, not the order fact, pays the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,6)") * 1_000_000).cast(
+                "bigint"
+            )
+        ).alias("v_us")
+    )
+    w = W.orderBy("v_us", "o_custkey")
+    r = cust.select(
+        "v_us",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    s = r.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("v_us")).alias("iwsum"),
+        F.sum(F.col("v_us").cast("decimal(38,0)")).alias("vsum"),
+    )
+    num = (
+        F.lit(2) * F.col("iwsum") - (F.col("n") + 1) * F.col("vsum")
+    ).cast("decimal(38,0)")
+    den = (F.col("n").cast("decimal(38,0)") * F.col("vsum")).cast("decimal(38,0)")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("vsum").cast("string").cast("double") / 1_000_000).alias(
+            "total_revenue"
+        ),
+        (
+            num.cast("string").cast("double") / den.cast("string").cast("double")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207 — market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+_BASKET_MIN_SUP = 3  # minimum co-occurrence count
+_BASKET_TOP = 20
+
+
+@query(
+    "q207_basket_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT okey) AS n_baskets FROM items),
+    freq AS (SELECT part, COUNT(*) AS pf FROM items GROUP BY part),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS pair_n
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.part < b.part
+      GROUP BY a.part, b.part
+      HAVING COUNT(*) >= {_BASKET_MIN_SUP}
+    ),
+    rules AS (
+      SELECT p.part_a, p.part_b, p.pair_n,
+             fa.pf AS n_a, fb.pf AS n_b,
+             CAST(p.pair_n * 10000 // fa.pf AS BIGINT) AS confidence_bp,
+             CAST(CAST(CAST(p.pair_n AS HUGEINT) * nb.n_baskets AS VARCHAR)
+                  AS DOUBLE)
+               / CAST(CAST(CAST(fa.pf AS HUGEINT) * fb.pf AS VARCHAR)
+                      AS DOUBLE) AS lift
+      FROM pairs p
+      JOIN freq fa ON fa.part = p.part_a
+      JOIN freq fb ON fb.part = p.part_b
+      CROSS JOIN nb
+    )
+    SELECT part_a, part_b, CAST(pair_n AS BIGINT) AS pair_n,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           confidence_bp, lift
+    FROM rules
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {_BASKET_TOP}
+    """,
+)
+def q207_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules — the classic co-purchase
+    mining query (a→b support, confidence, lift) over order baskets:
+    top-{_BASKET_TOP} part pairs by LIFT among pairs co-ordered at
+    least {_BASKET_MIN_SUP} times. Confidence is integer basis
+    points; lift = (pair·N)/(nₐ·n_b) rides exact HUGEINT cross
+    products into one string-routed division, so the ranking cut is
+    deterministic (ties break on the pair).
+
+    Scale: the pair self-join is the textbook basket explosion —
+    bounded by Σ(basket size)² per ORDER, not per corpus, because
+    the join key is the order; baskets here average ~4 items so the
+    pair stream is ~6× orders. For pathological mega-baskets the
+    standard cap (drop baskets > K items, as the df-cap q54 does for
+    shingles) bounds the quadratic term; min-support prunes before
+    the stats joins. The frequent-item table broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    nb = items.agg(F.countDistinct("okey").alias("n_baskets"))
+    freq = items.groupBy("part").agg(F.count("*").alias("pf"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= _BASKET_MIN_SUP)
+    )
+    fa = freq.select(F.col("part").alias("part_a"), F.col("pf").alias("n_a"))
+    fb = freq.select(F.col("part").alias("part_b"), F.col("pf").alias("n_b"))
+    rules = (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(nb))
+    )
+    lift = (
+        (F.col("pair_n").cast("decimal(38,0)") * F.col("n_baskets"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .cast("double")
+        / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .cast("double")
+    )
+    return (
+        rules.select(
+            "part_a",
+            "part_b",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("CAST(pair_n * 10000 DIV n_a AS BIGINT)").alias(
+                "confidence_bp"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_BASKET_TOP)
     )

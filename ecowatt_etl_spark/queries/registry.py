@@ -124,7 +124,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q197_ivf_incremental_ingest", "q198_curation_funnel",
     "q199_pipe_syntax", "q200_dataset_card", "q201_filtered_ann",
     "q202_hybrid_rrf", "q203_forecast_backtest", "q204_cusum_changepoint",
-    "q205_benford_audit",
+    "q205_benford_audit", "q206_gini_revenue", "q207_basket_rules",
 )
 
 

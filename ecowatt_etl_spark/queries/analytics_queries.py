@@ -831,3 +831,90 @@ def q207_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(_BASKET_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — RFM customer segmentation (exact tercile scores)
+# ---------------------------------------------------------------------------
+@query(
+    "q208_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT)) AS monetary_us
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_us,
+             NTILE(3) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             NTILE(3) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(3) OVER (ORDER BY monetary_us, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(CAST(monetary_us AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) / 1000000 AS avg_monetary,
+           CAST(SUM(recency_days) AS BIGINT) AS sum_recency_days,
+           CAST(SUM(frequency) AS BIGINT) AS sum_frequency
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the CRM workhorse: every customer scored
+    1–3 on Recency (days since last order, HIGHER score = more
+    recent via the DESC ntile), Frequency, and Monetary value, then
+    rolled up per (R,F,M) cell with population and average spend.
+    NTILE over a TOTAL order (metric, customer key) makes the
+    tercile boundaries deterministic on both engines — the same
+    discipline as every rank construction here — and monetary rides
+    micro-unit integers into a string-routed average.
+
+    Scale: one per-customer aggregate (plus a 1-row global max-date
+    broadcast), three ntile windows over the customer frame sharing
+    one global sort each (per-segment scoring at real scale
+    partitions the ntile by segment), and a 27-cell rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    gmax = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    cust = (
+        o.crossJoin(F.broadcast(gmax))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("gmax"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,6)") * 1_000_000).cast(
+                    "bigint"
+                )
+            ).alias("monetary_us"),
+        )
+    )
+    scored = cust.select(
+        "recency_days",
+        "frequency",
+        "monetary_us",
+        F.ntile(3)
+        .over(W.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(3).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(3).over(W.orderBy("monetary_us", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        (
+            F.sum(F.col("monetary_us").cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / F.count("*")
+            / 1_000_000
+        ).alias("avg_monetary"),
+        F.sum("recency_days").cast("long").alias("sum_recency_days"),
+        F.sum("frequency").cast("long").alias("sum_frequency"),
+    )

@@ -511,3 +511,152 @@ def q189_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(frag, "before_compaction").unionByName(
         stage(tight, "after_compaction")
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — join-size estimation from Count-Min sketch inner products
+# ---------------------------------------------------------------------------
+_JSE_D, _JSE_W = 4, 256
+
+
+def _jse_bucket_sql(j: int, var: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5('{j}|' || CAST({var} AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % {_JSE_W}"
+    )
+
+
+def _jse_cms_sql(name: str, rel: str, key: str) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {j} AS depth, {_jse_bucket_sql(j, key)} AS bucket"
+        f" FROM {rel}"
+        for j in range(_JSE_D)
+    )
+    return (
+        f"{name} AS (SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS c"
+        f" FROM ({union}) GROUP BY depth, bucket)"
+    )
+
+
+def _jse_pair_sql(label: str, a: str, b: str, ka: str, kb: str,
+                  ra: str, rb: str) -> str:
+    return f"""
+    SELECT '{label}' AS join_name,
+           (SELECT CAST(SUM(CAST(fa.n AS HUGEINT) * fb.n) AS BIGINT)
+            FROM (SELECT {ka} AS k, COUNT(*) AS n FROM {ra} GROUP BY 1) fa
+            JOIN (SELECT {kb} AS k, COUNT(*) AS n FROM {rb} GROUP BY 1) fb
+              ON fb.k = fa.k) AS exact_size,
+           (SELECT MIN(dot) FROM (
+              SELECT sa.depth,
+                     CAST(SUM(CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS dot
+              FROM {a} sa JOIN {b} sb
+                ON sb.depth = sa.depth AND sb.bucket = sa.bucket
+              GROUP BY sa.depth)) AS cms_estimate
+    """
+
+
+@query(
+    "q209_join_size_estimate",
+    oracle=f"""
+    WITH {_jse_cms_sql("cms_o", "orders", "o_orderkey")},
+    {_jse_cms_sql("cms_l", "lineitem", "l_orderkey")},
+    {_jse_cms_sql("cms_e", "events", "user_id")}
+    {_jse_pair_sql("orders_lineitem_orderkey", "cms_o", "cms_l",
+                   "o_orderkey", "l_orderkey", "orders", "lineitem")}
+    UNION ALL
+    {_jse_pair_sql("events_self_userid", "cms_e", "cms_e",
+                   "user_id", "user_id", "events", "events")}
+    """,
+)
+def q209_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from Count-Min sketches — the planner-
+    grade statistic: |A ⋈ B| = Σₖ f_A(k)·f_B(k) is estimated by the
+    inner product of the two sides' CMS counter arrays (min over
+    depths — an overestimate with the CM guarantee, like the point
+    estimates of q161), next to the exact size as audit. Two joins
+    are profiled: the FK join orders⋈lineitem, and the SELF-join of
+    events on user_id — the latter is Σ f(u)², exactly the quantity
+    that explodes under skew, so this sketch is the cheap early
+    warning q176's exact skew report refines. Sketches are 4×256
+    integer counters built in ONE pass per side and mergeable
+    cell-wise — at 100 TB each side's sketch costs a map-side
+    aggregate and 8 KB of state, vs actually running the join to
+    learn its size.
+
+    All arithmetic is integer (portable md5 buckets, HUGEINT/decimal
+    dot products) — estimator and audit hash-match cross-engine."""
+    configs = [
+        ("orders_lineitem_orderkey",
+         ("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+        ("events_self_userid", ("events", "user_id"), ("events", "user_id")),
+    ]
+
+    def cms(tbl: str, key: str) -> DataFrame:
+        t = load_table(spark, sf_dir, tbl).select(
+            F.col(key).cast("string").alias("k")
+        )
+        per_depth = [
+            t.select(
+                F.lit(j).alias("depth"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{j}|"), F.col("k"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _JSE_W
+                ).alias("bucket"),
+            )
+            for j in range(_JSE_D)
+        ]
+        from functools import reduce
+
+        u = reduce(lambda x, y: x.unionByName(y), per_depth)
+        return u.groupBy("depth", "bucket").agg(F.count("*").alias("c"))
+
+    def exact(ta: str, ka: str, tb: str, kb: str) -> DataFrame:
+        fa = (
+            load_table(spark, sf_dir, ta)
+            .groupBy(F.col(ka).alias("k"))
+            .agg(F.count("*").alias("na"))
+        )
+        fb = (
+            load_table(spark, sf_dir, tb)
+            .groupBy(F.col(kb).alias("k"))
+            .agg(F.count("*").alias("nb"))
+        )
+        return fa.join(fb, "k").agg(
+            F.sum(F.col("na").cast("decimal(38,0)") * F.col("nb"))
+            .cast("long")
+            .alias("exact_size")
+        )
+
+    out = None
+    for label, (ta, ka), (tb, kb) in configs:
+        sa, sb = cms(ta, ka), cms(tb, kb)
+        dots = (
+            sa.join(
+                sb.select(
+                    F.col("depth"), F.col("bucket"), F.col("c").alias("c2")
+                ),
+                ["depth", "bucket"],
+            )
+            .groupBy("depth")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,0)") * F.col("c2"))
+                .cast("long")
+                .alias("dot")
+            )
+            .agg(F.min("dot").alias("cms_estimate"))
+        )
+        row = (
+            exact(ta, ka, tb, kb)
+            .crossJoin(dots)
+            .select(
+                F.lit(label).alias("join_name"), "exact_size", "cms_estimate"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -592,12 +592,14 @@ def q209_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def cms(tbl: str, key: str) -> DataFrame:
+        # All depths in ONE scan: posexplode an array of the D bucket
+        # expressions instead of unioning D per-depth scans (a 4-way
+        # union re-reads the table 4x — the scan-audit cap caught it).
         t = load_table(spark, sf_dir, tbl).select(
             F.col(key).cast("string").alias("k")
         )
-        per_depth = [
-            t.select(
-                F.lit(j).alias("depth"),
+        buckets = F.array(
+            *[
                 (
                     F.conv(
                         F.substring(
@@ -607,14 +609,15 @@ def q209_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         10,
                     ).cast("long")
                     % _JSE_W
-                ).alias("bucket"),
-            )
-            for j in range(_JSE_D)
-        ]
-        from functools import reduce
-
-        u = reduce(lambda x, y: x.unionByName(y), per_depth)
-        return u.groupBy("depth", "bucket").agg(F.count("*").alias("c"))
+                )
+                for j in range(_JSE_D)
+            ]
+        )
+        return (
+            t.select(F.posexplode(buckets).alias("depth", "bucket"))
+            .groupBy("depth", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
 
     def exact(ta: str, ka: str, tb: str, kb: str) -> DataFrame:
         fa = (

@@ -918,3 +918,159 @@ def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("recency_days").cast("long").alias("sum_recency_days"),
         F.sum("frequency").cast("long").alias("sum_frequency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — CUPED variance reduction for the experimentation family
+# ---------------------------------------------------------------------------
+@query(
+    "q211_cuped",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS yv
+      FROM events
+    ),
+    b AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS cutoff FROM ev),
+    pu AS (
+      SELECT user_id % 2 AS variant, user_id,
+             SUM(CASE WHEN tus < b.cutoff THEN yv ELSE 0 END) AS x,
+             SUM(CASE WHEN tus >= b.cutoff THEN yv ELSE 0 END) AS y
+      FROM ev, b GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS nv,
+             CAST(SUM(x) AS HUGEINT) AS svx,
+             CAST(SUM(y) AS HUGEINT) AS svy,
+             SUM(CAST(x AS HUGEINT) * x) AS svxx,
+             SUM(CAST(x AS HUGEINT) * y) AS svxy,
+             SUM(CAST(y AS HUGEINT) * y) AS svyy
+      FROM pu GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(nv) AS BIGINT) AS n,
+             CAST(SUM(svx) AS HUGEINT) AS sx, CAST(SUM(svy) AS HUGEINT) AS sy,
+             CAST(SUM(svxx) AS HUGEINT) AS sxx,
+             CAST(SUM(svxy) AS HUGEINT) AS sxy,
+             CAST(SUM(svyy) AS HUGEINT) AS syy
+      FROM pv
+    ),
+    t AS (
+      SELECT n,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov_t,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS varx_t,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vary_t,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n AS xbar
+      FROM g
+    )
+    SELECT pv.variant, pv.nv AS n_users,
+           CAST(CAST(pv.svy AS VARCHAR) AS DOUBLE) / pv.nv / 1000000.0
+             AS mean_y,
+           (CAST(CAST(pv.svy AS VARCHAR) AS DOUBLE)
+             - (CASE WHEN t.varx_t = 0 THEN 0 ELSE t.cov_t / t.varx_t END)
+               * (CAST(CAST(pv.svx AS VARCHAR) AS DOUBLE) - pv.nv * t.xbar))
+             / pv.nv / 1000000.0 AS mean_y_adj,
+           CASE WHEN t.varx_t = 0 THEN 0 ELSE t.cov_t / t.varx_t END AS theta,
+           CASE WHEN t.varx_t = 0 OR t.vary_t = 0 THEN 0
+                ELSE t.cov_t * t.cov_t / (t.varx_t * t.vary_t)
+           END AS var_reduction
+    FROM pv, t
+    """,
+)
+def q211_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013) — the variance-reduction adjustment every mature A/B
+    platform applies before reading an experiment: each user's
+    experiment-period metric y is shifted by θ·(x − x̄) where x is the
+    SAME metric from the pre-period and θ = cov(x,y)/var(x), shrinking
+    metric variance by exactly ρ² without biasing the treatment
+    contrast. Completes the experimentation family: q136 extracts the
+    raw variant facts, q172 tests independence, this one is the
+    sensitivity lever. Variant = user_id % 2 (per-user assignment —
+    q172's per-event props hash would split one user across arms);
+    the pre/post cutoff is the data-derived midpoint of the event-time
+    range, so the query survives testdata regeneration.
+
+    Exactness: per-event values go fixed-point (decimal(18,6)·1e6 →
+    int64 micro-units), so every per-user and per-variant sum and all
+    five moment sums are EXACT integers (decimal(38,0) in Spark,
+    HUGEINT in DuckDB); θ's numerator n·Σxy − Σx·Σy and denominator
+    n·Σx² − (Σx)² stay integer-exact and only the final divisions run
+    in double after the string-routed cast — bit-identical
+    cross-engine (the q90 discipline). Zero pre-period variance
+    degrades to θ=0 (unadjusted means) instead of dividing by zero.
+
+    Scale shape: one events scan → per-user conditional aggregate
+    (shuffle on user_id), a 2-row per-variant rollup, a 1-row global
+    rollup broadcast back — no windows, no row-level θ application
+    (the per-variant adjusted MEAN is the closed form
+    (Σy − θ·(Σx − n·x̄))/n, so the adjustment costs nothing at 100 TB;
+    materializing per-user adjusted values would just be one more
+    map-side projection of the same per-user frame)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.col("value").cast(_DEC_Y) * 1_000_000).cast("long").alias("yv"),
+    )
+    bounds = ev.agg(F.expr("(MIN(tus) + MAX(tus)) DIV 2").alias("cutoff"))
+    pu = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy((F.col("user_id") % 2).alias("variant"), "user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("tus") < F.col("cutoff"), F.col("yv")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("tus") >= F.col("cutoff"), F.col("yv")).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    pv = pu.groupBy("variant").agg(
+        F.count("*").alias("nv"),
+        F.sum("x").cast("decimal(38,0)").alias("svx"),
+        F.sum("y").cast("decimal(38,0)").alias("svy"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("svxx"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("svxy"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("svyy"),
+    )
+    g = pv.agg(
+        F.sum("nv").alias("n"),
+        F.sum("svx").cast("decimal(38,0)").alias("sx"),
+        F.sum("svy").cast("decimal(38,0)").alias("sy"),
+        F.sum("svxx").cast("decimal(38,0)").alias("sxx"),
+        F.sum("svxy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("svyy").cast("decimal(38,0)").alias("syy"),
+    )
+    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    t = g.select(
+        "n",
+        _d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_t"),
+        _d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx_t"),
+        _d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_t"),
+        (_d(F.col("sx")) / F.col("n")).alias("xbar"),
+    )
+    theta = F.when(F.col("varx_t") == 0, F.lit(0.0)).otherwise(
+        F.col("cov_t") / F.col("varx_t")
+    )
+    vr = F.when(
+        (F.col("varx_t") == 0) | (F.col("vary_t") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("cov_t") * F.col("cov_t") / (F.col("varx_t") * F.col("vary_t"))
+    )
+    return pv.crossJoin(F.broadcast(t)).select(
+        "variant",
+        F.col("nv").alias("n_users"),
+        (_d(F.col("svy")) / F.col("nv") / F.lit(1_000_000.0)).alias("mean_y"),
+        (
+            (
+                _d(F.col("svy"))
+                - theta * (_d(F.col("svx")) - F.col("nv") * F.col("xbar"))
+            )
+            / F.col("nv")
+            / F.lit(1_000_000.0)
+        ).alias("mean_y_adj"),
+        theta.alias("theta"),
+        vr.alias("var_reduction"),
+    )

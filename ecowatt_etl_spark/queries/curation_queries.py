@@ -1324,3 +1324,72 @@ def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_lang",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+_KA_K = 5  # minimum group size for k-anonymity
+_KA_L = 3  # minimum distinct sensitive values for l-diversity
+_KA_BAND = 2000  # account-balance band width (quasi-identifier coarsening)
+
+
+@query(
+    "q210_k_anonymity",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           c.c_nationkey,
+           CAST(floor(c.c_acctbal / {_KA_BAND}) AS BIGINT) AS bal_band,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_individuals,
+           CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_diversity,
+           COUNT(DISTINCT c.c_custkey) >= {_KA_K} AS k_anonymous,
+           COUNT(DISTINCT o.o_orderpriority) >= {_KA_L} AS l_diverse
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q210_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY / L-DIVERSITY audit — the privacy report a dataset
+    publisher runs before releasing "anonymized" records (Sweeney's
+    k-anonymity; Machanavajjhala's l-diversity). Quasi-identifiers are
+    the released columns an attacker can link on — here (market
+    segment, nation, account-balance band of width {_KA_BAND}); the
+    sensitive attribute is the customer's order priority mix. A QI
+    group smaller than k={_KA_K} re-identifies its members by linkage;
+    a group whose sensitive attribute takes fewer than l={_KA_L}
+    distinct values leaks it even when k holds (the homogeneity
+    attack). One row per QI equivalence class with both verdicts —
+    the release gate is then `WHERE NOT k_anonymous OR NOT l_diverse`.
+
+    Companion to q94 (PII redaction inside free text) and q188
+    (per-subject erasure): redaction removes direct identifiers, this
+    audits the INDIRECT ones. Scale shape: one customer⋈orders hash
+    join on the customer key and one hash aggregate keyed by the QI
+    tuple; both distinct-counts ride the same aggregate (count-distinct
+    over a 1-byte priority and the group's own key), so cost is
+    O(|orders|) shuffle on an 8-byte key — no window, no skew risk
+    beyond the QI distribution itself, which is exactly what the
+    report measures."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o.select("o_custkey", "o_orderpriority"),
+        c["c_custkey"] == o["o_custkey"],
+        "left",
+    )
+    n_ind = F.count_distinct("c_custkey")
+    l_div = F.count_distinct("o_orderpriority")
+    return (
+        joined.groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / _KA_BAND).alias("bal_band"),
+        )
+        .agg(
+            n_ind.alias("n_individuals"),
+            l_div.alias("l_diversity"),
+            (n_ind >= _KA_K).alias("k_anonymous"),
+            (l_div >= _KA_L).alias("l_diverse"),
+        )
+    )

@@ -1394,3 +1394,82 @@ def q175_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("inter_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — multi-source BFS hop distance over the near-dup graph
+# ---------------------------------------------------------------------------
+_BFS_ROUNDS = 3
+_BFS_SEED_MOD = _INC_MOD  # seeds = the q127 "ingest batch" documents
+
+
+def _bfs_iter_sql(k: int) -> str:
+    return f"""
+    d{k} AS (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT e.dst AS node, s.d + 1 AS d
+        FROM edges e JOIN d{k - 1} s ON s.node = e.src
+        UNION ALL
+        SELECT node, d FROM d{k - 1}
+      ) GROUP BY node
+    )"""
+
+
+@query(
+    "q212_bfs_hops",
+    oracle=f"""
+    WITH pairs AS ({_Q53_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard_sim >= {_CLUSTER_T}
+      UNION ALL
+      SELECT id_b, id_a FROM pairs WHERE jaccard_sim >= {_CLUSTER_T}
+    ),
+    d0 AS (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d
+      FROM edges WHERE src % {_BFS_SEED_MOD} = 0
+    ),
+    {",".join(_bfs_iter_sql(k) for k in range(1, _BFS_ROUNDS + 1))}
+    SELECT node AS doc_id, CAST(d AS BIGINT) AS hops FROM d{_BFS_ROUNDS}
+    """,
+)
+def q212_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest SEED document
+    (the q127 ingest-batch convention, doc_id % {_BFS_SEED_MOD} == 0)
+    to every graph node reachable within {_BFS_ROUNDS} hops of the
+    verified near-dup graph — the provenance question "how many
+    copy-steps separate this document from the batch under review?".
+    Fourth classic distributed-graph kernel alongside q57 components,
+    q89 triangles, and q120 PageRank; hop-bounded frontier expansion
+    is also the scalable template for k-hop neighborhood queries.
+
+    Each round relaxes dist(v) = min(dist(v), min over in-edges of
+    dist(u)+1) as one edge⋈distance hash join plus one node-keyed
+    min-aggregate — the identical per-round shuffle shape as q120,
+    with the round count fixed at {_BFS_ROUNDS} by construction (the
+    oracle unrolls the same rounds, so Spark and DuckDB agree row for
+    row; an unreached node is ABSENT, not ∞). Arithmetic is pure
+    int64, so cross-engine equality is exact. The symmetrized edge
+    list is localCheckpoint'ed once — the q53 candidate pipeline
+    executes once, not once per round — and every frontier frame is a
+    node-keyed (id, dist) pair, so state per round is O(|V|) however
+    large the corpus behind it."""
+    pairs = q53_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard_sim") >= _CLUSTER_T
+    )
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.union(rev).localCheckpoint()
+    dist = (
+        edges.filter(F.col("src") % _BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+    )
+    for _ in range(_BFS_ROUNDS):
+        relaxed = edges.join(dist, edges["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            relaxed.unionByName(dist).groupBy("node").agg(F.min("d").alias("d"))
+        )
+    return dist.select(F.col("node").alias("doc_id"), F.col("d").alias("hops"))

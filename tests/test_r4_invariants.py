@@ -192,3 +192,74 @@ def test_ivf_index_persists_partitioned_by_cell(spark):
     cells_dir = f"{SCRATCH_ROOT}/{bucket_token(SF_ORACLE)}/ivf_cells"
     part_dirs = [d for d in glob.glob(f"{cells_dir}/cid=*") if os.path.isdir(d)]
     assert len(part_dirs) > 1  # clustered by cell, not a flat dump
+
+def test_k_anonymity_groups_partition_the_population(spark):
+    """QI equivalence classes must PARTITION the customer table: every
+    customer in exactly one group, so Σ n_individuals == |customer| —
+    and no group may report more sensitive diversity than exists
+    globally."""
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    out = _q("q210_k_anonymity").fn(spark, SF_ORACLE).collect()
+    n_cust = load_table(spark, SF_ORACLE, "customer").count()
+    assert sum(r["n_individuals"] for r in out) == n_cust
+    n_prio = (
+        load_table(spark, SF_ORACLE, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .count()
+    )
+    assert all(r["l_diversity"] <= n_prio for r in out)
+    from ecowatt_etl_spark.queries.curation_queries import _KA_K, _KA_L
+
+    assert all(r["k_anonymous"] == (r["n_individuals"] >= _KA_K) for r in out)
+    assert all(r["l_diverse"] == (r["l_diversity"] >= _KA_L) for r in out)
+
+
+def test_cuped_adjustment_is_mean_preserving_and_bounded(spark):
+    """CUPED shifts per-variant means but may not move the GLOBAL mean
+    (Σθ·(x−x̄) telescopes to zero over the whole population), and the
+    variance reduction is ρ² ∈ [0, 1]."""
+    rows = _q("q211_cuped").fn(spark, SF_ORACLE).collect()
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["mean_y"] * r["n_users"] for r in rows) / n
+    adj = sum(r["mean_y_adj"] * r["n_users"] for r in rows) / n
+    assert abs(raw - adj) < 1e-9 * max(1.0, abs(raw))
+    for r in rows:
+        assert 0.0 <= r["var_reduction"] <= 1.0
+        assert r["theta"] == rows[0]["theta"]  # global, not per-arm
+
+
+def test_bfs_hops_satisfy_the_relaxation_equations(spark):
+    """BFS certificate: every seed scores 0; every non-seed node's hop
+    count is exactly 1 + the minimum hop count among its in-neighbors
+    (within the bounded horizon) — the defining fixed-point of
+    shortest-hop distance."""
+    from ecowatt_etl_spark.queries.dedup_queries import (
+        _BFS_SEED_MOD,
+        _CLUSTER_T,
+        q53_minhash_lsh_pairs,
+    )
+
+    dist = {
+        r["doc_id"]: r["hops"]
+        for r in _q("q212_bfs_hops").fn(spark, SF_ORACLE).collect()
+    }
+    assert dist, "near-dup graph unexpectedly empty"
+    pairs = (
+        q53_minhash_lsh_pairs(spark, SF_ORACLE)
+        .filter(F.col("jaccard_sim") >= _CLUSTER_T)
+        .collect()
+    )
+    nbrs: dict[int, set[int]] = {}
+    for p in pairs:
+        nbrs.setdefault(p["id_a"], set()).add(p["id_b"])
+        nbrs.setdefault(p["id_b"], set()).add(p["id_a"])
+    for node, d in dist.items():
+        if node % _BFS_SEED_MOD == 0:
+            assert d == 0
+        else:
+            best = min(
+                (dist[m] for m in nbrs[node] if m in dist), default=None
+            )
+            assert best is not None and d == best + 1

@@ -1775,3 +1775,73 @@ def q183_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(_PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — polymorphic UDTF: output schema computed by analyze()
+# ---------------------------------------------------------------------------
+_DYN_KEYS = "k,missing"  # one present key, one absent → NULL column
+
+
+@query(
+    "q213_dynamic_udtf",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q213_dynamic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the output schema is not declared but
+    COMPUTED at analysis time by the UDTF's static ``analyze()`` hook
+    from the literal key-list argument (Spark 4's dynamic-schema UDTF
+    surface; q138 is the static-schema half). One column per requested
+    JSON key materializes in the plan before execution starts, so the
+    downstream query is fully resolved/prunable; a key absent from the
+    payload ('missing' here) becomes a NULL column rather than a
+    failure — the schema-on-read contract for ragged telemetry.
+
+    The eval body is a plain json.loads projection so the DuckDB twin
+    (json_extract_string per key) matches exactly. Scale: scan-local
+    LATERAL generator, Arrow-batched row transfer; for FIXED key sets
+    the codegen paths are q47 (get_json_object) and q136 (variant) —
+    this query is the surface for key sets chosen at query-build time
+    (per-tenant telemetry contracts), where the alternative is
+    regenerating SQL text per tenant."""
+    import json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ExtractKeys:
+        @staticmethod
+        def analyze(
+            props: AnalyzeArgument, keys: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for k in keys.value.split(","):
+                schema = schema.add(k, StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, props, keys):
+            try:
+                obj = json.loads(props) if props is not None else {}
+            except ValueError:
+                obj = {}
+            yield tuple(
+                None if obj.get(k) is None else str(obj[k])
+                for k in keys.split(",")
+            )
+
+    spark.udtf.register("extract_keys", udtf(ExtractKeys, useArrow=True))
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).createOrReplaceTempView("q213_events")
+    return spark.sql(
+        f"""
+        SELECT e.event_id, t.*
+        FROM q213_events e, LATERAL extract_keys(e.props, '{_DYN_KEYS}') t
+        """
+    )

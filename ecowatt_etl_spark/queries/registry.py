@@ -126,7 +126,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q202_hybrid_rrf", "q203_forecast_backtest", "q204_cusum_changepoint",
     "q205_benford_audit", "q206_gini_revenue", "q207_basket_rules",
     "q208_rfm_segments", "q209_join_size_estimate", "q210_k_anonymity",
-    "q211_cuped", "q212_bfs_hops",
+    "q211_cuped", "q212_bfs_hops", "q213_dynamic_udtf",
 )
 
 

@@ -1074,3 +1074,152 @@ def q211_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta.alias("theta"),
         vr.alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — deterministic Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+_BOOT_B = 100  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds on the integer 52-bit scale
+# (floor(cum_k · 2^52) for k = 0..6; draws past the last land on 7).
+# Integer thresholds make the weight assignment an exact int64
+# comparison — no float CDF evaluation to diverge cross-engine.
+_BOOT_T = (
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+    4503224742561580,
+)
+_BOOT_LO_RANK = 3  # 2.5th percentile of 100 replicate means
+_BOOT_HI_RANK = 98  # 97.5th percentile
+
+
+def _boot_w_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {arms} ELSE {len(_BOOT_T)} END"
+
+
+@query(
+    "q215_bootstrap_ci",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pm
+      FROM orders
+    ),
+    ww AS (
+      SELECT i AS b, pm,
+             {_boot_w_sql(
+                "CAST(concat('0x', substring(md5(CAST(i AS VARCHAR) || '|' ||"
+                " CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)"
+             )} AS w
+      FROM o, UNNEST(generate_series(0, {_BOOT_B - 1})) AS g(i)
+    ),
+    rep AS (
+      SELECT b, CAST(SUM(CAST(w AS HUGEINT) * pm) AS HUGEINT) AS s,
+             CAST(SUM(w) AS BIGINT) AS n
+      FROM ww GROUP BY b
+    ),
+    ranked AS (
+      SELECT CAST(CAST(s AS VARCHAR) AS DOUBLE) / n / 1000000.0 AS m, b,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(CAST(s AS VARCHAR) AS DOUBLE) / n / 1000000.0, b
+             ) AS rn
+      FROM rep
+    ),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(CAST(SUM(pm) AS HUGEINT) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) / 1000000.0 AS point_mean
+      FROM o
+    )
+    SELECT pt.n_orders, CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           pt.point_mean,
+           (SELECT m FROM ranked WHERE rn = {_BOOT_LO_RANK}) AS ci_lo,
+           (SELECT m FROM ranked WHERE rn = {_BOOT_HI_RANK}) AS ci_hi
+    FROM pt
+    """,
+)
+def q215_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC Poisson bootstrap — the distribution-free
+    confidence interval for any pipeline metric, here the mean order
+    value: {_BOOT_B} replicates where each row enters replicate b with
+    weight ~ Poisson(1), the streaming-safe approximation of
+    resampling-with-replacement (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012). The CI is the
+    exact-rank [{_BOOT_LO_RANK}, {_BOOT_HI_RANK}] envelope of the 100
+    replicate means.
+
+    Every weight is a pure function of (replicate, order key): a
+    52-bit md5 draw compared against PRECOMPUTED INTEGER CDF
+    thresholds, so the "randomness" is replayable, shard-invariant,
+    and engine-exact (no float CDF, no RNG state — the q93/q99
+    sampling discipline applied to resampling). Money rides as int64
+    micro-units; each replicate's (Σw·x, Σw) pair is integer-exact
+    and the only float op is the final string-routed mean division.
+
+    Scale: ONE pass — explode ×{_BOOT_B} into a map-side-combinable
+    aggregate with {_BOOT_B} groups (the expansion never shuffles:
+    partial sums leave each partition already reduced to ≤{_BOOT_B}
+    rows). This is the textbook way to put error bars on 100 TB
+    aggregates without a second scan per replicate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast(_DEC_Y) * 1_000_000)
+        .cast("long")
+        .alias("pm"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("b").cast("string"), F.col("k").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.when(u < _BOOT_T[0], 0)
+    for k, t in enumerate(_BOOT_T[1:], start=1):
+        w = w.when(u < t, k)
+    w = w.otherwise(len(_BOOT_T))
+    rep = (
+        o.select("k", "pm", F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"))
+        .select("b", "pm", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("pm"))
+            .cast("decimal(38,0)")
+            .alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+    )
+    m = (F.col("s").cast("string").cast("double") / F.col("n") / F.lit(1e6)).alias("m")
+    ranked = rep.select(m, "b").withColumn(
+        "rn", F.row_number().over(W.orderBy("m", "b"))
+    )
+    lo = ranked.filter(F.col("rn") == _BOOT_LO_RANK).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == _BOOT_HI_RANK).select(F.col("m").alias("ci_hi"))
+    pt = o.agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum("pm").cast("decimal(38,0)").cast("string").cast("double")
+            / F.count("*")
+            / F.lit(1e6)
+        ).alias("point_mean"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

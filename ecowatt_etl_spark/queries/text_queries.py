@@ -19,6 +19,7 @@ from ecowatt_etl_spark.operators.text import (
     predict_lang,
     quality_features,
     token_count,
+    tokens,
 )
 from ecowatt_etl_spark.queries.registry import query
 from ecowatt_etl_spark.sources.tables import load_table
@@ -1882,4 +1883,143 @@ def q202_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(_FUSE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214 — memorization-risk spans: corpus-repeated n-grams merged per doc
+# ---------------------------------------------------------------------------
+_MEM_K = 5  # shingle width in tokens
+
+
+@query(
+    "q214_memorization_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(concat('0x', substring(md5(
+               array_to_string(toks[i:i+{_MEM_K - 1}], chr(31))
+             ), 1, 15)) AS BIGINT) AS h
+      FROM base, UNNEST(generate_series(1, n_tok - {_MEM_K} + 1)) AS g(i)
+      WHERE n_tok >= {_MEM_K}
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+    dp AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER w <= {_MEM_K} THEN 0 ELSE 1 END AS brk
+      FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_MEM_K} - 1 AS e,
+             COUNT(*) AS ns
+      FROM isl2 GROUP BY 1, 2
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(ns) AS BIGINT) AS n_dup_shingles,
+             CAST(MAX(e - s + 1) AS BIGINT) AS longest_span,
+             CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
+      FROM spans GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tokens,
+           COALESCE(p.n_dup_shingles, 0) AS n_dup_shingles,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.longest_span, 0) AS longest_span,
+           COALESCE(p.covered_tokens, 0) AS covered_tokens,
+           CAST(COALESCE(p.covered_tokens, 0) * 10000 // b.n_tok AS BIGINT)
+             AS coverage_bp
+    FROM base b LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def q214_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEMORIZATION-RISK spans — the exact-substring dedup report of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") at {_MEM_K}-token shingle granularity: for every
+    document, the maximal token spans covered by {_MEM_K}-grams that
+    occur ≥2 times ANYWHERE in the corpus. q95 flags repetition
+    WITHIN a document and q191 duplication at fixed chunk boundaries;
+    this is the sub-document CROSS-corpus view — the spans a trained
+    model is most likely to regurgitate verbatim, and the rewrite
+    targets for surgical (span-level, not document-level) dedup.
+
+    Pipeline: positional shingles in one scan-local projection
+    (transform over sequence + slice — no window, no Python), 8-byte
+    md5 digests, one global digest-frequency aggregate (map-side
+    combinable), a semi-join back to positions, then gaps-and-islands
+    (lag + running sum) over only the DUPLICATED positions to merge
+    overlapping shingles into maximal spans. Coverage is reported in
+    integer basis points (covered·10000 DIV n_tokens) so the whole
+    report is int64-exact cross-engine. Scale: shuffle keys are the
+    8-byte digest and doc_id; window state is per-doc duplicated
+    positions only — corpus text bytes never shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n_tok"))
+    sh = (
+        base.filter(F.col("n_tok") >= _MEM_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_MEM_K} + 1),"
+                    f" i -> concat_ws(chr(31), slice(toks, i, {_MEM_K})))"
+                )
+            ).alias("pos", "sh_text"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("sh_text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    dup_h = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    dp = sh.join(dup_h.select("h"), "h", "left_semi").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = dp.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= _MEM_K, 0).otherwise(1),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + _MEM_K - 1).alias("e"),
+        F.count("*").alias("ns"),
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("ns").cast("long").alias("n_dup_shingles"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_span"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tok")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.expr(
+                "CAST(COALESCE(covered_tokens, 0) * 10000 DIV n_tok AS BIGINT)"
+            ).alias("coverage_bp"),
+        )
     )

@@ -263,3 +263,33 @@ def test_bfs_hops_satisfy_the_relaxation_equations(spark):
                 (dist[m] for m in nbrs[node] if m in dist), default=None
             )
             assert best is not None and d == best + 1
+
+def test_memorization_spans_are_consistent(spark):
+    """Span accounting: coverage can't exceed the document, a span is
+    at least one shingle wide, and spans can't outnumber the
+    duplicated shingles they merge."""
+    from ecowatt_etl_spark.queries.text_queries import _MEM_K
+
+    rows = _q("q214_memorization_spans").fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    flagged = 0
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert 0 <= r["coverage_bp"] <= 10000
+        assert r["n_spans"] <= r["n_dup_shingles"]
+        if r["n_spans"] > 0:
+            flagged += 1
+            assert r["longest_span"] >= _MEM_K
+            assert r["covered_tokens"] >= r["longest_span"]
+    assert flagged > 0, "corpus unexpectedly has no cross-doc repeats"
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark):
+    """Percentile-bootstrap sanity: the interval is non-degenerate,
+    ordered, and (for a mean over 15k orders) tight around the
+    full-sample point estimate."""
+    [r] = _q("q215_bootstrap_ci").fn(spark, SF_ORACLE).collect()
+    assert r["ci_lo"] < r["ci_hi"]
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    width = r["ci_hi"] - r["ci_lo"]
+    assert width < 0.1 * r["point_mean"]  # ~±1% at n=15k, not garbage

@@ -65,6 +65,9 @@ HEADLINE = [
     "q144_boilerplate_strip",
     "q191_chunk_dedup_report",
     "q200_dataset_card",
+    "q214_memorization_spans",
+    # graph kernel over the near-dup graph
+    "q212_bfs_hops",
     # warehouse maintenance / gates
     "q152_dq_audit",
     "q168_zorder_layout",

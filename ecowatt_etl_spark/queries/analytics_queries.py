@@ -1223,3 +1223,222 @@ def q215_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — Mann–Whitney U test (exact integer ranks, tie-corrected)
+# q217 — Kolmogorov–Smirnov two-sample test (exact integer ECDF gap)
+# ---------------------------------------------------------------------------
+_MW_A, _MW_B = "purchase", "view"
+
+
+@query(
+    "q216_mannwhitney",
+    oracle=f"""
+    WITH ev AS (
+      SELECT value,
+             CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+    ),
+    g AS (
+      SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(is_a) AS BIGINT) AS ca
+      FROM ev GROUP BY value
+    ),
+    r AS (
+      SELECT cnt, ca,
+             COALESCE(SUM(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(ca * (2 * cb + cnt + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS HUGEINT) AS tsum
+      FROM r
+    ),
+    t AS (
+      SELECT na, n - na AS nb, n, r2a - na * (na + 1) AS u2, tsum,
+             CAST(na AS HUGEINT) * (n - na)
+               * ((CAST(n AS HUGEINT) + 1) * n * (n - 1) - tsum) AS signum,
+             CAST(12 AS HUGEINT) * n * (n - 1) AS sigden
+      FROM s
+    )
+    SELECT na AS n_a, nb AS n_b, CAST(u2 AS BIGINT) AS u2_a,
+           CAST(u2 AS DOUBLE) / 2 AS u_a,
+           CASE WHEN signum = 0 THEN 0 ELSE
+             (CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * nb)
+             / (2 * sqrt(CAST(CAST(signum AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(sigden AS VARCHAR) AS DOUBLE)))
+           END AS z
+    FROM t
+    """,
+)
+def q216_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–WHITNEY U — the nonparametric location test (does
+    '{_MW_A}' stochastically dominate '{_MW_B}'?) that q103's Welch t
+    can't answer when values are heavy-tailed. Completes the
+    hypothesis-test shelf: χ² (q172) for categorical, Welch (q103)
+    for means, this for ranks.
+
+    EXACT construction, no per-row ranking: group by distinct value →
+    (cnt, count-in-A), one global cumulative count over the DISTINCT
+    VALUE frame (the q206 discipline — the window runs on the reduced
+    frame, never the fact table; the documented scale variant range-
+    partitions the prefix sum), then the doubled tie-averaged rank sum
+    Σ ca·(2·cb + cnt + 1) is an integer, as are 2U = R2 − nₐ(nₐ+1),
+    the tie-correction Σ(t³−t), and σ²'s numerator/denominator. The
+    z-score's divisions and sqrt are IEEE-correctly-rounded doubles of
+    exact integers — bit-identical cross-engine (sqrt is an IEEE 754
+    required-exact operation, unlike exp/ln which never appear here).
+    Degenerate variance (all values tied) reports z = 0, not NaN."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    ).select(
+        "value",
+        F.when(F.col("event_type") == _MW_A, 1).otherwise(0).alias("is_a"),
+    )
+    g = ev.groupBy("value").agg(
+        F.count("*").alias("cnt"), F.sum("is_a").alias("ca")
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "cnt", "ca", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cb")
+    )
+    s = r.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("ca") * (2 * F.col("cb") + F.col("cnt") + 1)).alias("r2a"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).cast("decimal(38,0)").alias("tsum"),
+    )
+    nb = F.col("n") - F.col("na")
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    signum = (
+        F.col("na").cast("decimal(38,0)")
+        * nb
+        * (
+            (F.col("n").cast("decimal(38,0)") + 1) * F.col("n") * (F.col("n") - 1)
+            - F.col("tsum")
+        )
+    ).cast("decimal(38,0)")
+    sigden = (
+        F.lit(12).cast("decimal(38,0)") * F.col("n") * (F.col("n") - 1)
+    ).cast("decimal(38,0)")
+    t = s.select(
+        F.col("na").alias("n_a"),
+        nb.alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        signum.alias("signum"),
+        sigden.alias("sigden"),
+    )
+    z = F.when(F.col("signum") == 0, F.lit(0.0)).otherwise(
+        (
+            F.col("u2_a").cast("double")
+            - F.col("n_a").cast("double") * F.col("n_b")
+        )
+        / (
+            2
+            * F.sqrt(
+                F.col("signum").cast("string").cast("double")
+                / F.col("sigden").cast("string").cast("double")
+            )
+        )
+    )
+    return t.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        (F.col("u2_a").cast("double") / 2).alias("u_a"),
+        z.alias("z"),
+    )
+
+
+@query(
+    "q217_ks_test",
+    oracle=f"""
+    WITH ev AS (
+      SELECT value,
+             CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+    ),
+    g AS (
+      SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(is_a) AS BIGINT) AS ca
+      FROM ev GROUP BY value
+    ),
+    c AS (
+      SELECT SUM(ca) OVER w AS cuma, SUM(cnt - ca) OVER w AS cumb
+      FROM g WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cnt - ca) AS BIGINT) AS nb
+      FROM g
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           CAST(MAX(abs(cuma * tot.nb - cumb * tot.na)) AS BIGINT) AS d_num,
+           CAST(MAX(abs(cuma * tot.nb - cumb * tot.na)) AS DOUBLE)
+             / (CAST(tot.na AS DOUBLE) * tot.nb) AS d_stat,
+           CAST(MAX(abs(cuma * tot.nb - cumb * tot.na)) AS DOUBLE)
+             / (CAST(tot.na AS DOUBLE) * tot.nb)
+             * sqrt(CAST(tot.na AS DOUBLE) * tot.nb / (tot.na + tot.nb))
+             AS ks_lambda
+    FROM c, tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def q217_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KOLMOGOROV–SMIRNOV two-sample test — the distribution-SHAPE
+    companion to q216's location test: D = sup|F̂ₐ − F̂ᵦ| detects any
+    distributional difference (spread, modality), not just a shift.
+
+    EXACT gap: per distinct value, the scaled ECDF difference
+    cumA·nᵦ − cumB·nₐ is an INTEGER, so D's numerator is an exact
+    max-of-abs over integers and D itself is one double division;
+    the √(nₐnᵦ/(nₐ+nᵦ)) scaling for the limiting distribution is an
+    IEEE-exact sqrt of a double built from the same integers. Shares
+    q216's shape: distinct-value aggregate, one cumulative window
+    over the reduced frame, one max-reduction — the fact table pays a
+    hash aggregate, never a sort."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    ).select(
+        "value",
+        F.when(F.col("event_type") == _MW_A, 1).otherwise(0).alias("is_a"),
+    )
+    g = ev.groupBy("value").agg(
+        F.count("*").alias("cnt"), F.sum("is_a").alias("ca")
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum(F.col("cnt") - F.col("ca")).over(w).alias("cumb"),
+    )
+    tot = g.agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("cnt") - F.col("ca")).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+    )
+    joined = c.crossJoin(F.broadcast(tot))
+    na_d = F.col("na").cast("double")
+    d_stat = F.max(gap).cast("double") / (na_d * F.col("nb"))
+    return joined.groupBy("na", "nb").agg(
+        F.max(gap).cast("long").alias("d_num"),
+        d_stat.alias("d_stat"),
+        (
+            d_stat
+            * F.sqrt(na_d * F.col("nb") / (F.col("na") + F.col("nb")))
+        ).alias("ks_lambda"),
+    ).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "d_num",
+        "d_stat",
+        "ks_lambda",
+    )

@@ -127,7 +127,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q205_benford_audit", "q206_gini_revenue", "q207_basket_rules",
     "q208_rfm_segments", "q209_join_size_estimate", "q210_k_anonymity",
     "q211_cuped", "q212_bfs_hops", "q213_dynamic_udtf",
-    "q214_memorization_spans", "q215_bootstrap_ci",
+    "q214_memorization_spans", "q215_bootstrap_ci", "q216_mannwhitney",
+    "q217_ks_test",
 )
 
 

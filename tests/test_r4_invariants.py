@@ -293,3 +293,34 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark):
     assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
     width = r["ci_hi"] - r["ci_lo"]
     assert width < 0.1 * r["point_mean"]  # ~±1% at n=15k, not garbage
+
+def test_rank_tests_match_brute_force_numpy(spark):
+    """Independent-algorithm check: recompute Mann–Whitney U and the
+    KS gap with numpy (searchsorted over the raw samples — no ranks,
+    no windows) and require exact agreement with the distributed
+    rank/ECDF construction."""
+    import numpy as np
+
+    from ecowatt_etl_spark.queries.analytics_queries import _MW_A, _MW_B
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").filter(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    )
+    rows = ev.select("event_type", "value").collect()
+    a = np.sort(np.array([r["value"] for r in rows if r["event_type"] == _MW_A]))
+    b = np.sort(np.array([r["value"] for r in rows if r["event_type"] == _MW_B]))
+
+    [mw] = _q("q216_mannwhitney").fn(spark, SF_ORACLE).collect()
+    lt = np.searchsorted(b, a, side="left")
+    le = np.searchsorted(b, a, side="right")
+    u2_brute = int(lt.sum() + le.sum())  # 2U = Σ 2·(#B<aᵢ) + (#B==aᵢ)
+    assert (mw["n_a"], mw["n_b"]) == (len(a), len(b))
+    assert mw["u2_a"] == u2_brute
+
+    [ks] = _q("q217_ks_test").fn(spark, SF_ORACLE).collect()
+    grid = np.concatenate([a, b])
+    ca = np.searchsorted(a, grid, side="right")
+    cb = np.searchsorted(b, grid, side="right")
+    d_num_brute = int(np.abs(ca * len(b) - cb * len(a)).max())
+    assert ks["d_num"] == d_num_brute

@@ -1442,3 +1442,94 @@ def q217_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_stat",
         "ks_lambda",
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — Spearman rank correlation per event type (exact integer ranks)
+# ---------------------------------------------------------------------------
+@query(
+    "q218_spearman",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS x, value AS y FROM events
+    ),
+    rk AS (
+      SELECT event_type,
+             2 * COUNT(*) OVER (PARTITION BY event_type ORDER BY x
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - COUNT(*) OVER (PARTITION BY event_type, x) + 1 AS rx,
+             2 * COUNT(*) OVER (PARTITION BY event_type ORDER BY y
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - COUNT(*) OVER (PARTITION BY event_type, y) + 1 AS ry
+      FROM pts
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM rk GROUP BY 1
+    )
+    SELECT event_type, n,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+                ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                  / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+           END AS spearman_rho
+    FROM s
+    """,
+)
+def q218_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation of (event time, value) per event type
+    — the monotone-trend detector that q92's Pearson misses when the
+    drift is nonlinear, and the robust complement to q90's OLS slope.
+
+    Tie-averaged ranks without a row-number pass: the DOUBLED rank
+    2·r = 2·(peers-inclusive cumulative count) − |tie group| + 1 is an
+    integer for every row (the q216 doubling trick applied through a
+    RANGE-framed window), so all five moment sums are exact integers,
+    the doubling cancels in ρ, and only the final divide/sqrt are
+    (IEEE-exact) float ops. Degenerate rank variance reports ρ = 0.
+    Scale: two RANGE windows partitioned by event type over the fact,
+    then one hash aggregate — rank state is per-partition streaming
+    count, and the 100 TB variant swaps the within-type sort for the
+    distinct-value construction of q216 when values are heavily
+    repeated."""
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def r2(col: str) -> F.Column:
+        cum = F.count("*").over(
+            W.partitionBy("event_type")
+            .orderBy(col)
+            .rangeBetween(W.unboundedPreceding, W.currentRow)
+        )
+        ties = F.count("*").over(W.partitionBy("event_type", col))
+        return 2 * cum - ties + 1
+
+    rk = pts.select(
+        "event_type", r2("x").alias("rx"), r2("y").alias("ry")
+    )
+    rxd = F.col("rx").cast("decimal(38,0)")
+    ryd = F.col("ry").cast("decimal(38,0)")
+    s = rk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(rxd * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(ryd * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+        F.sum(rxd * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+    )
+    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    rho = F.when((denx == 0) | (deny == 0), F.lit(0.0)).otherwise(
+        _d(num) / F.sqrt(_d(denx) * _d(deny))
+    )
+    return s.select("event_type", "n", rho.alias("spearman_rho"))

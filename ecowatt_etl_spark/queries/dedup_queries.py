@@ -1473,3 +1473,112 @@ def q212_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             relaxed.unionByName(dist).groupBy("node").agg(F.min("d").alias("d"))
         )
     return dist.select(F.col("node").alias("doc_id"), F.col("d").alias("hops"))
+
+
+# ---------------------------------------------------------------------------
+# q219 — LSH banding recall audit vs exact all-pairs ground truth
+# ---------------------------------------------------------------------------
+@query(
+    "q219_lsh_recall_audit",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    sig AS ({_SQL_SIG_AGG}),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS sim
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_CLUSTER_T}
+    ),
+    m AS (
+      SELECT t.sim, c.id_a IS NOT NULL AS found
+      FROM truth t
+      LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST(floor(sim * 10) AS BIGINT) AS sim_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+                AS BIGINT) AS recall_bp
+    FROM m GROUP BY 1
+    """,
+)
+def q219_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL AUDIT of the q53 MinHash-LSH banding against EXACT
+    all-pairs ground truth — the dedup twin of the ANN recall frontier
+    the similarity family publishes (SCALE.md): for every true
+    near-dup pair (raw shingle Jaccard ≥ {_CLUSTER_T}, uncapped
+    inverted-index self-join), did the band bucketing ever co-bucket
+    it? Reported per similarity decile, because banding recall is a
+    steep function of similarity (the S-curve: at 4 bands × 2 rows a
+    0.9-Jaccard pair is near-certain, a 0.5 pair is a coin flip) —
+    the per-decile table IS the measured S-curve, and the basis-point
+    integer recall keeps the report hash-exact cross-engine.
+
+    This is the validation job a dedup deployment runs on a SAMPLE
+    (the uncapped self-join's Σdf² cost is the price of ground truth
+    — at 100 TB it runs on a stratified q93-style slice, never the
+    full corpus; the banded pipeline it audits stays linear). Shares
+    the session shingle/band index, so the audit adds one self-join
+    and one anti-joinable left probe, not a re-tokenize."""
+    e, bands = shingle_index(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea, eb = e.alias("ea"), e.alias("eb")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("ea.h") == F.col("eb.h"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .groupBy(
+            F.col("ea.doc_id").alias("id_a"), F.col("eb.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sim = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    truth = (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= _CLUSTER_T)
+    )
+    m = truth.join(
+        cand.withColumn("found", F.lit(True)), ["id_a", "id_b"], "left"
+    ).select("sim", F.coalesce("found", F.lit(False)).alias("found"))
+    n_found = F.sum(F.when(F.col("found"), 1).otherwise(0))
+    return (
+        m.groupBy(F.floor(F.col("sim") * 10).cast("long").alias("sim_decile"))
+        .agg(
+            F.count("*").alias("n_truth"),
+            n_found.cast("long").alias("n_found"),
+            F.expr(
+                "CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) * 10000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+    )

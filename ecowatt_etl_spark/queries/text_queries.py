@@ -2023,3 +2023,121 @@ def q214_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — mixed-language detection via chunk-level language consistency
+# ---------------------------------------------------------------------------
+@query(
+    "q220_mixed_language",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, w, n_tok,
+             CASE WHEN n_tok <= {_CHUNK_SIZE} THEN 1
+                  ELSE (n_tok - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                         // {_CHUNK_STRIDE} + 1 END AS n_chunks
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(
+               w[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+               ' ') AS text
+      FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    ),
+    scored AS (
+      SELECT doc_id,
+             {", ".join(f"{_sql_marker_count(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items())}
+      FROM ch
+    ),
+    pred AS (SELECT doc_id, {_sql_predict_lang()} AS pl FROM scored),
+    pc AS (SELECT doc_id, pl, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pred GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM pc GROUP BY 1
+    ),
+    dom AS (
+      SELECT doc_id, pl, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, pl) AS rn
+      FROM pc
+    )
+    SELECT a.doc_id, a.n_chunks, a.n_langs AS n_chunk_langs,
+           d.pl AS dominant_lang,
+           CAST(d.c * 10000 // a.n_chunks AS BIGINT) AS dominant_bp,
+           a.n_langs > 1 AS is_mixed
+    FROM agg a JOIN dom d ON d.doc_id = a.doc_id AND d.rn = 1
+    """,
+)
+def q220_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-LANGUAGE document detection — the curation gate q72's
+    whole-document language ID cannot express: a document whose
+    CHUNKS disagree about their language (code-switched pages, crawl
+    concatenations, boilerplate in a second language) is poison for
+    monolingual training corpora even when its majority language
+    looks right. Composes two existing operators end to end: q79's
+    overlapping token-window chunking feeds q72's marker-argmax
+    scorer per chunk, then per-document consistency is reported as
+    (distinct chunk languages, dominant language, dominant share in
+    integer basis points, mixed flag).
+
+    Scale shape: the chunk explosion and per-chunk scorer are one
+    scan-local projection (no vocabulary join — the scorer is a fixed
+    expression); everything after is keyed by doc_id: one (doc, lang)
+    count, one per-doc rollup, one row_number over the tiny per-doc
+    language table. The dominant-language tie breaks (count desc,
+    language asc) exactly as the oracle's window does."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    sized = d.select(
+        "doc_id", w.alias("w"), F.size(w).cast("long").alias("n_tok")
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("n_tok") <= _CHUNK_SIZE, F.lit(1)).otherwise(
+            F.expr(
+                f"(n_tok - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)"
+                f" DIV {_CHUNK_STRIDE} + 1"
+            )
+        ),
+    )
+    ch = sized.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("w"), F.col("i") * _CHUNK_STRIDE + 1, _CHUNK_SIZE),
+        ).alias("chunk_text"),
+    )
+    pc = (
+        ch.select("doc_id", predict_lang("chunk_text").alias("pl"))
+        .groupBy("doc_id", "pl")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = pc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count("*").alias("n_langs"),
+    )
+    dom = pc.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("c"), "pl")
+        ),
+    ).filter(F.col("rn") == 1)
+    return agg.join(dom, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        F.col("n_langs").alias("n_chunk_langs"),
+        F.col("pl").alias("dominant_lang"),
+        F.expr("CAST(c * 10000 DIV n_chunks AS BIGINT)").alias("dominant_bp"),
+        (F.col("n_langs") > 1).alias("is_mixed"),
+    )

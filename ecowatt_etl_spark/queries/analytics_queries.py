@@ -1533,3 +1533,160 @@ def q218_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d(num) / F.sqrt(_d(denx) * _d(deny))
     )
     return s.select("event_type", "n", rho.alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# q221 — deterministic permutation test for the variant mean difference
+# ---------------------------------------------------------------------------
+_PERM_B = 200  # permutation replicates
+_PERM_COIN = 1 << 51  # md5 draw < half the 52-bit space → side A
+
+
+@query(
+    "q221_permutation_test",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS yv
+      FROM events
+    ),
+    pu AS (
+      SELECT user_id, user_id % 2 AS variant, SUM(yv) AS y
+      FROM ev GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(CAST(SUM(CASE WHEN variant = 1 THEN y END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+             - CAST(CAST(SUM(CASE WHEN variant = 0 THEN y END) AS VARCHAR)
+                    AS DOUBLE)
+               / SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS obs_diff
+      FROM pu
+    ),
+    coins AS (
+      SELECT i AS b, y,
+             CASE WHEN CAST(concat('0x', substring(md5(CAST(i AS VARCHAR)
+                  || '|' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                  < {_PERM_COIN} THEN 1 ELSE 0 END AS side
+      FROM pu, UNNEST(generate_series(0, {_PERM_B - 1})) AS g(i)
+    ),
+    rep AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN side = 1 THEN y END) AS HUGEINT) AS s1,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1,
+             CAST(SUM(CASE WHEN side = 0 THEN y END) AS HUGEINT) AS s0,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n0
+      FROM coins GROUP BY b
+      HAVING SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) > 0
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b_used,
+             CAST(SUM(CASE WHEN
+               abs(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n1
+                   - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) / n0)
+               >= abs((SELECT obs_diff FROM obs)) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exceed
+      FROM rep
+    )
+    SELECT obs.n_users, ex.b_used, obs.obs_diff / 1000000.0 AS obs_diff,
+           ex.n_exceed,
+           CAST(ex.n_exceed + 1 AS DOUBLE) / (ex.b_used + 1) AS p_value
+    FROM obs, ex
+    """,
+)
+def q221_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-RANDOMIZATION (permutation) test for the variant mean
+    difference — the assumption-free p-value that backs up q103/q216
+    when neither normality nor rank assumptions are wanted: reassign
+    every user to a pseudo-arm {_PERM_B} times and ask how often the
+    permuted |mean difference| reaches the observed one. Completes
+    the experimentation shelf: q136 facts, q172 independence, q211
+    sensitivity, q215 error bars, this one inference.
+
+    Determinism discipline = q215's: each coin is an md5 draw
+    compared against an integer threshold (2^51, i.e. p=1/2 on the
+    52-bit scale), so all {_PERM_B} permutations are replayable and
+    shard-invariant; per-arm sums are integer micro-units and the
+    double mean-difference expressions are composed identically in
+    both engines before the ≥ comparison. The +1/(B+1) correction
+    keeps the p-value valid (never exactly 0). Degenerate replicates
+    (an empty arm) are excluded identically on both sides.
+
+    Scale: per-user aggregate once, then ONE pass over users×B into
+    a {_PERM_B}-group map-side-combinable aggregate — the classic
+    'permutation tests don't need a second scan' construction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast(_DEC_Y) * 1_000_000).cast("long").alias("yv"),
+    )
+    pu = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(F.sum("yv").alias("y"))
+    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    obs = pu.agg(
+        F.count("*").alias("n_users"),
+        (
+            _d(F.sum(F.when(F.col("variant") == 1, F.col("y"))).cast("decimal(38,0)"))
+            / F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            - _d(F.sum(F.when(F.col("variant") == 0, F.col("y"))).cast("decimal(38,0)"))
+            / F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        ).alias("obs_diff_u"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("b").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < _PERM_COIN
+    )
+    rep = (
+        pu.select(
+            "user_id", "y", F.explode(F.expr(f"sequence(0, {_PERM_B - 1})")).alias("b")
+        )
+        .select("b", "y", F.when(coin, 1).otherwise(0).alias("side"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("side") == 1, F.col("y"))).cast("decimal(38,0)").alias("s1"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("side") == 0, F.col("y"))).cast("decimal(38,0)").alias("s0"),
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n0"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    )
+    ex = (
+        rep.crossJoin(F.broadcast(obs))
+        .agg(
+            F.count("*").alias("b_used"),
+            F.sum(
+                F.when(
+                    F.abs(_d(F.col("s1")) / F.col("n1") - _d(F.col("s0")) / F.col("n0"))
+                    >= F.abs(F.col("obs_diff_u")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_exceed"),
+        )
+    )
+    return obs.crossJoin(F.broadcast(ex)).select(
+        "n_users",
+        "b_used",
+        (F.col("obs_diff_u") / F.lit(1_000_000.0)).alias("obs_diff"),
+        "n_exceed",
+        (
+            (F.col("n_exceed") + 1).cast("double") / (F.col("b_used") + 1)
+        ).alias("p_value"),
+    )

@@ -663,3 +663,92 @@ def q209_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q222 — parquet physical-metadata audit (footer stats, no data read)
+# ---------------------------------------------------------------------------
+_PQMETA_SF_DIR = "/root/testdata/sf0.01"  # oracle SQL can't take sf_dir
+
+
+@query(
+    "q222_parquet_meta_audit",
+    oracle=f"""
+    SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+           string_split(path_in_schema, ', ')[1] AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+           CAST(SUM(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+           CAST(SUM(total_compressed_size) * 10000
+                // SUM(total_uncompressed_size) AS BIGINT) AS ratio_bp
+    FROM parquet_metadata('{_PQMETA_SF_DIR}/*.parquet')
+    GROUP BY 1, 2
+    """,
+)
+def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL-LAYOUT audit from parquet FOOTERS — per (file, column):
+    column-chunk count and compressed/uncompressed byte totals with the
+    compression ratio in integer basis points. This is the maintenance
+    telemetry behind every layout decision the engine makes elsewhere
+    (q146 partitioning, q168 Z-order, q189 compaction): which columns
+    dominate storage, which compress badly (entropy-like payloads), and
+    whether row-group sizing matches `maxPartitionBytes`. Values come
+    from the SAME footer bytes both engines parse, so the report is
+    integer-exact cross-engine (DuckDB's parquet_metadata() is the
+    oracle twin).
+
+    Spark has no footer-only SQL source, so the files ride the
+    binaryFile source into an Arrow-batched mapInPandas that parses
+    ONLY the footer via pyarrow — one row per column chunk, aggregated
+    declaratively. Scale: this local-path form reads whole objects
+    (binaryFile has no range pushdown); the 100 TB deployment issues
+    footer range-reads against the object store in the same
+    mapInPandas (8 KB tail per file), so the plan shape — listing →
+    per-file Python → chunk-keyed aggregate — is already the right
+    one; only the byte source narrows. Nested columns are attributed
+    to their ROOT field (first path segment) so Spark and DuckDB agree
+    on leaf naming."""
+    import pandas as pd
+
+    def footer_stats(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {
+                "file_name": [],
+                "column_name": [],
+                "compressed": [],
+                "uncompressed": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                meta = pq.ParquetFile(pa.BufferReader(content)).metadata
+                fname = path.rsplit("/", 1)[-1]
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        out["file_name"].append(fname)
+                        out["column_name"].append(
+                            c.path_in_schema.split(".")[0]
+                        )
+                        out["compressed"].append(c.total_compressed_size)
+                        out["uncompressed"].append(c.total_uncompressed_size)
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(sf_dir + "/*.parquet")
+    chunks = files.select("path", "content").mapInPandas(
+        footer_stats,
+        schema=(
+            "file_name string, column_name string,"
+            " compressed long, uncompressed long"
+        ),
+    )
+    return chunks.groupBy("file_name", "column_name").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("compressed").cast("long").alias("compressed_bytes"),
+        F.sum("uncompressed").cast("long").alias("uncompressed_bytes"),
+        F.expr(
+            "CAST(SUM(compressed) * 10000 DIV SUM(uncompressed) AS BIGINT)"
+        ).alias("ratio_bp"),
+    )

@@ -129,7 +129,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q211_cuped", "q212_bfs_hops", "q213_dynamic_udtf",
     "q214_memorization_spans", "q215_bootstrap_ci", "q216_mannwhitney",
     "q217_ks_test", "q218_spearman", "q219_lsh_recall_audit",
-    "q220_mixed_language",
+    "q220_mixed_language", "q221_permutation_test",
+    "q222_parquet_meta_audit",
 )
 
 

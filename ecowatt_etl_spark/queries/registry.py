@@ -130,7 +130,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q214_memorization_spans", "q215_bootstrap_ci", "q216_mannwhitney",
     "q217_ks_test", "q218_spearman", "q219_lsh_recall_audit",
     "q220_mixed_language", "q221_permutation_test",
-    "q222_parquet_meta_audit",
+    "q222_parquet_meta_audit", "q223_column_stats",
 )
 
 

@@ -2319,3 +2319,147 @@ def q199_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, total_price
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — ANALYZE-style column statistics sweep (CBO stats surface)
+# ---------------------------------------------------------------------------
+# Explicit column spec (not schema reflection) so the oracle string is
+# fixed at import time and the audit fails loudly on schema drift.
+_STATS_COLS: dict[str, tuple[tuple[str, str], ...]] = {
+    "region": (("r_regionkey", "num"), ("r_name", "str")),
+    "nation": (
+        ("n_nationkey", "num"), ("n_name", "str"), ("n_regionkey", "num"),
+    ),
+    "customer": (
+        ("c_custkey", "num"), ("c_name", "str"), ("c_nationkey", "num"),
+        ("c_acctbal", "num"), ("c_mktsegment", "str"),
+    ),
+    "supplier": (
+        ("s_suppkey", "num"), ("s_name", "str"), ("s_nationkey", "num"),
+        ("s_acctbal", "num"),
+    ),
+    "part": (
+        ("p_partkey", "num"), ("p_name", "str"), ("p_brand", "str"),
+        ("p_type", "str"), ("p_size", "num"), ("p_retailprice", "num"),
+    ),
+    "orders": (
+        ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+        ("o_totalprice", "num"), ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ),
+    "lineitem": (
+        ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+        ("l_linenumber", "num"), ("l_quantity", "num"),
+        ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ),
+    "events": (
+        ("event_id", "num"), ("ts", "ts"), ("user_id", "num"),
+        ("event_type", "str"), ("value", "num"), ("props", "str"),
+    ),
+    "documents": (
+        ("doc_id", "num"), ("text", "str"), ("lang", "str"),
+        ("source", "str"), ("n_chars", "num"),
+    ),
+    "embeddings": (
+        ("vec_id", "num"), ("embedding", "other"), ("label", "num"),
+    ),
+}
+
+
+def _stats_col_sql(tbl: str, col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"CAST(CAST(MIN({col}) AS DECIMAL(18,6)) AS VARCHAR)"
+        mx = f"CAST(CAST(MAX({col}) AS DECIMAL(18,6)) AS VARCHAR)"
+    elif kind == "str":
+        mn, mx = f"MIN({col})", f"MAX({col})"
+    elif kind == "ts":
+        mn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn = mx = "CAST(NULL AS VARCHAR)"
+    return f"""
+    SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+           {mn} AS min_value, {mx} AS max_value
+    FROM {tbl}
+    """
+
+
+@query(
+    "q223_column_stats",
+    oracle=" UNION ALL ".join(
+        _stats_col_sql(t, c, k)
+        for t, cols in _STATS_COLS.items()
+        for c, k in cols
+    ),
+)
+def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE statistics sweep — the per-column (row count, null
+    count, exact NDV, min, max) table a cost-based optimizer feeds on
+    and every data catalog displays, across ALL ten warehouse tables in
+    ONE pass per table: the multi-distinct aggregate plans as a single
+    Expand (rows × audited columns) feeding one hash aggregate, so a
+    table is scanned once however many columns it carries — never once
+    per column. Complements q152 (constraint violations) with the
+    statistics half of warehouse metadata maintenance; q176 (skew) and
+    q209 (join sizes) consume exactly these numbers at planning time.
+
+    Cross-engine rendering discipline: numeric min/max are normalized
+    through decimal(18,6) (fixed-scale string form both engines agree
+    on), timestamps through the UTC 'yyyy-MM-dd HH:mm:ss' format,
+    strings compared raw (ASCII corpus; binary vs collation order is
+    a documented caveat for non-ASCII deployments); complex-typed
+    columns report NDV only. At 100 TB the same query runs per
+    PARTITION and the stats roll up — counts and null counts add, NDV
+    upgrades to the mergeable HLL sketch (q09b), min/max take
+    min/max; the spec is an explicit literal so schema drift fails
+    the audit loudly instead of silently skipping a column."""
+    frames = []
+    for tbl, cols in _STATS_COLS.items():
+        df = load_table(spark, sf_dir, tbl)
+        aggs = [F.count("*").alias("n_rows")]
+        for c, kind in cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"nn_{c}")
+            )
+            aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
+            if kind == "num":
+                mn = F.min(F.col(c).cast("decimal(18,6)")).cast("string")
+                mx = F.max(F.col(c).cast("decimal(18,6)")).cast("string")
+            elif kind == "str":
+                mn, mx = F.min(F.col(c)), F.max(F.col(c))
+            elif kind == "ts":
+                mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
+                mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
+            else:
+                mn = mx = F.lit(None).cast("string")
+            aggs.append(mn.alias(f"mn_{c}"))
+            aggs.append(mx.alias(f"mx_{c}"))
+        wide = df.agg(*aggs)
+        per_col = [
+            F.struct(
+                F.lit(tbl).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"ndv_{c}").alias("ndv"),
+                F.col(f"mn_{c}").alias("min_value"),
+                F.col(f"mx_{c}").alias("max_value"),
+            )
+            for c, _ in cols
+        ]
+        frames.append(
+            wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

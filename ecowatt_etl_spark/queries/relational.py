@@ -2463,3 +2463,57 @@ def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q224 — HLL sketch MERGEABILITY audit (DataSketches hll_* surface)
+# ---------------------------------------------------------------------------
+_HLL_BOUND_BP = 500  # merged estimate must sit within 5% of exact
+
+
+@query(
+    "q224_hll_merge_audit",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def q224_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY — the property that makes distinct
+    counting viable at 100 TB: per-(type, day) DataSketches HLL
+    sketches built with `hll_sketch_agg` are UNIONED per type with
+    `hll_union_agg`, and the merged estimate is audited against the
+    exact distinct count under a {_HLL_BOUND_BP}-basis-point accuracy
+    contract. This upgrades q09b (single-shot approx_count_distinct,
+    rows-only) to the full sketch LIFECYCLE the engine serves in
+    production: build sketches per partition/day at ingest, persist
+    them as binary columns, merge across any grouping later — a
+    distinct count over any date range without rescanning the facts.
+
+    Oracle pattern = the sketch accuracy contract (q161/q163/q179):
+    the approximate value itself is engine-specific, so the
+    driver-checked columns are the EXACT count and the boolean
+    bound verdict; the estimate stays observable via the pytest
+    invariant that pins |est − exact| ≤ bound per row. Sketch
+    state is ~KB per (type, day); both aggregation levels are
+    map-side combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) * 10_000
+            <= F.lit(_HLL_BOUND_BP) * F.col("n_exact")
+        ).alias("within_bound"),
+    )

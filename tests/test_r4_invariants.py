@@ -324,3 +324,31 @@ def test_rank_tests_match_brute_force_numpy(spark):
     cb = np.searchsorted(b, grid, side="right")
     d_num_brute = int(np.abs(ca * len(b) - cb * len(a)).max())
     assert ks["d_num"] == d_num_brute
+
+def test_hll_merged_estimate_is_within_contract(spark):
+    """The within_bound verdict q224 ships must reflect a real
+    estimate: rebuild the merged sketch here and pin the estimate to
+    the contract bound (and to >0) per event type."""
+    from ecowatt_etl_spark.queries.relational import _HLL_BOUND_BP
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = {
+        r["event_type"]: r["est"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        est = merged[t]
+        assert est > 0
+        assert abs(est - n) * 10_000 <= _HLL_BOUND_BP * n, (t, est, n)

@@ -1393,3 +1393,91 @@ def q210_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (l_div >= _KA_L).alias("l_diverse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — differentially-private histogram (discrete Laplace, ε = 1)
+# ---------------------------------------------------------------------------
+import math as _math
+
+_DP_EPS = 1.0
+_DP_SALT = "dp1"  # release identifier — one draw per released cell
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """(noise value, cumulative integer threshold on the 52-bit scale)
+    for the two-sided geometric (discrete Laplace) with α = e^(−ε),
+    enumerated 0, +1, −1, +2, −2, … ±15; the residual tail mass is
+    ~1.6e-7 and lands on the ELSE clamp (+16)."""
+    a = _math.exp(-_DP_EPS)
+    p0 = (1 - a) / (1 + a)
+    order = [0]
+    for k in range(1, 16):
+        order += [k, -k]
+    out, cum = [], 0.0
+    for k in order:
+        cum += p0 * a ** abs(k)
+        out.append((k, _math.floor(cum * 2**52)))
+    return out
+
+
+_DP_T = _dp_thresholds()
+
+
+def _dp_noise_sql(u: str) -> str:
+    arms = " ".join(f"WHEN {u} < {t} THEN {k}" for k, t in _DP_T)
+    return f"CASE {arms} ELSE 16 END"
+
+
+@query(
+    "q225_dp_histogram",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           c + {_dp_noise_sql(
+             f"CAST(concat('0x', substring(md5('{_DP_SALT}|' || event_type),"
+             " 1, 13)) AS BIGINT)"
+           )} AS noisy_count
+    FROM h
+    """,
+)
+def q225_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE histogram release — per-type event counts
+    with discrete-Laplace noise (the geometric mechanism, ε = {_DP_EPS};
+    Ghosh–Roughgarden–Sundararajan's universally-optimal mechanism for
+    counting queries) — the shape a data owner publishes when exact
+    per-cell counts would leak membership. Completes the privacy shelf:
+    q94 redacts direct identifiers, q210 audits indirect ones, q188
+    erases subjects, this one releases AGGREGATES safely.
+
+    Noise is drawn by inverting the exact integer CDF: the two-sided
+    geometric's cumulative masses are precomputed once in Python as
+    52-bit integer thresholds (same discipline as q215's Poisson and
+    q221's coin — no float CDF, no exp/ln at query time, so both
+    engines land on identical integers). The md5 draw is keyed by
+    (release id, cell), making the release REPLAYABLE for this audit
+    pipeline; a production release keys the draw with a secret salt —
+    one line — since replayable noise is no privacy at all, and adds
+    the Σ|Δ| sensitivity analysis for multi-column releases. Integer
+    noise keeps counts integers (no post-processing rounding bias).
+    Scale: one hash aggregate plus a constant CASE chain per released
+    cell; cost is the histogram itself."""
+    h = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("c")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_DP_SALT}|"), F.col("event_type"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    noise = F.when(u < _DP_T[0][1], _DP_T[0][0])
+    for k, t in _DP_T[1:]:
+        noise = noise.when(u < t, k)
+    noise = noise.otherwise(16)
+    return h.select(
+        "event_type", (F.col("c") + noise).alias("noisy_count")
+    )

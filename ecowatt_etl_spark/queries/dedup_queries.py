@@ -1582,3 +1582,61 @@ def q219_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — cross-source shingle contamination matrix
+# ---------------------------------------------------------------------------
+@query(
+    "q226_cross_source_dups",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    ds AS (
+      SELECT DISTINCT e.h, d.source
+      FROM e JOIN documents d ON d.doc_id = e.doc_id
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q226_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE contamination matrix at SHINGLE granularity — for
+    every unordered pair of ingestion sources, how many distinct
+    3-word shingles appear in BOTH: the between-source overlap view
+    that complements q119 (within-source dup rate) and q134 (which
+    shingles are boilerplate). A pair sharing orders of magnitude
+    more shingles than its peers is the "two mirrors of one crawl"
+    signal that drives keep-one ingest decisions; whole-document
+    sharing is the degenerate case (this corpus has none — chunk- and
+    shingle-level overlap is where real contamination shows first).
+    The q175 theta-sketch intersections are the ESTIMATE form of this
+    exact matrix when the digest sets stop fitting a join.
+
+    Shape: the session shingle index joined once to the doc→source
+    map, reduced to distinct (shingle, source) pairs — one hash
+    aggregate on 8-byte keys, text never shuffles — then a
+    shingle-keyed self-join whose per-key fan-out is bounded by the
+    SOURCE count (≤ S·(S−1)/2 rows per shingle), never the corpus,
+    and a tiny pair-keyed count."""
+    e, _ = shingle_index(spark, sf_dir)
+    src_map = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ds = (
+        e.join(src_map, "doc_id")
+        .select("h", "source")
+        .distinct()
+    )
+    a, b = ds.alias("a"), ds.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )

@@ -131,7 +131,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q217_ks_test", "q218_spearman", "q219_lsh_recall_audit",
     "q220_mixed_language", "q221_permutation_test",
     "q222_parquet_meta_audit", "q223_column_stats",
-    "q224_hll_merge_audit",
+    "q224_hll_merge_audit", "q225_dp_histogram",
+    "q226_cross_source_dups",
 )
 
 

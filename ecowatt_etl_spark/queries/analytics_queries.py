@@ -1690,3 +1690,173 @@ def q221_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_exceed") + 1).cast("double") / (F.col("b_used") + 1)
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — group-sequential experiment monitoring (OBF-shaped boundary)
+# ---------------------------------------------------------------------------
+_SEQ_K = 4  # interim analyses (weekly looks)
+_SEQ_WEEK_US = 7 * 86_400 * 1_000_000
+# O'Brien–Fleming-shaped critical value c/sqrt(t_k): c = 2.024 is the
+# published K=4, two-sided alpha ~= 0.05 constant (Jennison & Turnbull
+# table 2.3); a literal here, exactly as a stats library would ship it.
+_SEQ_C = 2.024
+
+
+@query(
+    "q227_sequential_monitoring",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS yv
+      FROM events
+    ),
+    b AS (SELECT MIN(tus) AS t0 FROM ev),
+    wk AS (
+      SELECT user_id, user_id % 2 AS variant,
+             LEAST((tus - b.t0) // {_SEQ_WEEK_US}, {_SEQ_K - 1}) AS w,
+             yv
+      FROM ev, b
+    ),
+    uw AS (
+      SELECT user_id, variant, w, SUM(yv) AS y
+      FROM wk GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT u.user_id, u.variant, g.k
+      FROM (SELECT DISTINCT user_id, variant FROM uw) u,
+           UNNEST(generate_series(0, {_SEQ_K - 1})) AS g(k)
+    ),
+    cum AS (
+      SELECT g.user_id, g.variant, g.k,
+             CAST(COALESCE(SUM(uw.y), 0) AS BIGINT) AS y
+      FROM grid g
+      LEFT JOIN uw ON uw.user_id = g.user_id AND uw.w <= g.k
+      GROUP BY 1, 2, 3
+    ),
+    arm AS (
+      SELECT k, variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS HUGEINT) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS ss
+      FROM cum GROUP BY 1, 2
+    ),
+    look AS (
+      SELECT a1.k,
+             a1.n AS n1, a0.n AS n0,
+             CAST(CAST(a1.s AS VARCHAR) AS DOUBLE) / a1.n
+               - CAST(CAST(a0.s AS VARCHAR) AS DOUBLE) / a0.n AS diff_u,
+             (CAST(CAST(a1.n * a1.ss - a1.s * a1.s AS VARCHAR) AS DOUBLE)
+                / a1.n / (a1.n - 1)
+              + CAST(CAST(a0.n * a0.ss - a0.s * a0.s AS VARCHAR) AS DOUBLE)
+                / a0.n / (a0.n - 1)) AS var_sum
+      FROM arm a1 JOIN arm a0 ON a0.k = a1.k
+      WHERE a1.variant = 1 AND a0.variant = 0
+    )
+    SELECT k + 1 AS look_number, n1 + n0 AS n_users,
+           diff_u / 1000000.0 AS mean_diff,
+           diff_u / sqrt(var_sum / n1 + var_sum / n0) AS z_stat,
+           {_SEQ_C} / sqrt(CAST(k + 1 AS DOUBLE) / {_SEQ_K}) AS obf_bound,
+           abs(diff_u / sqrt(var_sum / n1 + var_sum / n0))
+             >= {_SEQ_C} / sqrt(CAST(k + 1 AS DOUBLE) / {_SEQ_K}) AS crossed
+    FROM look
+    """,
+)
+def q227_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL experiment monitoring — the interim-look table
+    an A/B platform shows while an experiment RUNS: at each of
+    {_SEQ_K} weekly looks, the cumulative per-arm mean difference, its
+    z-statistic, and the O'Brien–Fleming-shaped stopping boundary
+    c/√(k/K) (wide early, nominal late — the spending discipline that
+    keeps repeated peeking at α≈0.05 overall). Crossing → stop the
+    experiment. Completes the experimentation shelf's missing
+    production feature next to q211 (sensitivity), q215 (error bars),
+    q221 (inference): MONITORING with valid early stopping.
+
+    Construction: per-(user, week) integer micro-sums, a dense
+    user×look grid (users carry cumulative totals through quiet
+    weeks), per-(look, arm) exact integer moments, then z from
+    string-routed doubles with IEEE-exact sqrt — bit-identical
+    cross-engine, same discipline as q216. The boundary constant is a
+    published table value (Jennison & Turnbull), shipped as a literal
+    exactly like a stats library ships it. Scale: the grid is
+    |users|×{_SEQ_K} rows keyed by user — one shuffle on user_id,
+    one tiny per-look rollup; nothing scales with events beyond the
+    first aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.col("value").cast(_DEC_Y) * 1_000_000).cast("long").alias("yv"),
+    )
+    t0 = ev.agg(F.min("tus").alias("t0"))
+    wk = ev.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("variant"),
+        F.least(
+            F.expr(f"(tus - t0) DIV {_SEQ_WEEK_US}"), F.lit(_SEQ_K - 1)
+        ).alias("w"),
+        "yv",
+    )
+    uw = wk.groupBy("user_id", "variant", "w").agg(F.sum("yv").alias("y"))
+    grid = (
+        uw.select("user_id", "variant")
+        .distinct()
+        .select(
+            "user_id",
+            "variant",
+            F.explode(F.expr(f"sequence(0, {_SEQ_K - 1})")).alias("k"),
+        )
+    )
+    cum = (
+        grid.alias("g")
+        .join(
+            uw.alias("u"),
+            (F.col("g.user_id") == F.col("u.user_id"))
+            & (F.col("u.w") <= F.col("g.k")),
+            "left",
+        )
+        .groupBy(F.col("g.user_id"), F.col("g.variant"), F.col("g.k"))
+        .agg(F.coalesce(F.sum("u.y"), F.lit(0)).cast("long").alias("y"))
+    )
+    yd = F.col("y").cast("decimal(38,0)")
+    arm = cum.groupBy("k", "variant").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("ss"),
+    )
+    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    a1 = arm.filter(F.col("variant") == 1).select(
+        "k", F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    a0 = arm.filter(F.col("variant") == 0).select(
+        "k", F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("ss").alias("ss0")
+    )
+    look = a1.join(a0, "k").select(
+        "k",
+        "n1",
+        "n0",
+        (_d(F.col("s1")) / F.col("n1") - _d(F.col("s0")) / F.col("n0")).alias(
+            "diff_u"
+        ),
+        (
+            _d(F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1"))
+            / F.col("n1")
+            / (F.col("n1") - 1)
+            + _d(F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0"))
+            / F.col("n0")
+            / (F.col("n0") - 1)
+        ).alias("var_sum"),
+    )
+    z = F.col("diff_u") / F.sqrt(
+        F.col("var_sum") / F.col("n1") + F.col("var_sum") / F.col("n0")
+    )
+    bound = F.lit(_SEQ_C) / F.sqrt(
+        (F.col("k") + 1).cast("double") / F.lit(_SEQ_K)
+    )
+    return look.select(
+        (F.col("k") + 1).alias("look_number"),
+        (F.col("n1") + F.col("n0")).alias("n_users"),
+        (F.col("diff_u") / F.lit(1_000_000.0)).alias("mean_diff"),
+        z.alias("z_stat"),
+        bound.alias("obf_bound"),
+        (F.abs(z) >= bound).alias("crossed"),
+    )

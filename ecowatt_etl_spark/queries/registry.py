@@ -132,7 +132,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q220_mixed_language", "q221_permutation_test",
     "q222_parquet_meta_audit", "q223_column_stats",
     "q224_hll_merge_audit", "q225_dp_histogram",
-    "q226_cross_source_dups",
+    "q226_cross_source_dups", "q227_sequential_monitoring",
 )
 
 

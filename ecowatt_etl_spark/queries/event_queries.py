@@ -1845,3 +1845,86 @@ def q213_dynamic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q213_events e, LATERAL extract_keys(e.props, '{_DYN_KEYS}') t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — MAP-type higher-order-function surface (engagement profiles)
+# ---------------------------------------------------------------------------
+_MAP_MIN_EVENTS = 3  # keep only types a user hit at least this often
+
+
+@query(
+    "q228_map_profile",
+    oracle=f"""
+    WITH pc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, SUM(n_events) AS total FROM pc GROUP BY 1)
+    SELECT pc.user_id, pc.event_type, pc.n_events,
+           CAST(pc.n_events * 10000 // tot.total AS BIGINT) AS share_bp
+    FROM pc JOIN tot ON tot.user_id = pc.user_id
+    WHERE pc.n_events >= {_MAP_MIN_EVENTS}
+    """,
+)
+def q228_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type higher-order functions end to end — the one complex-
+    type surface the engine had not yet exercised (arrays: q38/q79,
+    structs: q37's argmax, variant: q136): each user's engagement
+    profile is built as a event_type→count MAP (`map_from_entries`
+    over a sort_array'd struct list for deterministic entry order),
+    thresholded with `map_filter`, converted to basis-point shares
+    with `transform_values`, stitched back to the raw counts with
+    `map_zip_with`, and exploded to rows for the exact relational
+    oracle. The same pipeline expressed without maps is the oracle's
+    two-aggregate join — the map form is for pipelines that carry
+    per-entity profiles as single VALUES through further transforms
+    (feature stores, session state) instead of re-joining per step.
+
+    All map transforms are scan-local codegen over an already-
+    aggregated per-user frame; integer counts and DIV-based shares
+    keep the result hash-exact. Scale: one (user, type) aggregate,
+    one per-user rollup — the maps never exceed |event types| entries
+    per user."""
+    pc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    prof = pc.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("event_type", "n_events"))
+            )
+        ).alias("m"),
+        F.sum("n_events").alias("total"),
+    )
+    kept = prof.select(
+        "user_id",
+        "total",
+        F.map_filter(
+            F.col("m"), lambda _, v: v >= _MAP_MIN_EVENTS
+        ).alias("keep"),
+    )
+    zipped = kept.select(
+        "user_id",
+        "total",
+        F.map_zip_with(
+            F.col("keep"),
+            # transform_values scales counts to the bp numerator; the
+            # exact integer DIV by the per-user total runs post-explode
+            # (lambda Columns can't host the DIV operator directly)
+            F.transform_values(F.col("keep"), lambda _, v: v * 10_000),
+            lambda _, cnt, num: F.struct(
+                cnt.alias("n_events"), num.alias("bp_num")
+            ),
+        ).alias("z"),
+    )
+    return zipped.select(
+        "user_id", "total", F.explode("z").alias("event_type", "s")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("s.n_events").alias("n_events"),
+        F.expr("CAST(s.bp_num DIV total AS BIGINT)").alias("share_bp"),
+    )

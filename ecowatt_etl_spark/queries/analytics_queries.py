@@ -1422,8 +1422,12 @@ def q217_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").alias("na"),
         F.sum(F.col("cnt") - F.col("ca")).alias("nb"),
     )
+    # 128-bit gap arithmetic (decimal vs DuckDB's HUGEINT window sums):
+    # cum·n products overflow int64 once both sides' distinct-value
+    # counts pass ~3e9 — real at 100 TB
     gap = F.abs(
-        F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+        F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cumb").cast("decimal(38,0)") * F.col("na")
     )
     joined = c.crossJoin(F.broadcast(tot))
     na_d = F.col("na").cast("double")

@@ -1202,8 +1202,13 @@ def q215_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rep.select(m, "b").withColumn(
         "rn", F.row_number().over(W.orderBy("m", "b"))
     )
-    lo = ranked.filter(F.col("rn") == _BOOT_LO_RANK).select(F.col("m").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == _BOOT_HI_RANK).select(F.col("m").alias("ci_hi"))
+    # both CI bounds in ONE conditional aggregate — two filters on
+    # `ranked` would recompute the replicate subtree (and rescan
+    # orders) once per bound
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == _BOOT_LO_RANK, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == _BOOT_HI_RANK, F.col("m"))).alias("ci_hi"),
+    )
     pt = o.agg(
         F.count("*").alias("n_orders"),
         (
@@ -1213,8 +1218,7 @@ def q215_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("point_mean"),
     )
     return (
-        pt.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        pt.crossJoin(F.broadcast(ci))
         .select(
             "n_orders",
             F.lit(_BOOT_B).cast("long").alias("n_replicates"),

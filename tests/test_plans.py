@@ -599,3 +599,38 @@ def test_q187_lateral_decorrelates_to_rank_window(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q214_shuffles_carry_only_digests_and_ids(spark):
+    """Memorization-span contract: corpus text may never shuffle —
+    every hash-partitioned exchange must be keyed by the 8-byte
+    shingle digest, doc_id, or the islands key. (Text stays inside
+    scan-local projections.)"""
+    import re
+
+    plan = _plan(spark, "q214_memorization_spans")
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, "expected hash exchanges in the q214 plan"
+    for k in keys:
+        names = {c.split("#")[0].strip() for c in k.split(",") if "#" in c}
+        assert names <= {"h", "doc_id", "island"}, names
+
+
+def test_q215_bootstrap_is_one_pass(spark):
+    """Poisson-bootstrap contract: the ×B explosion must be reduced
+    map-side — the replicate aggregate's exchange carries only the
+    replicate id — and orders is scanned exactly twice (replicates +
+    point estimate), never once per replicate."""
+    import re
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from tools.audit_scans import scan_count
+
+    spec = all_queries()["q215_bootstrap_ci"]
+    assert scan_count(spark, spec.fn(spark, SF_SMOKE)) == 2
+    plan = _plan(spark, "q215_bootstrap_ci")
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    names = {
+        c.split("#")[0].strip() for k in keys for c in k.split(",") if "#" in c
+    }
+    assert "b" in names and "k" not in names, names

@@ -1928,3 +1928,112 @@ def q228_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_events").alias("n_events"),
         F.expr("CAST(s.bp_num DIV total AS BIGINT)").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — watermark-delay tuning audit (late-data loss per candidate)
+# ---------------------------------------------------------------------------
+_WM_CANDIDATES_MIN = (1, 5, 15, 60)  # candidate watermark delays
+_WM_MAX_JITTER_US = 30 * 60 * 1_000_000  # simulated network delay cap
+
+
+@query(
+    "q229_watermark_tuning",
+    oracle=f"""
+    WITH arr AS (
+      SELECT ts, epoch_us(ts) AS ev_us,
+             epoch_us(ts)
+               + CAST(concat('0x', substring(md5('arr|' ||
+                   CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                 % {_WM_MAX_JITTER_US} AS arr_us
+      FROM events
+    ),
+    wm AS (
+      SELECT ev_us,
+             MAX(ev_us) OVER (ORDER BY arr_us, ev_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_ev
+      FROM arr
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM arr),
+    d AS (
+      SELECT u.delay_min, wm.ev_us, wm.max_ev
+      FROM wm, UNNEST(ARRAY{list(_WM_CANDIDATES_MIN)}) AS u(delay_min)
+    )
+    SELECT CAST(delay_min AS BIGINT) AS delay_min,
+           g.n_events,
+           CAST(SUM(CASE WHEN max_ev - CAST(delay_min AS BIGINT) * 60000000 > ev_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN max_ev - CAST(delay_min AS BIGINT) * 60000000 > ev_us
+                         THEN 1 ELSE 0 END) * 10000 // g.n_events AS BIGINT)
+             AS dropped_bp
+    FROM d, g
+    GROUP BY 1, 2
+    """,
+)
+def q229_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK TUNING audit — the batch replay that answers "which
+    watermark delay can this stream afford?" BEFORE the streaming
+    job ships (q44/q45/q49 all take the delay as a given): replay the
+    events in (simulated) ARRIVAL order and, for each candidate
+    delay, count the events a `withWatermark(ts, delay)` stream
+    would DROP — i.e. events whose event time is older than
+    max(event time seen so far) − delay at their arrival moment.
+    The resulting loss curve (delay → dropped basis points) is the
+    watermark decision, quantified.
+
+    Arrival times are event time + a deterministic md5 jitter
+    (≤30 min) — clearly a SIMULATION here since the warehouse stores
+    no ingest timestamps; a production lake records arrival_ts at
+    ingest and this query runs unchanged with the synthetic column
+    swapped out. Spark evaluates the running maxima with one ordered
+    window over the arrival sequence (the q206 reduced-frame
+    discipline does not apply — lateness is inherently a total-order
+    property — so the documented scale form runs per PARTITION-day
+    and stitches boundary maxima, the standard prefix-max split);
+    the per-delay verdicts then ride a small explode × aggregate.
+    All arithmetic is integer microseconds — hash-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ev_us"),
+        (
+            F.unix_micros("ts")
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("arr|"), F.col("event_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _WM_MAX_JITTER_US
+        ).alias("arr_us"),
+    )
+    w = W.orderBy("arr_us", "ev_us").rowsBetween(W.unboundedPreceding, -1)
+    wm = ev.select(
+        "ev_us",
+        F.max("ev_us").over(w).alias("max_ev"),
+    )
+    g = ev.agg(F.count("*").alias("n_events"))
+    d = wm.select(
+        "ev_us",
+        "max_ev",
+        F.explode(
+            F.array(*[F.lit(m).cast("long") for m in _WM_CANDIDATES_MIN])
+        ).alias("delay_min"),
+    )
+    dropped = F.sum(
+        F.when(
+            F.col("max_ev") - F.col("delay_min") * 60_000_000 > F.col("ev_us"), 1
+        ).otherwise(0)
+    )
+    return (
+        d.crossJoin(F.broadcast(g))
+        .groupBy(F.col("delay_min").cast("long").alias("delay_min"), "n_events")
+        .agg(
+            dropped.cast("long").alias("n_dropped"),
+            F.expr(
+                "CAST(SUM(CASE WHEN max_ev - CAST(delay_min AS BIGINT) * 60000000 > ev_us"
+                " THEN 1 ELSE 0 END) * 10000 DIV n_events AS BIGINT)"
+            ).alias("dropped_bp"),
+        )
+    )

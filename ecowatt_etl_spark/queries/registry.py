@@ -133,7 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q222_parquet_meta_audit", "q223_column_stats",
     "q224_hll_merge_audit", "q225_dp_histogram",
     "q226_cross_source_dups", "q227_sequential_monitoring",
-    "q228_map_profile", "q229_watermark_tuning",
+    "q228_map_profile", "q229_watermark_tuning", "q230_schema_diff",
 )
 
 

@@ -2517,3 +2517,109 @@ def q224_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_HLL_BOUND_BP) * F.col("n_exact")
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — schema-contract diff between table versions (footer-level)
+# ---------------------------------------------------------------------------
+from ecowatt_etl_spark.operators.bucketing import bucket_token as _bt  # noqa: E402
+from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT as _SR  # noqa: E402
+
+_CONTRACT_GATE = f"{_SR}/{_bt('/root/testdata/sf0.01')}"  # oracle path
+
+
+@query(
+    "q230_schema_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT name, type
+      FROM parquet_schema('{_CONTRACT_GATE}/contract_v1/*.parquet')
+      WHERE type IS NOT NULL
+    ),
+    v2 AS (
+      SELECT name, type
+      FROM parquet_schema('{_CONTRACT_GATE}/contract_v2/*.parquet')
+      WHERE type IS NOT NULL
+    )
+    SELECT COALESCE(v1.name, v2.name) AS column_name,
+           v1.type AS v1_type, v2.type AS v2_type,
+           CASE WHEN v1.type IS NULL THEN 'added'
+                WHEN v2.type IS NULL THEN 'dropped'
+                WHEN v1.type <> v2.type THEN 'type_changed'
+                ELSE 'unchanged' END AS verdict
+    FROM v1 FULL OUTER JOIN v2 ON v2.name = v1.name
+    """,
+)
+def q230_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-CONTRACT diff between two table versions — the
+    compatibility report a data-contract gate emits before accepting a
+    producer's new batch: per column, added / dropped / type_changed /
+    unchanged, read from the parquet FOOTERS of both versions (the
+    ground truth a consumer's scan will actually see — not a catalog
+    that can drift from the files). q143 proves the engine READS mixed
+    generations; this is the governance view that decides whether it
+    should. The diff compares parquet PHYSICAL types (INT64 / INT32 /
+    DOUBLE / BYTE_ARRAY) — the vocabulary pyarrow and DuckDB's
+    parquet_schema() share, so the check is engine-exact with no
+    type-name mapping layer.
+
+    Version fixtures are bootstrapped from supplier: v2 drops s_name,
+    adds s_rating, and widens s_nationkey INT32→INT64 — one of each
+    verdict class plus unchanged columns. Footer parsing rides the
+    q222 machinery (binaryFile → pyarrow in mapInPandas, KB per file);
+    the diff itself is a full-outer join on column name over frames
+    bounded by schema width, so cost is independent of table size."""
+    import pandas as pd
+
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+
+    s = load_table(spark, sf_dir, "supplier")
+    root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}"
+    s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{root}/contract_v1")
+    s.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_acctbal",
+        (F.col("s_suppkey") % 5).alias("s_rating"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/contract_v2")
+
+    def footer_schema(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            names, types = [], []
+            for content in pdf["content"]:
+                sch = pq.ParquetFile(pa.BufferReader(content)).metadata.schema
+                for i in range(len(sch)):
+                    c = sch.column(i)
+                    names.append(c.name)
+                    types.append(c.physical_type)
+            yield pd.DataFrame({"name": names, "ptype": types})
+
+    def version(tag: str) -> DataFrame:
+        return (
+            spark.read.format("binaryFile")
+            .load(f"{root}/{tag}/*.parquet")
+            .select("content")
+            .mapInPandas(footer_schema, "name string, ptype string")
+        )
+
+    v1 = version("contract_v1").withColumnsRenamed({"ptype": "v1_type"})
+    v2 = version("contract_v2").withColumnsRenamed({"ptype": "v2_type"})
+    j = v1.join(v2, "name", "full_outer")
+    verdict = (
+        F.when(F.col("v1_type").isNull(), "added")
+        .when(F.col("v2_type").isNull(), "dropped")
+        .when(F.col("v1_type") != F.col("v2_type"), "type_changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.col("name").alias("column_name"),
+        "v1_type",
+        "v2_type",
+        verdict.alias("verdict"),
+    )

@@ -2623,3 +2623,161 @@ def q230_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v2_type",
         verdict.alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — equi-depth histogram boundaries (CBO statistics artifact)
+# ---------------------------------------------------------------------------
+_EQD_B = 10  # buckets
+
+
+@query(
+    "q231_equidepth_histogram",
+    oracle=f"""
+    WITH dv AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcm,
+             SUM(c) OVER () AS n
+      FROM dv
+    ),
+    marks AS (
+      SELECT i AS bucket_id, v, cm
+      FROM cum, UNNEST(generate_series(
+             CAST(pcm * {_EQD_B} // n AS BIGINT) + 1,
+             CAST(cm * {_EQD_B} // n AS BIGINT))) AS u(i)
+      WHERE cm * {_EQD_B} // n >= pcm * {_EQD_B} // n + 1
+    )
+    SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+           CAST(v AS VARCHAR) AS upper_bound,
+           CAST(cm AS BIGINT) AS cum_rows,
+           CAST(cm - COALESCE(LAG(cm) OVER (ORDER BY bucket_id), 0)
+                AS BIGINT) AS bucket_rows
+    FROM marks
+    """,
+)
+def q231_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram boundaries for ``l_extendedprice`` — the
+    selectivity-estimation artifact CBOs actually store (equi-depth,
+    not equi-width like q85, because skewed columns need equal ROW
+    mass per bucket): the {_EQD_B} bucket upper bounds (the value at
+    rank ⌈i·n/{_EQD_B}⌉), each bucket's exact row count, and the
+    cumulative frequency. Completes the optimizer-statistics suite:
+    q223 (NDV/min/max), q176 (skew), q209 (join sizes), this
+    (selectivity curves).
+
+    No per-row ranking: distinct values with counts, one cumulative
+    window over the reduced frame (q206 discipline), then each
+    distinct value computes — in EXACT integer arithmetic — which
+    target ranks it is the boundary for (i ∈ (⌊prev·B/n⌋, ⌊cum·B/n⌋]:
+    the inequality ⌈i·n/B⌉ ≤ cum ⇔ i·n ≤ cum·B made integral), so
+    every bucket id is emitted exactly once with zero float ops.
+    Values ride decimal(18,6), so boundary rendering is byte-equal
+    cross-engine."""
+    dv = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_extendedprice").cast("decimal(18,6)").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.orderBy("v")
+    cum = dv.select(
+        "v",
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cm"),
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("pcm"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    marks = cum.select(
+        "v",
+        "cm",
+        F.explode(
+            F.expr(
+                f"sequence(pcm * {_EQD_B} DIV n + 1, cm * {_EQD_B} DIV n)"
+            )
+        ).alias("bucket_id"),
+    ).where(
+        F.expr(f"cm * {_EQD_B} DIV n >= pcm * {_EQD_B} DIV n + 1")
+    )
+    lag_w = W.orderBy("bucket_id")
+    return marks.select(
+        F.col("bucket_id").cast("long").alias("bucket_id"),
+        F.col("v").cast("string").alias("upper_bound"),
+        F.col("cm").cast("long").alias("cum_rows"),
+        (
+            F.col("cm") - F.coalesce(F.lag("cm").over(lag_w), F.lit(0))
+        ).cast("long").alias("bucket_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 — functional-dependency discovery (catalog / CBO metadata)
+# ---------------------------------------------------------------------------
+_FD_PAIRS: tuple[tuple[str, str, str], ...] = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("events", "user_id", "event_type"),
+    ("documents", "lang", "source"),
+    ("part", "p_brand", "p_type"),
+)
+
+
+def _fd_block_sql(tbl: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{tbl}.{lhs}->{rhs}' AS dependency,
+           CAST(COUNT(DISTINCT {lhs}) AS BIGINT) AS ndv_lhs,
+           CAST(COUNT(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS ndv_pair,
+           CAST(COUNT(DISTINCT {lhs}) * 10000
+                // COUNT(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS strength_bp,
+           COUNT(DISTINCT {lhs}) = COUNT(DISTINCT ({lhs}, {rhs})) AS is_fd
+    FROM {tbl}
+    """
+
+
+@query(
+    "q232_fd_discovery",
+    oracle=" UNION ALL ".join(_fd_block_sql(*p) for p in _FD_PAIRS),
+)
+def q232_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY discovery — does column B depend on
+    column A? Measured exactly as ndv(A) vs ndv(A,B): equal ⇒ every
+    A value maps to one B (a true FD, strength 10000 bp); the ratio
+    is the dependency STRENGTH a cost-based optimizer uses to fix
+    correlated-predicate selectivity estimates (the classic
+    independence-assumption error) and a catalog surfaces as implied
+    constraints. Audits {len(_FD_PAIRS)} candidate pairs, one scan
+    per table (count_distinct of the value and of the (lhs, rhs)
+    struct ride the same Expand aggregate, the q223 shape).
+
+    The nation pair is a key-implied FD (strength 10000 by
+    construction — the positive control); the rest measure how far
+    real column pairs sit from independence. Exact integers
+    throughout; basis-point strength keeps it hash-stable."""
+    frames = []
+    for tbl, lhs, rhs in _FD_PAIRS:
+        df = load_table(spark, sf_dir, tbl)
+        ndv_l = F.count_distinct(F.col(lhs))
+        ndv_p = F.count_distinct(F.struct(lhs, rhs))
+        frames.append(
+            df.agg(
+                F.lit(f"{tbl}.{lhs}->{rhs}").alias("dependency"),
+                ndv_l.alias("ndv_lhs"),
+                ndv_p.alias("ndv_pair"),
+                F.expr(
+                    f"CAST(COUNT(DISTINCT {lhs}) * 10000"
+                    f" DIV COUNT(DISTINCT ({lhs}, {rhs})) AS BIGINT)"
+                ).alias("strength_bp"),
+                (ndv_l == ndv_p).alias("is_fd"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -352,3 +352,67 @@ def test_hll_merged_estimate_is_within_contract(spark):
         est = merged[t]
         assert est > 0
         assert abs(est - n) * 10_000 <= _HLL_BOUND_BP * n, (t, est, n)
+
+def test_watermark_loss_curve_is_monotone(spark):
+    """A longer watermark can only drop FEWER events, and a delay at
+    least the jitter cap drops none."""
+    from ecowatt_etl_spark.queries.event_queries import _WM_MAX_JITTER_US
+
+    rows = {
+        r["delay_min"]: r
+        for r in _q("q229_watermark_tuning").fn(spark, SF_ORACLE).collect()
+    }
+    delays = sorted(rows)
+    for a, b in zip(delays, delays[1:]):
+        assert rows[a]["n_dropped"] >= rows[b]["n_dropped"]
+    for d in delays:
+        if d * 60_000_000 >= _WM_MAX_JITTER_US:
+            assert rows[d]["n_dropped"] == 0
+
+
+def test_equidepth_buckets_partition_the_rows(spark):
+    """Equi-depth property: buckets tile the table exactly (cumulative
+    last == n, per-bucket counts sum to n) and are balanced to within
+    the heaviest distinct value's count."""
+    from ecowatt_etl_spark.queries.relational import _EQD_B
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    rows = sorted(
+        _q("q231_equidepth_histogram").fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["bucket_id"],
+    )
+    assert [r["bucket_id"] for r in rows] == list(range(1, _EQD_B + 1))
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    n = li.count()
+    assert rows[-1]["cum_rows"] == n
+    assert sum(r["bucket_rows"] for r in rows) == n
+    max_dv = (
+        li.groupBy("l_extendedprice").count().agg(F.max("count")).collect()[0][0]
+    )
+    target = n / _EQD_B
+    for r in rows:
+        assert abs(r["bucket_rows"] - target) <= max_dv
+
+
+def test_fd_discovery_flags_the_key_implied_dependency(spark):
+    """The nation pair (lhs is the PK) must report a perfect FD; no
+    strength may exceed 10000 bp."""
+    rows = {r["dependency"]: r for r in _q("q232_fd_discovery").fn(spark, SF_ORACLE).collect()}
+    nk = rows["nation.n_nationkey->n_regionkey"]
+    assert nk["is_fd"] and nk["strength_bp"] == 10000
+    for r in rows.values():
+        assert 0 < r["strength_bp"] <= 10000
+        assert r["is_fd"] == (r["ndv_lhs"] == r["ndv_pair"])
+
+
+def test_schema_diff_reports_one_of_each_verdict(spark):
+    """The bootstrapped contract fixtures exercise every verdict
+    class exactly as constructed."""
+    rows = {r["column_name"]: r["verdict"] for r in _q("q230_schema_diff").fn(spark, SF_ORACLE).collect()}
+    assert rows == {
+        "s_suppkey": "unchanged",
+        "s_acctbal": "unchanged",
+        "s_name": "dropped",
+        "s_rating": "added",
+        "s_nationkey": "type_changed",
+    }

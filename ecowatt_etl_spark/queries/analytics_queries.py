@@ -1868,3 +1868,110 @@ def q227_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.alias("obf_bound"),
         (F.abs(z) >= bound).alias("crossed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — distribution-free median confidence interval (order statistics)
+# ---------------------------------------------------------------------------
+_MED_Z = 1.96  # two-sided 95% normal quantile (literal, like q227's c)
+
+
+@query(
+    "q233_median_ci",
+    oracle=f"""
+    WITH dv AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcm
+      FROM dv
+    ),
+    t AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             GREATEST(CAST(floor((SUM(c) - {_MED_Z} * sqrt(SUM(c))) / 2)
+                           AS BIGINT), 1) AS l,
+             LEAST(SUM(c) - GREATEST(CAST(floor((SUM(c)
+                     - {_MED_Z} * sqrt(SUM(c))) / 2) AS BIGINT), 1) + 1,
+                   SUM(c)) AS u,
+             (SUM(c) + 1) // 2 AS m1, (SUM(c) + 2) // 2 AS m2
+      FROM dv
+    )
+    SELECT t.n,
+           CAST(CAST(MAX(CASE WHEN pcm < t.m1 AND t.m1 <= cm THEN v END)
+                 + MAX(CASE WHEN pcm < t.m2 AND t.m2 <= cm THEN v END)
+                 AS VARCHAR) AS DOUBLE) / 2 AS median,
+           CAST(CAST(MAX(CASE WHEN pcm < t.l AND t.l <= cm THEN v END)
+                 AS VARCHAR) AS DOUBLE) AS ci_lo,
+           CAST(CAST(MAX(CASE WHEN pcm < t.u AND t.u <= cm THEN v END)
+                 AS VARCHAR) AS DOUBLE) AS ci_hi
+    FROM cum, t
+    GROUP BY t.n
+    """,
+)
+def q233_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-FREE median confidence interval by ORDER
+    STATISTICS — the binomial-rank construction (CI = (x₍ₗ₎, x₍ᵤ₎)
+    with l = ⌊(n − z√n)/2⌋, u = n − l + 1): no resampling, no
+    normality assumption on the VALUES, valid for any continuous
+    distribution. Complements q215 (bootstrap CI for the MEAN —
+    needs B passes-worth of replicate state) with the quantile CI
+    that costs nothing beyond the median query itself; the z literal
+    is the published normal quantile, shipped like q227's boundary
+    constant.
+
+    Rank selection reuses q160's distinct-value + cumulative-count
+    construction (one reduced-frame window, no per-row sort); all
+    four needed ranks (both median ranks and the two CI ranks) are
+    picked in ONE conditional aggregate over the cumulative frame —
+    the q215 lesson about filter arms recomputing subtrees, applied
+    from the start. l/u come from floor(double) of exact integers
+    with IEEE sqrt — bit-identical cross-engine."""
+    dv = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_totalprice").cast("decimal(18,6)").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.orderBy("v")
+    cum = dv.select(
+        "v",
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cm"),
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("pcm"),
+    )
+    n = F.sum("c")
+    l_raw = F.greatest(
+        F.floor((n - F.lit(_MED_Z) * F.sqrt(n)) / 2).cast("long"), F.lit(1)
+    )
+    t = dv.agg(
+        n.cast("long").alias("n"),
+        l_raw.alias("l"),
+        F.least(n - l_raw + 1, n).cast("long").alias("u"),
+        ((n + 1) / 2).cast("long").alias("m1"),
+        ((n + 2) / 2).cast("long").alias("m2"),
+    )
+
+    def at(rank_col: str):
+        return F.max(
+            F.when(
+                (F.col("pcm") < F.col(rank_col))
+                & (F.col(rank_col) <= F.col("cm")),
+                F.col("v"),
+            )
+        )
+
+    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("n")
+        .agg(
+            (_d(at("m1") + at("m2")) / 2).alias("median"),
+            _d(at("l")).alias("ci_lo"),
+            _d(at("u")).alias("ci_hi"),
+        )
+    )

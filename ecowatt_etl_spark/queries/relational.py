@@ -2781,3 +2781,78 @@ def q232_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q234 — partitioned-statistics MERGE audit (the rollup q223 promises)
+# ---------------------------------------------------------------------------
+_MERGE_BOUND_BP = 500  # merged HLL NDV must sit within 5% of exact
+
+
+@query(
+    "q234_stats_merge_audit",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+                AS VARCHAR) AS min_price,
+           CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+                AS VARCHAR) AS max_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_exact,
+           TRUE AS merge_counts_ok,
+           TRUE AS merge_minmax_ok,
+           TRUE AS ndv_within_bound
+    FROM orders
+    """,
+)
+def q234_stats_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS MERGEABILITY audit — the property q223's docstring
+    promises at 100 TB, proven as a value-checked query: compute the
+    per-column statistics independently on two disjoint shards
+    (orderkey parity — stand-ins for partitions/files), MERGE them
+    (counts add, min/min, max/max, NDV by HLL sketch union), and
+    verify the merged values against a direct whole-table pass. The
+    exact stats must agree EXACTLY (booleans), the sketched NDV
+    within the {_MERGE_BOUND_BP} bp contract (the q224 pattern). This
+    is the algebra that lets a catalog maintain table stats
+    incrementally — per new partition, never a full rescan.
+
+    One scan per shard plus one whole-table audit scan; every merge
+    is a two-row reduction. The driver-checked columns are the
+    whole-table truths plus the three verdicts."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,6)")
+    shard = (
+        o.groupBy((F.col("o_orderkey") % 2).alias("shard"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(price).alias("mn"),
+            F.max(price).alias("mx"),
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+        )
+    )
+    merged = shard.agg(
+        F.sum("n").cast("long").alias("m_n"),
+        F.min("mn").alias("m_mn"),
+        F.max("mx").alias("m_mx"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m_ndv"),
+    )
+    direct = o.agg(
+        F.count("*").alias("n_rows"),
+        F.min(price).alias("d_mn"),
+        F.max(price).alias("d_mx"),
+        F.count_distinct("o_custkey").alias("ndv_exact"),
+    )
+    return direct.crossJoin(F.broadcast(merged)).select(
+        "n_rows",
+        F.col("d_mn").cast("string").alias("min_price"),
+        F.col("d_mx").cast("string").alias("max_price"),
+        "ndv_exact",
+        (F.col("m_n") == F.col("n_rows")).alias("merge_counts_ok"),
+        (
+            (F.col("m_mn") == F.col("d_mn")) & (F.col("m_mx") == F.col("d_mx"))
+        ).alias("merge_minmax_ok"),
+        (
+            F.abs(F.col("m_ndv") - F.col("ndv_exact")) * 10_000
+            <= F.lit(_MERGE_BOUND_BP) * F.col("ndv_exact")
+        ).alias("ndv_within_bound"),
+    )

@@ -771,8 +771,8 @@ _BASKET_TOP = 20
 def q207_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules — the classic co-purchase
     mining query (a→b support, confidence, lift) over order baskets:
-    top-{_BASKET_TOP} part pairs by LIFT among pairs co-ordered at
-    least {_BASKET_MIN_SUP} times. Confidence is integer basis
+    top-20 part pairs by LIFT among pairs co-ordered at
+    least 3 times. Confidence is integer basis
     points; lift = (pair·N)/(nₐ·n_b) rides exact HUGEINT cross
     products into one string-routed division, so the ranking cut is
     deterministic (ties break on the pair).
@@ -1148,11 +1148,11 @@ def _boot_w_sql(u: str) -> str:
 def q215_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC Poisson bootstrap — the distribution-free
     confidence interval for any pipeline metric, here the mean order
-    value: {_BOOT_B} replicates where each row enters replicate b with
+    value: 100 replicates where each row enters replicate b with
     weight ~ Poisson(1), the streaming-safe approximation of
     resampling-with-replacement (Chamandy et al., "Estimating
     Uncertainty for Massive Data Streams", Google 2012). The CI is the
-    exact-rank [{_BOOT_LO_RANK}, {_BOOT_HI_RANK}] envelope of the 100
+    exact-rank [3, 98] envelope of the 100
     replicate means.
 
     Every weight is a pure function of (replicate, order key): a
@@ -1163,9 +1163,9 @@ def q215_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units; each replicate's (Σw·x, Σw) pair is integer-exact
     and the only float op is the final string-routed mean division.
 
-    Scale: ONE pass — explode ×{_BOOT_B} into a map-side-combinable
-    aggregate with {_BOOT_B} groups (the expansion never shuffles:
-    partial sums leave each partition already reduced to ≤{_BOOT_B}
+    Scale: ONE pass — explode ×100 into a map-side-combinable
+    aggregate with 100 groups (the expansion never shuffles:
+    partial sums leave each partition already reduced to ≤100
     rows). This is the textbook way to put error bars on 100 TB
     aggregates without a second scan per replicate."""
     o = load_table(spark, sf_dir, "orders").select(
@@ -1281,7 +1281,7 @@ _MW_A, _MW_B = "purchase", "view"
 )
 def q216_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MANN–WHITNEY U — the nonparametric location test (does
-    '{_MW_A}' stochastically dominate '{_MW_B}'?) that q103's Welch t
+    'purchase' stochastically dominate 'view'?) that q103's Welch t
     can't answer when values are heavy-tailed. Completes the
     hypothesis-test shelf: χ² (q172) for categorical, Welch (q103)
     for means, this for ranks.
@@ -1310,17 +1310,23 @@ def q216_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = g.select(
         "cnt", "ca", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cb")
     )
+    # rank-sum terms are quadratic in n (ca·2cb ≈ n²) — widen BEFORE
+    # the product/sum (decimal(38,0) vs the oracle's HUGEINT), the
+    # same 128-bit discipline as q217's ECDF gap
     s = r.agg(
         F.sum("ca").alias("na"),
         F.sum("cnt").alias("n"),
-        F.sum(F.col("ca") * (2 * F.col("cb") + F.col("cnt") + 1)).alias("r2a"),
+        F.sum(
+            F.col("ca").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("cnt") + 1)
+        ).cast("decimal(38,0)").alias("r2a"),
         F.sum(
             F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
             - F.col("cnt")
         ).cast("decimal(38,0)").alias("tsum"),
     )
     nb = F.col("n") - F.col("na")
-    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    u2 = F.col("r2a") - F.col("na").cast("decimal(38,0)") * (F.col("na") + 1)
     signum = (
         F.col("na").cast("decimal(38,0)")
         * nb
@@ -1527,8 +1533,10 @@ def q218_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ryd = F.col("ry").cast("decimal(38,0)")
     s = rk.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("rx").cast("decimal(38,0)").alias("sx"),
-        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        # widen BEFORE summing: Σrx ≈ n² overflows an int64 accumulator
+        # at ~3e9-row partitions (the oracle sums HUGEINT)
+        F.sum(F.col("rx").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("ry").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
         F.sum(rxd * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
         F.sum(ryd * F.col("ry")).cast("decimal(38,0)").alias("syy"),
         F.sum(rxd * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
@@ -1608,14 +1616,14 @@ def q221_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RE-RANDOMIZATION (permutation) test for the variant mean
     difference — the assumption-free p-value that backs up q103/q216
     when neither normality nor rank assumptions are wanted: reassign
-    every user to a pseudo-arm {_PERM_B} times and ask how often the
+    every user to a pseudo-arm 200 times and ask how often the
     permuted |mean difference| reaches the observed one. Completes
     the experimentation shelf: q136 facts, q172 independence, q211
     sensitivity, q215 error bars, this one inference.
 
     Determinism discipline = q215's: each coin is an md5 draw
     compared against an integer threshold (2^51, i.e. p=1/2 on the
-    52-bit scale), so all {_PERM_B} permutations are replayable and
+    52-bit scale), so all 200 permutations are replayable and
     shard-invariant; per-arm sums are integer micro-units and the
     double mean-difference expressions are composed identically in
     both engines before the ≥ comparison. The +1/(B+1) correction
@@ -1623,7 +1631,7 @@ def q221_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an empty arm) are excluded identically on both sides.
 
     Scale: per-user aggregate once, then ONE pass over users×B into
-    a {_PERM_B}-group map-side-combinable aggregate — the classic
+    a 200-group map-side-combinable aggregate — the classic
     'permutation tests don't need a second scan' construction."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -1753,18 +1761,18 @@ _SEQ_C = 2.024
              a1.n AS n1, a0.n AS n0,
              CAST(CAST(a1.s AS VARCHAR) AS DOUBLE) / a1.n
                - CAST(CAST(a0.s AS VARCHAR) AS DOUBLE) / a0.n AS diff_u,
-             (CAST(CAST(a1.n * a1.ss - a1.s * a1.s AS VARCHAR) AS DOUBLE)
-                / a1.n / (a1.n - 1)
-              + CAST(CAST(a0.n * a0.ss - a0.s * a0.s AS VARCHAR) AS DOUBLE)
-                / a0.n / (a0.n - 1)) AS var_sum
+             CAST(CAST(a1.n * a1.ss - a1.s * a1.s AS VARCHAR) AS DOUBLE)
+                / a1.n / (a1.n - 1) AS var1,
+             CAST(CAST(a0.n * a0.ss - a0.s * a0.s AS VARCHAR) AS DOUBLE)
+                / a0.n / (a0.n - 1) AS var0
       FROM arm a1 JOIN arm a0 ON a0.k = a1.k
       WHERE a1.variant = 1 AND a0.variant = 0
     )
     SELECT k + 1 AS look_number, n1 + n0 AS n_users,
            diff_u / 1000000.0 AS mean_diff,
-           diff_u / sqrt(var_sum / n1 + var_sum / n0) AS z_stat,
+           diff_u / sqrt(var1 / n1 + var0 / n0) AS z_stat,
            {_SEQ_C} / sqrt(CAST(k + 1 AS DOUBLE) / {_SEQ_K}) AS obf_bound,
-           abs(diff_u / sqrt(var_sum / n1 + var_sum / n0))
+           abs(diff_u / sqrt(var1 / n1 + var0 / n0))
              >= {_SEQ_C} / sqrt(CAST(k + 1 AS DOUBLE) / {_SEQ_K}) AS crossed
     FROM look
     """,
@@ -1772,7 +1780,7 @@ _SEQ_C = 2.024
 def q227_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-SEQUENTIAL experiment monitoring — the interim-look table
     an A/B platform shows while an experiment RUNS: at each of
-    {_SEQ_K} weekly looks, the cumulative per-arm mean difference, its
+    4 weekly looks, the cumulative per-arm mean difference, its
     z-statistic, and the O'Brien–Fleming-shaped stopping boundary
     c/√(k/K) (wide early, nominal late — the spending discipline that
     keeps repeated peeking at α≈0.05 overall). Crossing → stop the
@@ -1787,7 +1795,7 @@ def q227_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, same discipline as q216. The boundary constant is a
     published table value (Jennison & Turnbull), shipped as a literal
     exactly like a stats library ships it. Scale: the grid is
-    |users|×{_SEQ_K} rows keyed by user — one shuffle on user_id,
+    |users|×4 rows keyed by user — one shuffle on user_id,
     one tiny per-look rollup; nothing scales with events beyond the
     first aggregate."""
     ev = load_table(spark, sf_dir, "events").select(
@@ -1849,13 +1857,18 @@ def q227_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             _d(F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1"))
             / F.col("n1")
             / (F.col("n1") - 1)
-            + _d(F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0"))
+        ).alias("var1"),
+        (
+            _d(F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0"))
             / F.col("n0")
             / (F.col("n0") - 1)
-        ).alias("var_sum"),
+        ).alias("var0"),
     )
+    # Welch form: each arm's sample variance over ITS OWN n — the
+    # earlier pooled-sum form divided (var1+var0) by both arms and
+    # deflated every z by ~sqrt(2)
     z = F.col("diff_u") / F.sqrt(
-        F.col("var_sum") / F.col("n1") + F.col("var_sum") / F.col("n0")
+        F.col("var1") / F.col("n1") + F.col("var0") / F.col("n0")
     )
     bound = F.lit(_SEQ_C) / F.sqrt(
         (F.col("k") + 1).cast("double") / F.lit(_SEQ_K)

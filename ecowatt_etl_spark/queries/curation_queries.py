@@ -1021,7 +1021,7 @@ def _sql_ngrams(n: int) -> str:
 )
 def q192_ngram_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-eval-document n-gram contamination REPORT — the GPT-3-style
-    audit (13-gram there, {_OVL_N}-gram here on this short-document
+    audit (13-gram there, 5-gram here on this short-document
     corpus; width is a constant): for every document of the held-out
     benchmark slice, the fraction of its distinct n-grams that also
     occur anywhere in the training split, in integer basis points.
@@ -1354,10 +1354,10 @@ def q210_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     publisher runs before releasing "anonymized" records (Sweeney's
     k-anonymity; Machanavajjhala's l-diversity). Quasi-identifiers are
     the released columns an attacker can link on — here (market
-    segment, nation, account-balance band of width {_KA_BAND}); the
+    segment, nation, account-balance band of width 2000); the
     sensitive attribute is the customer's order priority mix. A QI
-    group smaller than k={_KA_K} re-identifies its members by linkage;
-    a group whose sensitive attribute takes fewer than l={_KA_L}
+    group smaller than k=5 re-identifies its members by linkage;
+    a group whose sensitive attribute takes fewer than l=3
     distinct values leaks it even when k holds (the homogeneity
     attack). One row per QI equivalence class with both verdicts —
     the release gate is then `WHERE NOT k_anonymous OR NOT l_diverse`.
@@ -1445,7 +1445,7 @@ def _dp_noise_sql(u: str) -> str:
 )
 def q225_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIFFERENTIALLY-PRIVATE histogram release — per-type event counts
-    with discrete-Laplace noise (the geometric mechanism, ε = {_DP_EPS};
+    with discrete-Laplace noise (the geometric mechanism, ε = 1;
     Ghosh–Roughgarden–Sundararajan's universally-optimal mechanism for
     counting queries) — the shape a data owner publishes when exact
     per-cell counts would leak membership. Completes the privacy shelf:

@@ -764,7 +764,7 @@ def _pr_iter_sql(k: int) -> str:
     """,
 )
 def q120_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (damping 0.85, {_PR_ROUNDS} fixed rounds) over the
+    """PageRank (damping 0.85, 3 fixed rounds) over the
     verified near-dup graph — the centrality diagnostic that ranks
     which documents sit at the CENTER of duplicate families (template
     pages score high; leaf copies low), complementing q57's membership
@@ -773,7 +773,7 @@ def q120_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each round is one broadcast-or-hash join of the edge list against
     the current scores plus one dst-keyed aggregate — the same
-    per-round shuffle shape as q57, bounded at {_PR_ROUNDS} rounds by
+    per-round shuffle shape as q57, bounded at 3 rounds by
     construction (no convergence loop to cap). The edge list is
     localCheckpoint'ed once so the q53 candidate pipeline doesn't
     re-execute per round inside the lazy plan. Per-neighbor
@@ -1434,8 +1434,8 @@ def _bfs_iter_sql(k: int) -> str:
 )
 def q212_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS: hop distance from the nearest SEED document
-    (the q127 ingest-batch convention, doc_id % {_BFS_SEED_MOD} == 0)
-    to every graph node reachable within {_BFS_ROUNDS} hops of the
+    (the q127 ingest-batch convention, doc_id % 10 == 0)
+    to every graph node reachable within 3 hops of the
     verified near-dup graph — the provenance question "how many
     copy-steps separate this document from the batch under review?".
     Fourth classic distributed-graph kernel alongside q57 components,
@@ -1445,7 +1445,7 @@ def q212_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round relaxes dist(v) = min(dist(v), min over in-edges of
     dist(u)+1) as one edge⋈distance hash join plus one node-keyed
     min-aggregate — the identical per-round shuffle shape as q120,
-    with the round count fixed at {_BFS_ROUNDS} by construction (the
+    with the round count fixed at 3 by construction (the
     oracle unrolls the same rounds, so Spark and DuckDB agree row for
     row; an unreached node is ABSENT, not ∞). Arithmetic is pure
     int64, so cross-engine equality is exact. The symmetrized edge
@@ -1520,7 +1520,7 @@ def q219_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL AUDIT of the q53 MinHash-LSH banding against EXACT
     all-pairs ground truth — the dedup twin of the ANN recall frontier
     the similarity family publishes (SCALE.md): for every true
-    near-dup pair (raw shingle Jaccard ≥ {_CLUSTER_T}, uncapped
+    near-dup pair (raw shingle Jaccard ≥ 0.5, uncapped
     inverted-index self-join), did the band bucketing ever co-bucket
     it? Reported per similarity decile, because banding recall is a
     steep function of similarity (the S-curve: at 4 bands × 2 rows a

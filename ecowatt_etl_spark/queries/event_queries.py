@@ -1707,8 +1707,8 @@ _PATH_TOP = 20
     """,
 )
 def q183_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clickstream path mining: the top {_PATH_TOP} session journeys,
-    where a journey is the first {_PATH_MAX_STEPS} event types of a
+    """Clickstream path mining: the top 20 session journeys,
+    where a journey is the first 5 event types of a
     5-minute-gap session joined with '>' — the product-analytics
     report behind 'what do users actually do'. Sessionization is the
     q43 gaps-and-islands construction (lag + running sum over one
@@ -1830,8 +1830,14 @@ def q213_dynamic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 obj = json.loads(props) if props is not None else {}
             except ValueError:
                 obj = {}
+            # render through json.dumps, not str(): the extraction
+            # contract is the JSON token text (true, 69), matching the
+            # oracle's json_extract_string — str() would emit Python
+            # spellings like 'True'
             yield tuple(
-                None if obj.get(k) is None else str(obj[k])
+                None
+                if obj.get(k) is None
+                else (obj[k] if isinstance(obj[k], str) else json.dumps(obj[k]))
                 for k in keys.split(",")
             )
 

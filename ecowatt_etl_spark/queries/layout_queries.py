@@ -450,10 +450,10 @@ def _q189_digest_row(stage: str) -> str:
 )
 def q189_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction as a first-class maintenance job: the
-    event log is written fragmented ({_COMPACT_FROM} files — the shape
+    event log is written fragmented (64 files — the shape
     a streaming ingest leaves behind, where every micro-batch commits
     a sliver per partition), then compacted by rewrite into
-    {_COMPACT_TO} right-sized files. The query emits a per-stage
+    4 right-sized files. The query emits a per-stage
     (row count, order-independent content digest) pair and the oracle
     derives both stages from the source — so the value check IS the
     compaction safety proof: the rewrite changed file topology and
@@ -668,7 +668,7 @@ def q209_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q222 — parquet physical-metadata audit (footer stats, no data read)
 # ---------------------------------------------------------------------------
-_PQMETA_SF_DIR = "/root/testdata/sf0.01"  # oracle SQL can't take sf_dir
+from ecowatt_etl_spark.sources.tables import ORACLE_SF_DIR as _PQMETA_SF_DIR  # noqa: E402
 
 
 @query(

@@ -218,7 +218,7 @@ def q84_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver's correctness gate always runs at sf0.01, so the oracle
 # pins that directory while the Spark side honors sf_dir — at gate time
 # the two are the same files.
-_GATE_SF_DIR = "/root/testdata/sf0.01"
+from ecowatt_etl_spark.sources.tables import ORACLE_SF_DIR as _GATE_SF_DIR  # noqa: E402
 
 
 @query(

@@ -2485,7 +2485,7 @@ def q224_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting viable at 100 TB: per-(type, day) DataSketches HLL
     sketches built with `hll_sketch_agg` are UNIONED per type with
     `hll_union_agg`, and the merged estimate is audited against the
-    exact distinct count under a {_HLL_BOUND_BP}-basis-point accuracy
+    exact distinct count under a 500-basis-point accuracy
     contract. This upgrades q09b (single-shot approx_count_distinct,
     rows-only) to the full sketch LIFECYCLE the engine serves in
     production: build sketches per partition/day at ingest, persist
@@ -2525,7 +2525,8 @@ def q224_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ecowatt_etl_spark.operators.bucketing import bucket_token as _bt  # noqa: E402
 from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT as _SR  # noqa: E402
 
-_CONTRACT_GATE = f"{_SR}/{_bt('/root/testdata/sf0.01')}"  # oracle path
+from ecowatt_etl_spark.sources.tables import ORACLE_SF_DIR as _OSD  # noqa: E402
+_CONTRACT_GATE = f"{_SR}/{_bt(_OSD)}"  # oracle path
 
 
 @query(
@@ -2666,8 +2667,8 @@ def q231_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQUI-DEPTH histogram boundaries for ``l_extendedprice`` — the
     selectivity-estimation artifact CBOs actually store (equi-depth,
     not equi-width like q85, because skewed columns need equal ROW
-    mass per bucket): the {_EQD_B} bucket upper bounds (the value at
-    rank ⌈i·n/{_EQD_B}⌉), each bucket's exact row count, and the
+    mass per bucket): the 10 bucket upper bounds (the value at
+    rank ⌈i·n/10⌉), each bucket's exact row count, and the
     cumulative frequency. Completes the optimizer-statistics suite:
     q223 (NDV/min/max), q176 (skew), q209 (join sizes), this
     (selectivity curves).
@@ -2752,7 +2753,7 @@ def q232_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the dependency STRENGTH a cost-based optimizer uses to fix
     correlated-predicate selectivity estimates (the classic
     independence-assumption error) and a catalog surfaces as implied
-    constraints. Audits {len(_FD_PAIRS)} candidate pairs, one scan
+    constraints. Audits six candidate pairs, one scan
     per table (count_distinct of the value and of the (lhs, rhs)
     struct ride the same Expand aggregate, the q223 shape).
 
@@ -2812,7 +2813,7 @@ def q234_stats_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts add, min/min, max/max, NDV by HLL sketch union), and
     verify the merged values against a direct whole-table pass. The
     exact stats must agree EXACTLY (booleans), the sketched NDV
-    within the {_MERGE_BOUND_BP} bp contract (the q224 pattern). This
+    within the 500 bp contract (the q224 pattern). This
     is the algebra that lets a catalog maintain table stats
     incrementally — per new partition, never a full rescan.
 

@@ -2011,7 +2011,7 @@ _FILT_LABEL = 3
 )
 def q201_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED vector search — top-k among only the corpus
-    vectors matching a predicate (label = {_FILT_LABEL}), served from
+    vectors matching a predicate (label = 3), served from
     q65's trained IVF index with the filter applied POST-ROUTING on
     the probed cells. Filtered search is the dominant production ANN
     shape (tenant scoping, language scoping, freshness windows) and

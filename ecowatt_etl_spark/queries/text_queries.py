@@ -1635,7 +1635,7 @@ _FEAT_DIMS = 16
 )
 def q185_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization: each document's token counts
-    folded into a FIXED {_FEAT_DIMS}-dimension space by hashing the
+    folded into a FIXED 16-dimension space by hashing the
     token (dim = md5 mod D), with the standard second sign hash that
     makes collisions cancel in expectation (Weinberger et al.'s
     feature hashing — the vectorizer that needs NO vocabulary, no
@@ -1834,7 +1834,7 @@ def q202_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate list (q153's BM25 scorer, shared bit-stable scores) and
     a semantic candidate list (cosine against a query embedding,
     doc_id ↔ vec_id aligned in this synthetic corpus) fused by
-    Reciprocal Rank Fusion: score = Σ 1/(k + rank), k={_RRF_K}. RRF
+    Reciprocal Rank Fusion: score = Σ 1/(k + rank), k=60. RRF
     is the fusion every hybrid search engine defaults to precisely
     because it consumes only RANKS — integers — so two retrievers
     with incomparable score scales compose without calibration, and
@@ -1843,7 +1843,7 @@ def q202_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is two fixed-order divisions — value-checked end to end
     across both retrieval pipelines and the fusion.
 
-    Scale: each retriever prunes to its own top-{_FUSE_DEPTH} before
+    Scale: each retriever prunes to its own top-50 before
     the fusion join (depth × 2 rows — nothing corpus-sized is
     joined); BM25 keeps q153's scan-side term filter, the semantic
     side is one broadcast query vector against the corpus (or q65's
@@ -1946,8 +1946,8 @@ _MEM_K = 5  # shingle width in tokens
 def q214_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEMORIZATION-RISK spans — the exact-substring dedup report of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    Models Better") at {_MEM_K}-token shingle granularity: for every
-    document, the maximal token spans covered by {_MEM_K}-grams that
+    Models Better") at 5-token shingle granularity: for every
+    document, the maximal token spans covered by 5-grams that
     occur ≥2 times ANYWHERE in the corpus. q95 flags repetition
     WITHIN a document and q191 duplication at fixed chunk boundaries;
     this is the sub-document CROSS-corpus view — the spans a trained

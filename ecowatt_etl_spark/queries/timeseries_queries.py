@@ -706,8 +706,8 @@ _BT_HOLDOUT = 7  # last 7 days are the test window
 def q203_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast BACKTEST — the evaluation harness that justifies (or
     kills) any forecasting model: the seasonal-naive baseline
-    (forecast = the value {_BT_SEASON} days earlier) is scored on the
-    final {_BT_HOLDOUT}-day holdout per event type, reporting MAE and
+    (forecast = the value 7 days earlier) is scored on the
+    final 7-day holdout per event type, reporting MAE and
     WAPE. Seasonal-naive is THE baseline every forecast benchmark
     (M-competitions onward) requires you to beat; a warehouse that
     can backtest it in one query can backtest any model whose

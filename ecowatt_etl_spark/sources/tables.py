@@ -13,6 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The scale the driver's DuckDB value-check runs at. Oracle SQL strings
+# are fixed at import time and cannot take sf_dir, so queries whose
+# oracle must reference a filesystem path embed THIS directory — keep
+# it the single source of truth (tests/conftest.py's SF_ORACLE must
+# match).
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 TABLES = (
     "region",
     "nation",

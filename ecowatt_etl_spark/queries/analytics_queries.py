@@ -1988,3 +1988,147 @@ def q233_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             _d(at("u")).alias("ci_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — delta-method inference for a RATIO metric (revenue per event)
+# ---------------------------------------------------------------------------
+@query(
+    "q235_delta_method",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, user_id % 2 AS variant,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                 ELSE 0 END) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pu GROUP BY 1
+    ),
+    t AS (
+      SELECT variant, n,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+               / n / (n - 1) AS vx,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / n / (n - 1) AS cxy,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)
+               / n / (n - 1) AS vy
+      FROM pv
+    ),
+    d AS (
+      SELECT variant, n, sxd / syd AS r,
+             sqrt((vx - 2 * (sxd / syd) * cxy
+                   + (sxd / syd) * (sxd / syd) * vy)
+                  / n / ((syd / n) * (syd / n))) AS se
+      FROM t
+    ),
+    z AS (
+      SELECT (d1.r - d0.r)
+               / sqrt(d1.se * d1.se + d0.se * d0.se) AS z_stat
+      FROM d d1, d d0 WHERE d1.variant = 1 AND d0.variant = 0
+    )
+    SELECT d.variant, d.n AS n_users,
+           d.r / 1000000.0 AS revenue_per_event,
+           d.se / 1000000.0 AS std_err,
+           z.z_stat
+    FROM d, z
+    """,
+)
+def q235_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD inference for a RATIO metric — revenue per event,
+    the shape most production A/B metrics actually take (CTR, revenue
+    per session, items per order), where the naive per-event variance
+    is WRONG because events cluster within users (Deng et al. 2017,
+    'the delta method' as every large platform applies it): the
+    ratio R = Σx/Σy over user-level (x, y) pairs gets its standard
+    error from var(R) ≈ (σx² − 2Rσxy + R²σy²)/(n·ȳ²) with all
+    moments computed at the USER grain. Completes the experimentation
+    shelf for non-mean metrics: q211/q227 handle per-user means,
+    q221 permutes them, this one does clustered ratios.
+
+    Exactness discipline: per-user numerators are integer micro-units
+    and denominators integer counts; the five cross-moments are exact
+    (decimal(38,0) vs HUGEINT); R, the (co)variances, the standard
+    error (IEEE sqrt), and the two-arm z are composed in the same
+    textual order in both engines. Scale: one per-user conditional
+    aggregate, a 2-row per-variant rollup — nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast(_DEC_Y) * 1_000_000).cast("long"),
+            ).otherwise(0)
+        ).alias("x"),
+        F.count("*").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    pv = pu.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    t = pv.select(
+        "variant",
+        "n",
+        _d(F.col("sx")).alias("sxd"),
+        _d(F.col("sy")).alias("syd"),
+        (
+            _d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / F.col("n") / (F.col("n") - 1)
+        ).alias("vx"),
+        (
+            _d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.col("n") / (F.col("n") - 1)
+        ).alias("cxy"),
+        (
+            _d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            / F.col("n") / (F.col("n") - 1)
+        ).alias("vy"),
+    )
+    r = F.col("sxd") / F.col("syd")
+    d = t.select(
+        "variant",
+        "n",
+        r.alias("r"),
+        F.sqrt(
+            (F.col("vx") - 2 * r * F.col("cxy") + r * r * F.col("vy"))
+            / F.col("n")
+            / ((F.col("syd") / F.col("n")) * (F.col("syd") / F.col("n")))
+        ).alias("se"),
+    )
+    d1 = d.filter(F.col("variant") == 1).select(
+        F.col("r").alias("r1"), F.col("se").alias("se1")
+    )
+    d0 = d.filter(F.col("variant") == 0).select(
+        F.col("r").alias("r0"), F.col("se").alias("se0")
+    )
+    z = d1.crossJoin(d0).select(
+        (
+            (F.col("r1") - F.col("r0"))
+            / F.sqrt(F.col("se1") * F.col("se1") + F.col("se0") * F.col("se0"))
+        ).alias("z_stat")
+    )
+    return d.crossJoin(F.broadcast(z)).select(
+        "variant",
+        F.col("n").alias("n_users"),
+        (F.col("r") / F.lit(1_000_000.0)).alias("revenue_per_event"),
+        (F.col("se") / F.lit(1_000_000.0)).alias("std_err"),
+        "z_stat",
+    )

@@ -416,3 +416,44 @@ def test_schema_diff_reports_one_of_each_verdict(spark):
         "s_rating": "added",
         "s_nationkey": "type_changed",
     }
+
+def test_delta_method_matches_numpy_reconstruction(spark):
+    """Recompute the ratio, delta-method standard error, and z from
+    the raw per-user pairs with numpy and require float-level
+    agreement with the distributed exact-moment construction."""
+    import math
+
+    import numpy as np
+
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("value").cast("decimal(18,6)") * 1_000_000).cast(
+                        "long"
+                    ),
+                ).otherwise(0)
+            ).alias("x"),
+            F.count("*").alias("y"),
+        )
+        .collect()
+    )
+    out = {r["variant"]: r for r in _q("q235_delta_method").fn(spark, SF_ORACLE).collect()}
+    for variant in (0, 1):
+        x = np.array([r["x"] for r in pu if r["user_id"] % 2 == variant], dtype=float)
+        y = np.array([r["y"] for r in pu if r["user_id"] % 2 == variant], dtype=float)
+        n = len(x)
+        r_hat = x.sum() / y.sum()
+        vx, vy = x.var(ddof=1), y.var(ddof=1)
+        cxy = np.cov(x, y, ddof=1)[0, 1]
+        se = math.sqrt(
+            (vx - 2 * r_hat * cxy + r_hat**2 * vy) / n / (y.mean() ** 2)
+        )
+        got = out[variant]
+        assert abs(got["revenue_per_event"] - r_hat / 1e6) < 1e-9 * abs(r_hat / 1e6)
+        assert abs(got["std_err"] - se / 1e6) < 1e-6 * (se / 1e6)

@@ -634,3 +634,16 @@ def test_q215_bootstrap_is_one_pass(spark):
         c.split("#")[0].strip() for k in keys for c in k.split(",") if "#" in c
     }
     assert "b" in names and "k" not in names, names
+
+
+def test_q223_scans_each_table_once(spark):
+    """ANALYZE-sweep contract: 51 column stats from exactly 10 table
+    scans (one multi-distinct Expand pass per table) — never a scan
+    per column."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from tools.audit_scans import scan_count
+
+    spec = all_queries()["q223_column_stats"]
+    assert scan_count(spark, spec.fn(spark, SF_SMOKE)) == 10
+    plan = _plan(spark, "q223_column_stats")
+    assert "Expand" in plan

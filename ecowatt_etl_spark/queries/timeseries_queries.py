@@ -857,3 +857,143 @@ def q204_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nd").cast("long").alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 — split-conformal forecast intervals (distribution-free coverage)
+# ---------------------------------------------------------------------------
+_CP_ALPHA_NUM, _CP_ALPHA_DEN = 1, 5  # alpha = 0.2 → 80% intervals
+
+
+@query(
+    "q236_conformal_intervals",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_V_US_SQL}) AS v_us
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, v_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS dn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM daily
+    ),
+    joined AS (
+      SELECT t.event_type, t.dn, t.nd,
+             CAST(ABS(t.v_us - f.v_us) AS BIGINT) AS r
+      FROM idx t JOIN idx f
+        ON f.event_type = t.event_type AND f.dn = t.dn - {_BT_SEASON}
+    ),
+    cal AS (
+      SELECT event_type, r,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY r, dn) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM joined WHERE dn <= nd - {_BT_HOLDOUT}
+    ),
+    qhat AS (
+      SELECT event_type, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+             CAST(MAX(CASE WHEN rn = LEAST(
+               ((n_cal + 1) * ({_CP_ALPHA_DEN} - {_CP_ALPHA_NUM})
+                + {_CP_ALPHA_DEN} - 1) // {_CP_ALPHA_DEN}, n_cal)
+               THEN r END) AS BIGINT) AS q_hat_us
+      FROM cal GROUP BY event_type
+    ),
+    test AS (
+      SELECT event_type, r FROM joined WHERE dn > nd - {_BT_HOLDOUT}
+    )
+    SELECT t.event_type, q.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           q.q_hat_us,
+           CAST(SUM(CASE WHEN t.r <= q.q_hat_us THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(SUM(CASE WHEN t.r <= q.q_hat_us THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS coverage_bp
+    FROM test t JOIN qhat q ON q.event_type = t.event_type
+    GROUP BY 1, 2, 4
+    """,
+)
+def q236_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals for the q203 forecast —
+    the distribution-free calibration wrapper (Vovk; popularized as
+    conformal prediction) that turns ANY point forecast into an
+    interval with finite-sample coverage ≥ 1−α, no error-model
+    assumed: the 80% interval half-width q̂ is the ⌈(n+1)(1−α)⌉-th
+    smallest calibration residual of the seasonal-naive forecast,
+    and the held-out week audits empirical coverage. This is the
+    honest error bar a forecast-serving pipeline ships next to q203's
+    MAE — backtest says how good the point is, conformal says how
+    wide the promise must be.
+
+    Exactness: residuals are integer micro-units; the conformal rank
+    ⌈(n+1)(1−α)⌉ is computed with integer ceiling-division and
+    selected by ROW_NUMBER over the tiny per-type calibration frame
+    (tie-break residual, day-index); q̂ and the coverage basis points
+    stay integers end to end. Scale shape = q203's: one (type, day)
+    aggregate over events, then everything is O(types × days)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(_v_us()).alias("v_us"))
+    w = W.partitionBy("event_type").orderBy("day")
+    wc = W.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "v_us",
+        F.row_number().over(w).alias("dn"),
+        F.count("*").over(wc).alias("nd"),
+    )
+    f = idx.select(
+        F.col("event_type").alias("f_type"),
+        F.col("v_us").alias("f_us"),
+        (F.col("dn") + _BT_SEASON).alias("f_dn"),
+    )
+    joined = idx.join(
+        f,
+        (F.col("f_type") == F.col("event_type")) & (F.col("f_dn") == F.col("dn")),
+    ).select(
+        "event_type",
+        "dn",
+        "nd",
+        F.abs(F.col("v_us") - F.col("f_us")).cast("long").alias("r"),
+    )
+    cal = joined.filter(F.col("dn") <= F.col("nd") - _BT_HOLDOUT).select(
+        "event_type",
+        "r",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("r", "dn"))
+        .alias("rn"),
+        F.count("*").over(wc).alias("n_cal"),
+    )
+    k = F.least(
+        F.expr(
+            f"((n_cal + 1) * ({_CP_ALPHA_DEN} - {_CP_ALPHA_NUM})"
+            f" + {_CP_ALPHA_DEN} - 1) DIV {_CP_ALPHA_DEN}"
+        ),
+        F.col("n_cal"),
+    )
+    qhat = cal.groupBy("event_type").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.max(F.when(F.col("rn") == k, F.col("r"))).cast("long").alias("q_hat_us"),
+    )
+    test = joined.filter(F.col("dn") > F.col("nd") - _BT_HOLDOUT).select(
+        "event_type", "r"
+    )
+    covered = F.sum(F.when(F.col("r") <= F.col("q_hat_us"), 1).otherwise(0))
+    return (
+        test.join(qhat, "event_type")
+        .groupBy("event_type", "n_cal", "q_hat_us")
+        .agg(
+            F.count("*").alias("n_test"),
+            covered.cast("long").alias("n_covered"),
+            F.expr(
+                "CAST(SUM(CASE WHEN r <= q_hat_us THEN 1 ELSE 0 END) * 10000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("coverage_bp"),
+        )
+        .select(
+            "event_type", "n_cal", "n_test", "q_hat_us", "n_covered",
+            "coverage_bp",
+        )
+    )

@@ -136,7 +136,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q228_map_profile", "q229_watermark_tuning", "q230_schema_diff",
     "q231_equidepth_histogram", "q232_fd_discovery", "q233_median_ci",
     "q234_stats_merge_audit", "q235_delta_method",
-    "q236_conformal_intervals",
+    "q236_conformal_intervals", "q237_jdbc_roundtrip",
 )
 
 

@@ -2857,3 +2857,46 @@ def q234_stats_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_MERGE_BOUND_BP) * F.col("ndv_exact")
         ).alias("ndv_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — LIVE JDBC round-trip through embedded Derby (S7/S8/S10 e2e)
+# ---------------------------------------------------------------------------
+@query(
+    "q237_jdbc_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           {sql_exact_sum("s_acctbal", "bal_sum")}
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q237_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE JDBC round-trip — the reference's SQL-database load path
+    (S7/S8, utils/datsetup.py:98-117) executed end to end against a
+    REAL database under the driver's value gate: supplier →
+    ``write_jdbc(mode='replace')`` into embedded Apache Derby →
+    ``spark.read.jdbc`` back → aggregate. Matching the same aggregate
+    over the parquet original proves the DB round-trip lossless
+    including the doubles (Derby stores IEEE DOUBLE bit-exactly).
+    tests/test_sinks.py exercises replace-overwrite, append, and PK
+    DDL; this query puts the read-back under the cross-engine hash.
+
+    Scale: the JDBC writer bounds concurrent connections via
+    repartition(num_partitions) — a 1000-executor job cannot open
+    1000 sessions against one database; the read side is a single
+    partition here (Derby is embedded), production reads shard with
+    partitionColumn bounds. The database lives under the scratch root
+    keyed by sf_dir, so scales don't collide."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+    from ecowatt_etl_spark.sources.jdbc import write_jdbc
+
+    s = load_table(spark, sf_dir, "supplier")
+    url = f"jdbc:derby:{SCRATCH_ROOT}/{bucket_token(sf_dir)}/derby_rt;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_jdbc(s, url, "supplier_rt", mode="replace", properties=props)
+    back = spark.read.jdbc(url=url, table="supplier_rt", properties=props)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        exact_sum("s_acctbal", "bal_sum"),
+    )

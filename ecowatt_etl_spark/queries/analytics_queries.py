@@ -2132,3 +2132,121 @@ def q235_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("se") / F.lit(1_000_000.0)).alias("std_err"),
         "z_stat",
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — distribution-drift report per event type (KS, first vs second half)
+# ---------------------------------------------------------------------------
+_DRIFT_C = 1.358  # two-sample KS critical coefficient, alpha = 0.05
+
+
+@query(
+    "q238_drift_report",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts) AS tus FROM events
+    ),
+    b AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS cutoff FROM ev),
+    g AS (
+      SELECT event_type, value,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN tus < b.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca
+      FROM ev, b GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type,
+             SUM(ca) OVER w AS cuma, SUM(cnt - ca) OVER w AS cumb
+      FROM g WINDOW w AS (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cnt - ca) AS BIGINT) AS nb
+      FROM g GROUP BY 1
+    ),
+    d AS (
+      SELECT c.event_type, tot.na, tot.nb,
+             CAST(MAX(abs(CAST(cuma AS HUGEINT) * tot.nb
+                          - CAST(cumb AS HUGEINT) * tot.na)) AS BIGINT)
+               AS d_num
+      FROM c JOIN tot ON tot.event_type = c.event_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, na AS n_first, nb AS n_second,
+           CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb) AS d_stat,
+           {_DRIFT_C} * sqrt((CAST(na AS DOUBLE) + nb)
+                             / (CAST(na AS DOUBLE) * nb)) AS critical,
+           CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+             > {_DRIFT_C} * sqrt((CAST(na AS DOUBLE) + nb)
+                                 / (CAST(na AS DOUBLE) * nb)) AS drifted
+    FROM d
+    """,
+)
+def q238_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT monitor — the ML-ops report every serving
+    pipeline runs on its features: per event type, the two-sample KS
+    statistic between the FIRST and SECOND half of the event-time
+    range (data-derived midpoint, q211's convention), flagged against
+    the α=0.05 critical value 1.358·√((n₁+n₂)/(n₁n₂)). The
+    distribution-shape alternative to mean-drift dashboards: a
+    variance blow-up or emerging bimodality trips this when means
+    alone look stable. PSI — the other industry drift metric — needs
+    ln(p/q) (not IEEE-exact cross-engine); KS gives the same
+    monitoring signal with the integer-exact ECDF-gap machinery q217
+    pins, here partitioned per type.
+
+    Integer ECDF gaps (128-bit products), one reduced-frame window
+    per type, IEEE-exact final division/sqrt — hash-exact. Scale:
+    one (type, value) aggregate over events, windows over distinct
+    values only; the drift verdicts are |types| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("tus")
+    )
+    b = ev.agg(F.expr("(MIN(tus) + MAX(tus)) DIV 2").alias("cutoff"))
+    g = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type", "value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.when(F.col("tus") < F.col("cutoff"), 1).otherwise(0)
+            ).alias("ca"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum(F.col("cnt") - F.col("ca")).over(w).alias("cumb"),
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("cnt") - F.col("ca")).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+    )
+    d = (
+        c.join(tot, "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(F.max(gap).cast("long").alias("d_num"))
+    )
+    na_d = F.col("na").cast("double")
+    d_stat = F.col("d_num").cast("double") / (na_d * F.col("nb"))
+    crit = F.lit(_DRIFT_C) * F.sqrt(
+        (na_d + F.col("nb")) / (na_d * F.col("nb"))
+    )
+    return d.select(
+        "event_type",
+        F.col("na").alias("n_first"),
+        F.col("nb").alias("n_second"),
+        d_stat.alias("d_stat"),
+        crit.alias("critical"),
+        (d_stat > crit).alias("drifted"),
+    )

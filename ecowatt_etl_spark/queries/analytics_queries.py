@@ -2250,3 +2250,142 @@ def q238_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("critical"),
         (d_stat > crit).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — difference-in-differences (two-period user panel)
+# ---------------------------------------------------------------------------
+@query(
+    "q239_diff_in_diff",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS yv
+      FROM events
+    ),
+    b AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS cutoff FROM ev),
+    pu AS (
+      SELECT user_id, user_id % 2 AS variant,
+             SUM(CASE WHEN tus < b.cutoff THEN yv ELSE 0 END) AS pre,
+             SUM(CASE WHEN tus >= b.cutoff THEN yv ELSE 0 END) AS post
+      FROM ev, b GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS HUGEINT) AS sp,
+             CAST(SUM(post) AS HUGEINT) AS sq,
+             CAST(SUM(post - pre) AS HUGEINT) AS sd,
+             SUM(CAST(post - pre AS HUGEINT) * (post - pre)) AS sdd
+      FROM pu GROUP BY 1
+    ),
+    t AS (
+      SELECT a1.n AS n1, a0.n AS n0,
+             CAST(CAST(a1.sp AS VARCHAR) AS DOUBLE) / a1.n AS mp1,
+             CAST(CAST(a1.sq AS VARCHAR) AS DOUBLE) / a1.n AS mq1,
+             CAST(CAST(a0.sp AS VARCHAR) AS DOUBLE) / a0.n AS mp0,
+             CAST(CAST(a0.sq AS VARCHAR) AS DOUBLE) / a0.n AS mq0,
+             CAST(CAST(a1.sd AS VARCHAR) AS DOUBLE) / a1.n
+               - CAST(CAST(a0.sd AS VARCHAR) AS DOUBLE) / a0.n AS did_u,
+             CAST(CAST(a1.n * a1.sdd - a1.sd * a1.sd AS VARCHAR) AS DOUBLE)
+               / a1.n / (a1.n - 1) AS v1,
+             CAST(CAST(a0.n * a0.sdd - a0.sd * a0.sd AS VARCHAR) AS DOUBLE)
+               / a0.n / (a0.n - 1) AS v0
+      FROM pv a1, pv a0 WHERE a1.variant = 1 AND a0.variant = 0
+    )
+    SELECT n1, n0,
+           mp1 / 1000000.0 AS mean_pre_treat,
+           mq1 / 1000000.0 AS mean_post_treat,
+           mp0 / 1000000.0 AS mean_pre_ctrl,
+           mq0 / 1000000.0 AS mean_post_ctrl,
+           did_u / 1000000.0 AS did_estimate,
+           did_u / sqrt(v1 / n1 + v0 / n0) AS z_stat
+    FROM t
+    """,
+)
+def q239_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse causal estimate when
+    randomization is absent or imperfect: each user contributes a
+    two-period (pre, post) pair; DiD = (ȳ₁ᵖᵒˢᵗ−ȳ₁ᵖʳᵉ) −
+    (ȳ₀ᵖᵒˢᵗ−ȳ₀ᵖʳᵉ) nets out both time trends and fixed group
+    differences under parallel trends. On the user panel this reduces
+    to a two-sample comparison of per-user DELTAS (post−pre), so the
+    standard error is the Welch form over the delta moments — exactly
+    the clustering-correct treatment (each user is one independent
+    observation, however many events they have). Completes the causal
+    corner of the experimentation shelf: q211 adjusts, q227 monitors,
+    q235 handles ratios, this one handles non-randomized rollouts.
+    All four cell means are reported for the classic 2×2 table.
+
+    Per-user sums are integer micro-units; delta moments exact
+    (HUGEINT/decimal); the estimate and z are IEEE-exact compositions
+    — the q211 discipline verbatim. One per-user conditional
+    aggregate, one 2-row rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.col("value").cast(_DEC_Y) * 1_000_000).cast("long").alias("yv"),
+    )
+    b = ev.agg(F.expr("(MIN(tus) + MAX(tus)) DIV 2").alias("cutoff"))
+    pu = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.sum(
+                F.when(F.col("tus") < F.col("cutoff"), F.col("yv")).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(F.col("tus") >= F.col("cutoff"), F.col("yv")).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    delta = F.col("post") - F.col("pre")
+    pv = pu.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("pre").cast("decimal(38,0)").alias("sp"),
+        F.sum("post").cast("decimal(38,0)").alias("sq"),
+        F.sum(delta).cast("decimal(38,0)").alias("sd"),
+        F.sum(delta.cast("decimal(38,0)") * delta).cast("decimal(38,0)").alias("sdd"),
+    )
+    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    a1 = pv.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("sp").alias("sp1"),
+        F.col("sq").alias("sq1"), F.col("sd").alias("sd1"),
+        F.col("sdd").alias("sdd1"),
+    )
+    a0 = pv.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("sp").alias("sp0"),
+        F.col("sq").alias("sq0"), F.col("sd").alias("sd0"),
+        F.col("sdd").alias("sdd0"),
+    )
+    t = a1.crossJoin(a0).select(
+        "n1",
+        "n0",
+        (_d(F.col("sp1")) / F.col("n1")).alias("mp1"),
+        (_d(F.col("sq1")) / F.col("n1")).alias("mq1"),
+        (_d(F.col("sp0")) / F.col("n0")).alias("mp0"),
+        (_d(F.col("sq0")) / F.col("n0")).alias("mq0"),
+        (
+            _d(F.col("sd1")) / F.col("n1") - _d(F.col("sd0")) / F.col("n0")
+        ).alias("did_u"),
+        (
+            _d(F.col("n1") * F.col("sdd1") - F.col("sd1") * F.col("sd1"))
+            / F.col("n1") / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            _d(F.col("n0") * F.col("sdd0") - F.col("sd0") * F.col("sd0"))
+            / F.col("n0") / (F.col("n0") - 1)
+        ).alias("v0"),
+    )
+    return t.select(
+        "n1",
+        "n0",
+        (F.col("mp1") / F.lit(1_000_000.0)).alias("mean_pre_treat"),
+        (F.col("mq1") / F.lit(1_000_000.0)).alias("mean_post_treat"),
+        (F.col("mp0") / F.lit(1_000_000.0)).alias("mean_pre_ctrl"),
+        (F.col("mq0") / F.lit(1_000_000.0)).alias("mean_post_ctrl"),
+        (F.col("did_u") / F.lit(1_000_000.0)).alias("did_estimate"),
+        (
+            F.col("did_u")
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"))
+        ).alias("z_stat"),
+    )

@@ -2043,3 +2043,123 @@ def q229_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dropped_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — Kaplan–Meier time-to-event curve with right-censoring
+# ---------------------------------------------------------------------------
+_KM_HI = 225.0  # "conversion": first event with value >= this (~p99 of draws)
+
+
+@query(
+    "q240_kaplan_meier",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_ev,
+             MIN(CASE WHEN value >= {_KM_HI} THEN CAST(ts AS DATE) END)
+               AS first_hi
+      FROM events GROUP BY user_id
+    ),
+    rng AS (SELECT MAX(CAST(ts AS DATE)) AS range_end FROM events),
+    flagged AS (
+      SELECT date_diff('day', first_ev,
+                       COALESCE(first_hi, rng.range_end)) AS t,
+             CASE WHEN first_hi IS NULL THEN 1 ELSE 0 END AS cens
+      FROM pu, rng
+    ),
+    g AS (
+      SELECT t, CAST(SUM(1 - cens) AS BIGINT) AS d,
+             CAST(SUM(cens) AS BIGINT) AS c
+      FROM flagged GROUP BY t
+    ),
+    r AS (
+      SELECT t, d, c,
+             CAST((SELECT COUNT(*) FROM flagged)
+                  - COALESCE(SUM(d + c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS nr
+      FROM g
+    ),
+    arr AS (
+      SELECT list({{'t': t, 'nr': nr, 'd': d, 'c': c}} ORDER BY t) AS a
+      FROM r WHERE d >= 1
+    )
+    SELECT a[i].t AS duration_days,
+           a[i].nr AS n_risk, a[i].d AS n_events, a[i].c AS n_censored,
+           list_reduce(
+             list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(a[1:i],
+                 x -> CAST(x.nr - x.d AS DOUBLE) / x.nr)),
+             (p, q) -> p * q) AS survival
+    FROM arr, UNNEST(generate_series(1, len(a))) AS u(i)
+    """,
+)
+def q240_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER time-to-event curve — proper SURVIVAL analysis
+    for "days from a user's first activity to their first high-value
+    event" (value ≥ 225, ~1% of draws, so roughly half the users
+    never convert inside the window), with the thing naive
+    time-to-conversion tables get wrong: RIGHT-CENSORING. A user with
+    no conversion is censored at the window end — they exit the risk
+    set at their observed exposure without counting as an event,
+    exactly KM's product-limit construction S(t) = Π(1 − dᵢ/nᵢ).
+    Complements q49f (did a funnel convert) with WHEN-calibrated
+    conversion under truncated observation.
+
+    Cross-engine determinism for the cumulative PRODUCT (the one
+    aggregate that is neither sum nor rank): the tiny KM table is
+    collected into ONE ordered array and each row's survival is an
+    explicit left-fold over its prefix (Spark `aggregate(slice(...))`
+    / DuckDB `list_reduce(list_prepend(...))`) — identical factor
+    order, identical IEEE ops, so the floats hash-match without any
+    log-space trick (ln is not IEEE-exact). Risk counts are exact
+    integers via one reduced-frame cumulative window. Scale: one
+    per-user aggregate over events; everything after is
+    O(distinct durations) — the prefix-fold is quadratic only in
+    that tiny count."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_ev"),
+        F.min(
+            F.when(F.col("value") >= _KM_HI, F.to_date("ts"))
+        ).alias("first_hi"),
+    )
+    rng = ev.agg(F.max(F.to_date("ts")).alias("range_end"))
+    flagged = pu.crossJoin(F.broadcast(rng)).select(
+        F.datediff(
+            F.coalesce(F.col("first_hi"), F.col("range_end")),
+            F.col("first_ev"),
+        ).alias("t"),
+        F.when(F.col("first_hi").isNull(), 1).otherwise(0).alias("cens"),
+    )
+    g = flagged.groupBy("t").agg(
+        F.sum(1 - F.col("cens")).alias("d"),
+        F.sum("cens").alias("c"),
+    )
+    n_total = flagged.count()
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.lit(n_total)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+        ).cast("long").alias("nr"),
+    )
+    arr = r.filter(F.col("d") >= 1).agg(
+        F.sort_array(F.collect_list(F.struct("t", "nr", "d", "c"))).alias("a")
+    )
+    return (
+        arr.select("a", F.posexplode("a").alias("pos", "x"))
+        .select(
+            F.col("x.t").alias("duration_days"),
+            F.col("x.nr").alias("n_risk"),
+            F.col("x.d").alias("n_events"),
+            F.col("x.c").alias("n_censored"),
+            F.expr(
+                "aggregate(slice(a, 1, pos + 1), CAST(1.0 AS DOUBLE),"
+                " (p, x) -> p * (CAST(x.nr - x.d AS DOUBLE) / x.nr))"
+            ).alias("survival"),
+        )
+    )

@@ -457,3 +457,22 @@ def test_delta_method_matches_numpy_reconstruction(spark):
         got = out[variant]
         assert abs(got["revenue_per_event"] - r_hat / 1e6) < 1e-9 * abs(r_hat / 1e6)
         assert abs(got["std_err"] - se / 1e6) < 1e-6 * (se / 1e6)
+
+def test_kaplan_meier_curve_is_a_valid_survival_function(spark):
+    """S(t) must start below 1, be strictly within (0, 1], be
+    non-increasing, and the risk set must shrink consistently with
+    events + censorings at each step."""
+    rows = sorted(
+        _q("q240_kaplan_meier").fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows, "expected a non-degenerate KM table"
+    prev_s, prev_risk_floor = 1.0, None
+    for r in rows:
+        assert 0.0 < r["survival"] <= prev_s <= 1.0
+        assert r["n_events"] >= 1
+        if prev_risk_floor is not None:
+            assert r["n_risk"] <= prev_risk_floor
+        prev_risk_floor = r["n_risk"] - r["n_events"] - r["n_censored"]
+        prev_s = r["survival"]
+    assert any(r["n_censored"] > 0 for r in rows) or rows[-1]["n_risk"] > 0

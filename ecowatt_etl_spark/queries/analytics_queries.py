@@ -2389,3 +2389,102 @@ def q239_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"))
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — power analysis / minimum detectable effect (pre-experiment)
+# ---------------------------------------------------------------------------
+_PW_Z_ALPHA = 1.96  # two-sided alpha = 0.05
+_PW_Z_BETA = 0.8416  # power = 0.8 (published normal quantiles)
+
+
+@query(
+    "q241_power_analysis",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pu
+    ),
+    v AS (
+      SELECT n,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n AS mean_u,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)
+               / n / (n - 1) AS var_u
+      FROM s
+    )
+    SELECT n AS n_users, mean_u / 1000000.0 AS mean_metric,
+           sqrt(var_u) / 1000000.0 AS stddev_metric,
+           ({_PW_Z_ALPHA} + {_PW_Z_BETA})
+             * sqrt(2 * var_u / (n / 2)) / 1000000.0 AS mde_abs,
+           CAST(({_PW_Z_ALPHA} + {_PW_Z_BETA})
+                * sqrt(2 * var_u / (n / 2)) * 10000 / mean_u AS BIGINT)
+             AS mde_bp,
+           CAST(CAST(ceil(2 * ({_PW_Z_ALPHA} + {_PW_Z_BETA})
+                          * ({_PW_Z_ALPHA} + {_PW_Z_BETA})
+                          * var_u / (mean_u * 0.01 * mean_u * 0.01))
+                     AS BIGINT) * 2 AS BIGINT) AS n_for_1pct
+    FROM v
+    """,
+)
+def q241_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER ANALYSIS — the pre-experiment planning table that pairs
+    with q227's in-flight monitoring: from the observed per-user
+    metric variance, (a) the MINIMUM DETECTABLE EFFECT a 50/50 split
+    of the current population can resolve at α=0.05, power 0.8 —
+    MDE = (z_{{α/2}}+z_β)·√(2σ²/(n/2)) — in absolute units and basis
+    points of the mean, and (b) the total sample size needed to
+    detect a 1% lift (n/arm = 2(z_{{α/2}}+z_β)²σ²/Δ²). Every
+    experimentation platform shows exactly these two numbers before
+    a test launches; shipping them as a query makes the warehouse
+    the source of truth for them.
+
+    The z quantiles are published literals (the q227/q233
+    discipline); σ² comes from exact integer moments; sqrt/ceil are
+    IEEE-exact on exact inputs. One per-user aggregate, one 1-row
+    reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast(_DEC_Y) * 1_000_000).cast("long")).alias("y")
+    )
+    yd = F.col("y").cast("decimal(38,0)")
+    s = pu.agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    v = s.select(
+        "n",
+        (_d(F.col("sy")) / F.col("n")).alias("mean_u"),
+        (
+            _d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            / F.col("n")
+            / (F.col("n") - 1)
+        ).alias("var_u"),
+    )
+    zsum = F.lit(_PW_Z_ALPHA + _PW_Z_BETA)
+    mde_u = zsum * F.sqrt(2 * F.col("var_u") / (F.col("n") / 2))
+    return v.select(
+        F.col("n").alias("n_users"),
+        (F.col("mean_u") / F.lit(1_000_000.0)).alias("mean_metric"),
+        (F.sqrt(F.col("var_u")) / F.lit(1_000_000.0)).alias("stddev_metric"),
+        (mde_u / F.lit(1_000_000.0)).alias("mde_abs"),
+        (mde_u * 10_000 / F.col("mean_u")).cast("long").alias("mde_bp"),
+        (
+            F.ceil(
+                2
+                * zsum
+                * zsum
+                * F.col("var_u")
+                / (F.col("mean_u") * 0.01 * F.col("mean_u") * 0.01)
+            ).cast("long")
+            * 2
+        ).cast("long").alias("n_for_1pct"),
+    )

@@ -2163,3 +2163,169 @@ def q240_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 — log-rank test: does time-to-conversion differ between arms?
+# ---------------------------------------------------------------------------
+@query(
+    "q242_logrank",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MIN(CAST(ts AS DATE)) AS first_ev,
+             MIN(CASE WHEN value >= {_KM_HI} THEN CAST(ts AS DATE) END)
+               AS first_hi
+      FROM events GROUP BY user_id, user_id % 2
+    ),
+    rng AS (SELECT MAX(CAST(ts AS DATE)) AS range_end FROM events),
+    flagged AS (
+      SELECT variant,
+             date_diff('day', first_ev,
+                       COALESCE(first_hi, rng.range_end)) AS t,
+             CASE WHEN first_hi IS NULL THEN 1 ELSE 0 END AS cens
+      FROM pu, rng
+    ),
+    n_arm AS (
+      SELECT CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0
+      FROM flagged
+    ),
+    g AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN variant = 1 AND cens = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN variant = 0 AND cens = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d0,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x1,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x0
+      FROM flagged GROUP BY t
+    ),
+    r AS (
+      SELECT t, d1, d0, d1 + d0 AS d,
+             n_arm.n1 - COALESCE(SUM(x1) OVER w, 0) AS nr1,
+             n_arm.n1 + n_arm.n0
+               - COALESCE(SUM(x1 + x0) OVER w, 0) AS nr
+      FROM g, n_arm
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING)
+    ),
+    strata AS (
+      SELECT t, d1,
+             CAST(d * nr1 AS DOUBLE) / nr AS e1,
+             CASE WHEN nr <= 1 THEN 0 ELSE
+               (CAST(d * nr1 AS DOUBLE) / nr)
+                 * (1 - CAST(nr1 AS DOUBLE) / nr)
+                 * (CAST(nr - d AS DOUBLE) / (nr - 1))
+             END AS vt
+      FROM r WHERE d >= 1
+    ),
+    arr AS (
+      SELECT list({{'t': t, 'd1': d1, 'e1': e1, 'vt': vt}} ORDER BY t) AS a
+      FROM strata
+    )
+    SELECT n_arm.n1, n_arm.n0,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(a, x -> x.d1)), (p, q) -> p + q) AS BIGINT)
+             AS observed_1,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(a, x -> x.e1)), (p, q) -> p + q) AS expected_1,
+           (list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(a, x -> x.d1)), (p, q) -> p + q)
+            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(a, x -> x.e1)), (p, q) -> p + q))
+           / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a, x -> x.vt)), (p, q) -> p + q)) AS z_stat
+    FROM arr, n_arm
+    """,
+)
+def q242_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK test — does time-to-conversion DIFFER between the two
+    arms? The standard nonparametric comparison of q240's survival
+    curves, censoring-aware where a naive mean-duration t-test is
+    biased: at each event time, arm 1's observed events are compared
+    to the expectation d·n₁/n under the null of identical hazards;
+    z = (O−E)/√V with the hypergeometric variance per stratum.
+    Completes the survival pair (q240 estimates, q242 compares) and
+    gives the experimentation shelf its censored-outcome test.
+
+    Determinism: per-stratum inputs are exact integers from one
+    reduced-frame cumulative window; the O/E/V sums run as explicit
+    ORDERED prefix-folds over one collected array (q240's discipline
+    — aggregate SUM over doubles has nondeterministic order, a fold
+    does not), and z's division/sqrt are IEEE-exact. Scale: one
+    per-user aggregate over events; everything after is O(distinct
+    event times)."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.min(F.to_date("ts")).alias("first_ev"),
+        F.min(
+            F.when(F.col("value") >= _KM_HI, F.to_date("ts"))
+        ).alias("first_hi"),
+    )
+    rng = ev.agg(F.max(F.to_date("ts")).alias("range_end"))
+    flagged = pu.crossJoin(F.broadcast(rng)).select(
+        "variant",
+        F.datediff(
+            F.coalesce(F.col("first_hi"), F.col("range_end")),
+            F.col("first_ev"),
+        ).alias("t"),
+        F.when(F.col("first_hi").isNull(), 1).otherwise(0).alias("cens"),
+    )
+    n_arm = flagged.agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    g = flagged.groupBy("t").agg(
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("cens") == 0), 1).otherwise(0)
+        ).alias("d1"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("cens") == 0), 1).otherwise(0)
+        ).alias("d0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("x0"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    r = g.crossJoin(F.broadcast(n_arm)).select(
+        "t",
+        "d1",
+        (F.col("d1") + F.col("d0")).alias("d"),
+        (F.col("n1") - F.coalesce(F.sum("x1").over(w), F.lit(0))).alias("nr1"),
+        (
+            F.col("n1")
+            + F.col("n0")
+            - F.coalesce(F.sum(F.col("x1") + F.col("x0")).over(w), F.lit(0))
+        ).alias("nr"),
+    )
+    e1 = (F.col("d") * F.col("nr1")).cast("double") / F.col("nr")
+    vt = F.when(F.col("nr") <= 1, F.lit(0.0)).otherwise(
+        e1
+        * (1 - F.col("nr1").cast("double") / F.col("nr"))
+        * ((F.col("nr") - F.col("d")).cast("double") / (F.col("nr") - 1))
+    )
+    strata = r.filter(F.col("d") >= 1).select(
+        "t", "d1", e1.alias("e1"), vt.alias("vt")
+    )
+    arr = strata.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d1", "e1", "vt"))).alias("a")
+    )
+    fold = lambda field, zero, typ: F.expr(  # noqa: E731
+        f"aggregate(a, CAST({zero} AS {typ}), (p, x) -> p + x.{field})"
+    )
+    return arr.crossJoin(F.broadcast(n_arm)).select(
+        "n1",
+        "n0",
+        fold("d1", 0, "BIGINT").alias("observed_1"),
+        fold("e1", 0.0, "DOUBLE").alias("expected_1"),
+        (
+            (fold("d1", 0, "BIGINT") - fold("e1", 0.0, "DOUBLE"))
+            / F.sqrt(fold("vt", 0.0, "DOUBLE"))
+        ).alias("z_stat"),
+    )

@@ -55,6 +55,15 @@ def exact_sum_product(a: str | Column, b: str | Column, alias: str) -> Column:
 # matching Spark's BigDecimal.doubleValue(), which is correctly rounded.
 
 
+def str_double(col: Column) -> Column:
+    """String-routed decimal→double cast — THE exactness-critical
+    conversion (both engines render the exact decimal then parse the
+    double, so they round identically; a direct decimal→double cast
+    may not). Every final division in the exact-moment queries goes
+    through this."""
+    return col.cast("string").cast("double")
+
+
 def sql_exact_sum(col_expr: str, alias: str) -> str:
     """DuckDB twin of :func:`exact_sum`."""
     return (

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ecowatt_etl_spark.functions.exact import str_double as _d
 from ecowatt_etl_spark.queries.registry import query
 from ecowatt_etl_spark.sources.tables import load_table
 
@@ -1043,7 +1044,6 @@ def q211_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("svxy").cast("decimal(38,0)").alias("sxy"),
         F.sum("svyy").cast("decimal(38,0)").alias("syy"),
     )
-    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
     t = g.select(
         "n",
         _d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_t"),
@@ -1541,7 +1541,6 @@ def q218_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ryd * F.col("ry")).cast("decimal(38,0)").alias("syy"),
         F.sum(rxd * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
     )
-    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -1640,7 +1639,6 @@ def q221_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pu = ev.groupBy(
         "user_id", (F.col("user_id") % 2).alias("variant")
     ).agg(F.sum("yv").alias("y"))
-    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
     obs = pu.agg(
         F.count("*").alias("n_users"),
         (
@@ -1839,7 +1837,6 @@ def q227_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("decimal(38,0)").alias("s"),
         F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("ss"),
     )
-    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
     a1 = arm.filter(F.col("variant") == 1).select(
         "k", F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
     )
@@ -1978,7 +1975,6 @@ def q233_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
     return (
         cum.crossJoin(F.broadcast(t))
         .groupBy("n")
@@ -2083,7 +2079,6 @@ def q235_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
         F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
-    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
     t = pv.select(
         "variant",
         "n",
@@ -2346,7 +2341,6 @@ def q239_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(delta).cast("decimal(38,0)").alias("sd"),
         F.sum(delta.cast("decimal(38,0)") * delta).cast("decimal(38,0)").alias("sdd"),
     )
-    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
     a1 = pv.filter(F.col("variant") == 1).select(
         F.col("n").alias("n1"), F.col("sp").alias("sp1"),
         F.col("sq").alias("sq1"), F.col("sd").alias("sd1"),
@@ -2423,8 +2417,8 @@ _PW_Z_BETA = 0.8416  # power = 0.8 (published normal quantiles)
            sqrt(var_u) / 1000000.0 AS stddev_metric,
            ({_PW_Z_ALPHA} + {_PW_Z_BETA})
              * sqrt(2 * var_u / (n / 2)) / 1000000.0 AS mde_abs,
-           CAST(({_PW_Z_ALPHA} + {_PW_Z_BETA})
-                * sqrt(2 * var_u / (n / 2)) * 10000 / mean_u AS BIGINT)
+           CAST(floor(({_PW_Z_ALPHA} + {_PW_Z_BETA})
+                * sqrt(2 * var_u / (n / 2)) * 10000 / mean_u) AS BIGINT)
              AS mde_bp,
            CAST(CAST(ceil(2 * ({_PW_Z_ALPHA} + {_PW_Z_BETA})
                           * ({_PW_Z_ALPHA} + {_PW_Z_BETA})
@@ -2459,7 +2453,6 @@ def q241_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("decimal(38,0)").alias("sy"),
         F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
-    _d = lambda c: c.cast("string").cast("double")  # noqa: E731
     v = s.select(
         "n",
         (_d(F.col("sy")) / F.col("n")).alias("mean_u"),
@@ -2476,7 +2469,9 @@ def q241_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mean_u") / F.lit(1_000_000.0)).alias("mean_metric"),
         (F.sqrt(F.col("var_u")) / F.lit(1_000_000.0)).alias("stddev_metric"),
         (mde_u / F.lit(1_000_000.0)).alias("mde_abs"),
-        (mde_u * 10_000 / F.col("mean_u")).cast("long").alias("mde_bp"),
+        # explicit floor: Spark's double->long cast truncates while
+        # DuckDB's CAST rounds — floor() is the one both engines share
+        F.floor(mde_u * 10_000 / F.col("mean_u")).cast("long").alias("mde_bp"),
         (
             F.ceil(
                 2

@@ -2047,26 +2047,67 @@ def q229_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q240 — Kaplan–Meier time-to-event curve with right-censoring
+# q242 — log-rank comparison of the same curves between arms
 # ---------------------------------------------------------------------------
 _KM_HI = 225.0  # "conversion": first event with value >= this (~p99 of draws)
+_KM_EV_DATE = "CAST(ts AS DATE)"
+
+
+def _km_flagged_sql(with_variant: bool) -> str:
+    """Shared oracle CTEs for the survival pair: per-user duration to
+    first high-value event with administrative censoring at the window
+    end. q242 is only a valid comparison of q240's curves if this
+    construction stays IDENTICAL — hence one definition."""
+    vcol = "user_id % 2 AS variant," if with_variant else ""
+    vsel = "variant," if with_variant else ""
+    return f"""
+    pu AS (
+      SELECT user_id, {vcol}
+             MIN({_KM_EV_DATE}) AS first_ev,
+             MIN(CASE WHEN value >= {_KM_HI} THEN {_KM_EV_DATE} END)
+               AS first_hi
+      FROM events GROUP BY ALL
+    ),
+    rng AS (SELECT MAX({_KM_EV_DATE}) AS range_end FROM events),
+    flagged AS (
+      SELECT {vsel}
+             date_diff('day', first_ev,
+                       COALESCE(first_hi, rng.range_end)) AS t,
+             CASE WHEN first_hi IS NULL THEN 1 ELSE 0 END AS cens
+      FROM pu, rng
+    )"""
+
+
+def _km_flagged(
+    spark: SparkSession, sf_dir: str, with_variant: bool
+) -> DataFrame:
+    """Spark twin of :func:`_km_flagged_sql` — the one place the
+    censoring construction is defined."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["user_id"] + (
+        [(F.col("user_id") % 2).alias("variant")] if with_variant else []
+    )
+    pu = ev.groupBy(*keys).agg(
+        F.min(F.to_date("ts")).alias("first_ev"),
+        F.min(
+            F.when(F.col("value") >= _KM_HI, F.to_date("ts"))
+        ).alias("first_hi"),
+    )
+    rng = ev.agg(F.max(F.to_date("ts")).alias("range_end"))
+    cols = (["variant"] if with_variant else []) + [
+        F.datediff(
+            F.coalesce(F.col("first_hi"), F.col("range_end")),
+            F.col("first_ev"),
+        ).alias("t"),
+        F.when(F.col("first_hi").isNull(), 1).otherwise(0).alias("cens"),
+    ]
+    return pu.crossJoin(F.broadcast(rng)).select(*cols)
 
 
 @query(
     "q240_kaplan_meier",
     oracle=f"""
-    WITH pu AS (
-      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_ev,
-             MIN(CASE WHEN value >= {_KM_HI} THEN CAST(ts AS DATE) END)
-               AS first_hi
-      FROM events GROUP BY user_id
-    ),
-    rng AS (SELECT MAX(CAST(ts AS DATE)) AS range_end FROM events),
-    flagged AS (
-      SELECT date_diff('day', first_ev,
-                       COALESCE(first_hi, rng.range_end)) AS t,
-             CASE WHEN first_hi IS NULL THEN 1 ELSE 0 END AS cens
-      FROM pu, rng
-    ),
+    WITH {_km_flagged_sql(False)},
     g AS (
       SELECT t, CAST(SUM(1 - cens) AS BIGINT) AS d,
              CAST(SUM(cens) AS BIGINT) AS c
@@ -2104,7 +2145,9 @@ def q240_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     set at their observed exposure without counting as an event,
     exactly KM's product-limit construction S(t) = Π(1 − dᵢ/nᵢ).
     Complements q49f (did a funnel convert) with WHEN-calibrated
-    conversion under truncated observation.
+    conversion under truncated observation. The censoring
+    construction is shared with q242 (one helper, one oracle
+    fragment) so the estimator and its test can never diverge.
 
     Cross-engine determinism for the cumulative PRODUCT (the one
     aggregate that is neither sum nor rank): the tiny KM table is
@@ -2117,21 +2160,7 @@ def q240_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user aggregate over events; everything after is
     O(distinct durations) — the prefix-fold is quadratic only in
     that tiny count."""
-    ev = load_table(spark, sf_dir, "events")
-    pu = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("first_ev"),
-        F.min(
-            F.when(F.col("value") >= _KM_HI, F.to_date("ts"))
-        ).alias("first_hi"),
-    )
-    rng = ev.agg(F.max(F.to_date("ts")).alias("range_end"))
-    flagged = pu.crossJoin(F.broadcast(rng)).select(
-        F.datediff(
-            F.coalesce(F.col("first_hi"), F.col("range_end")),
-            F.col("first_ev"),
-        ).alias("t"),
-        F.when(F.col("first_hi").isNull(), 1).otherwise(0).alias("cens"),
-    )
+    flagged = _km_flagged(spark, sf_dir, with_variant=False)
     g = flagged.groupBy("t").agg(
         F.sum(1 - F.col("cens")).alias("d"),
         F.sum("cens").alias("c"),
@@ -2165,27 +2194,10 @@ def q240_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# q242 — log-rank test: does time-to-conversion differ between arms?
-# ---------------------------------------------------------------------------
 @query(
     "q242_logrank",
     oracle=f"""
-    WITH pu AS (
-      SELECT user_id, user_id % 2 AS variant,
-             MIN(CAST(ts AS DATE)) AS first_ev,
-             MIN(CASE WHEN value >= {_KM_HI} THEN CAST(ts AS DATE) END)
-               AS first_hi
-      FROM events GROUP BY user_id, user_id % 2
-    ),
-    rng AS (SELECT MAX(CAST(ts AS DATE)) AS range_end FROM events),
-    flagged AS (
-      SELECT variant,
-             date_diff('day', first_ev,
-                       COALESCE(first_hi, rng.range_end)) AS t,
-             CASE WHEN first_hi IS NULL THEN 1 ELSE 0 END AS cens
-      FROM pu, rng
-    ),
+    WITH {_km_flagged_sql(True)},
     n_arm AS (
       SELECT CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n1,
@@ -2251,7 +2263,9 @@ def q242_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the expectation d·n₁/n under the null of identical hazards;
     z = (O−E)/√V with the hypergeometric variance per stratum.
     Completes the survival pair (q240 estimates, q242 compares) and
-    gives the experimentation shelf its censored-outcome test.
+    gives the experimentation shelf its censored-outcome test. The
+    per-user censoring construction is the SAME helper q240 uses —
+    the pair cannot silently desynchronize.
 
     Determinism: per-stratum inputs are exact integers from one
     reduced-frame cumulative window; the O/E/V sums run as explicit
@@ -2260,24 +2274,7 @@ def q242_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not), and z's division/sqrt are IEEE-exact. Scale: one
     per-user aggregate over events; everything after is O(distinct
     event times)."""
-    ev = load_table(spark, sf_dir, "events")
-    pu = ev.groupBy(
-        "user_id", (F.col("user_id") % 2).alias("variant")
-    ).agg(
-        F.min(F.to_date("ts")).alias("first_ev"),
-        F.min(
-            F.when(F.col("value") >= _KM_HI, F.to_date("ts"))
-        ).alias("first_hi"),
-    )
-    rng = ev.agg(F.max(F.to_date("ts")).alias("range_end"))
-    flagged = pu.crossJoin(F.broadcast(rng)).select(
-        "variant",
-        F.datediff(
-            F.coalesce(F.col("first_hi"), F.col("range_end")),
-            F.col("first_ev"),
-        ).alias("t"),
-        F.when(F.col("first_hi").isNull(), 1).otherwise(0).alias("cens"),
-    )
+    flagged = _km_flagged(spark, sf_dir, with_variant=True)
     n_arm = flagged.agg(
         F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),

@@ -987,10 +987,9 @@ def q236_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_test"),
             covered.cast("long").alias("n_covered"),
-            F.expr(
-                "CAST(SUM(CASE WHEN r <= q_hat_us THEN 1 ELSE 0 END) * 10000"
-                " DIV COUNT(*) AS BIGINT)"
-            ).alias("coverage_bp"),
+        )
+        .withColumn(
+            "coverage_bp", F.expr("CAST(n_covered * 10000 DIV n_test AS BIGINT)")
         )
         .select(
             "event_type", "n_cal", "n_test", "q_hat_us", "n_covered",

@@ -193,6 +193,7 @@ def test_ivf_index_persists_partitioned_by_cell(spark):
     part_dirs = [d for d in glob.glob(f"{cells_dir}/cid=*") if os.path.isdir(d)]
     assert len(part_dirs) > 1  # clustered by cell, not a flat dump
 
+
 def test_k_anonymity_groups_partition_the_population(spark):
     """QI equivalence classes must PARTITION the customer table: every
     customer in exactly one group, so Σ n_individuals == |customer| —
@@ -264,6 +265,7 @@ def test_bfs_hops_satisfy_the_relaxation_equations(spark):
             )
             assert best is not None and d == best + 1
 
+
 def test_memorization_spans_are_consistent(spark):
     """Span accounting: coverage can't exceed the document, a span is
     at least one shingle wide, and spans can't outnumber the
@@ -293,6 +295,7 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark):
     assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
     width = r["ci_hi"] - r["ci_lo"]
     assert width < 0.1 * r["point_mean"]  # ~±1% at n=15k, not garbage
+
 
 def test_rank_tests_match_brute_force_numpy(spark):
     """Independent-algorithm check: recompute Mann–Whitney U and the
@@ -325,6 +328,7 @@ def test_rank_tests_match_brute_force_numpy(spark):
     d_num_brute = int(np.abs(ca * len(b) - cb * len(a)).max())
     assert ks["d_num"] == d_num_brute
 
+
 def test_hll_merged_estimate_is_within_contract(spark):
     """The within_bound verdict q224 ships must reflect a real
     estimate: rebuild the merged sketch here and pin the estimate to
@@ -352,6 +356,7 @@ def test_hll_merged_estimate_is_within_contract(spark):
         est = merged[t]
         assert est > 0
         assert abs(est - n) * 10_000 <= _HLL_BOUND_BP * n, (t, est, n)
+
 
 def test_watermark_loss_curve_is_monotone(spark):
     """A longer watermark can only drop FEWER events, and a delay at
@@ -417,6 +422,7 @@ def test_schema_diff_reports_one_of_each_verdict(spark):
         "s_nationkey": "type_changed",
     }
 
+
 def test_delta_method_matches_numpy_reconstruction(spark):
     """Recompute the ratio, delta-method standard error, and z from
     the raw per-user pairs with numpy and require float-level
@@ -457,6 +463,7 @@ def test_delta_method_matches_numpy_reconstruction(spark):
         got = out[variant]
         assert abs(got["revenue_per_event"] - r_hat / 1e6) < 1e-9 * abs(r_hat / 1e6)
         assert abs(got["std_err"] - se / 1e6) < 1e-6 * (se / 1e6)
+
 
 def test_kaplan_meier_curve_is_a_valid_survival_function(spark):
     """S(t) must start below 1, be strictly within (0, 1], be

@@ -16,9 +16,11 @@ from __future__ import annotations
 import os
 import sys
 
-# streaming sinks / eager iterative trainers execute on construction or
-# need a streaming context — plan text is not the interesting signal
-SKIP_PREFIXES = ("q44", "q45", "q49_s", "q49b", "q88", "qe")
+# streaming sinks / eager iterative trainers / live database writers
+# execute on construction or need a streaming context — plan text is
+# not the interesting signal (q237 does a real Derby JDBC write just
+# to build its frame)
+SKIP_PREFIXES = ("q44", "q45", "q49_s", "q49b", "q88", "q237", "qe")
 
 
 def scan_count(spark, df) -> int:

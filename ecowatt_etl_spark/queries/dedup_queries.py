@@ -1640,3 +1640,134 @@ def q226_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — entity resolution / record linkage (Fellegi–Sunter shape)
+# ---------------------------------------------------------------------------
+# Candidate generation is SymSpell-style neighborhood blocking on the
+# 9-digit name suffix: each record emits 9 keys, one per digit position
+# masked. Two equal-length names share a key IFF they differ in at most
+# that one digit, so the candidate set is EXACTLY the Hamming<=1 pairs —
+# no quadratic block anywhere (a fixed-prefix block would collapse to
+# one giant skew block on these zero-padded ids; the per-position mask
+# keeps every group at most 10 wide by construction).
+_RL_BAL_TIGHT_US = 100_000_000  # |balance diff| <= $100
+_RL_BAL_LOOSE_US = 1_000_000_000  # <= $1000
+_RL_MATCH, _RL_POSSIBLE = 65, 45
+
+
+@query(
+    "q246_record_linkage",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS bal_us,
+             substr(c_name, 10, 9) AS dg
+      FROM customer
+    ),
+    keys AS (
+      SELECT c_custkey,
+             substr(dg, 1, i - 1) || '_' || substr(dg, i + 1, 9 - i) AS mk
+      FROM c, UNNEST(generate_series(1, 9)) AS s(i)
+    ),
+    cand AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM keys a JOIN keys b
+        ON a.mk = b.mk AND a.c_custkey < b.c_custkey
+    ),
+    scored AS (
+      SELECT
+        (CASE WHEN levenshtein(ca.c_name, cb.c_name) <= 1 THEN 30 ELSE 0 END
+         + CASE WHEN ca.c_nationkey = cb.c_nationkey THEN 20 ELSE 0 END
+         + CASE WHEN ca.c_mktsegment = cb.c_mktsegment THEN 15 ELSE 0 END
+         + CASE WHEN abs(ca.bal_us - cb.bal_us) <= {_RL_BAL_TIGHT_US} THEN 20
+                WHEN abs(ca.bal_us - cb.bal_us) <= {_RL_BAL_LOOSE_US} THEN 10
+                ELSE 0 END) AS score
+      FROM cand
+      JOIN c ca ON ca.c_custkey = cand.ka
+      JOIN c cb ON cb.c_custkey = cand.kb
+    )
+    SELECT CASE WHEN score >= {_RL_MATCH} THEN 'match'
+                WHEN score >= {_RL_POSSIBLE} THEN 'possible'
+                ELSE 'non_match' END AS classification,
+           CAST(score AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q246_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over structured records — the Fellegi–Sunter
+    pipeline shape: blocking -> field-comparison vector -> additive
+    match weights -> match / possible / non-match classification, with
+    the decision histogram (score x class x pair count) as the audit
+    output a linkage review queue is built from. Field weights: name
+    edit-distance tier (Levenshtein, both engines' classic integer
+    metric), nationality and segment agreement, and a two-tier account
+    balance proximity on exact micro-units.
+
+    Scale: candidate generation is the deletion-neighborhood trick
+    (header note) — each record emits 9 masked keys, the self-join is
+    key-partitioned, and group width is bounded by the alphabet (10),
+    so candidates are O(n x positions), not O(block^2); the attribute
+    fetch joins back on the record key. All scoring is integer, so the
+    report is engine-exact with no float anywhere."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("bal_us"),
+        F.substring("c_name", 10, 9).alias("dg"),
+    )
+    keys = c.select(
+        "c_custkey",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 9), i -> concat(substring(dg, 1, i - 1),"
+                " '_', substring(dg, i + 1, 9 - i)))"
+            )
+        ).alias("mk"),
+    )
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.mk") == F.col("b.mk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(F.col("a.c_custkey").alias("ka"), F.col("b.c_custkey").alias("kb"))
+    )
+    ca, cb = c.alias("ca"), c.alias("cb")
+    score = (
+        F.when(F.levenshtein(F.col("ca.c_name"), F.col("cb.c_name")) <= 1, 30)
+        .otherwise(0)
+        + F.when(F.col("ca.c_nationkey") == F.col("cb.c_nationkey"), 20).otherwise(0)
+        + F.when(F.col("ca.c_mktsegment") == F.col("cb.c_mktsegment"), 15).otherwise(0)
+        + F.when(
+            F.abs(F.col("ca.bal_us") - F.col("cb.bal_us")) <= _RL_BAL_TIGHT_US, 20
+        )
+        .when(F.abs(F.col("ca.bal_us") - F.col("cb.bal_us")) <= _RL_BAL_LOOSE_US, 10)
+        .otherwise(0)
+    )
+    scored = (
+        cand.join(ca, F.col("ka") == F.col("ca.c_custkey"))
+        .join(cb, F.col("kb") == F.col("cb.c_custkey"))
+        .select(score.alias("score"))
+    )
+    cls = (
+        F.when(F.col("score") >= _RL_MATCH, "match")
+        .when(F.col("score") >= _RL_POSSIBLE, "possible")
+        .otherwise("non_match")
+    )
+    return (
+        scored.groupBy(
+            cls.alias("classification"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select("classification", "score", "n_pairs")
+    )

@@ -752,3 +752,98 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(compressed) * 10000 DIV SUM(uncompressed) AS BIGINT)"
         ).alias("ratio_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — in-flight pipeline telemetry via the Observation API
+# ---------------------------------------------------------------------------
+@query(
+    "q244_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * (CAST(1 AS DECIMAL(18,6))
+                            - CAST(l_discount AS DECIMAL(18,6))))
+                AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returns,
+           MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS last_ship
+    FROM lineitem
+    WHERE l_discount >= 0.05 AND l_discount <= 0.07
+    """,
+)
+def q244_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline telemetry WITHOUT a second scan: the filtered lineitem
+    stream is written to a sink (the no-op DataSource-v2 sink stands in
+    for the production parquet/JDBC writer) while `Observation`
+    accumulators ride the same pass and deliver row count, exact
+    decimal quantity and revenue sums, return count, and the shipdate
+    span. This is how a production pipeline gets its row-count /
+    quality gates for free — the naive form (write, then run a second
+    aggregate over the written data) re-reads the whole table; the
+    observed form costs zero extra I/O at any scale because the
+    metrics are task-side accumulators merged on the driver.
+
+    Exactness: sums ride decimal(18,6) through the accumulators and are
+    rendered to double via the exact string route driver-side
+    (float(str(Decimal)) is correctly rounded — the same conversion
+    `str_double` pins for in-plan casts), so the one-row report is
+    bit-identical to the oracle's aggregate.
+
+    Scale: the observe adds NO exchange and NO extra action — metrics
+    piggyback on task completion events; only the 6-value metrics row
+    crosses the driver boundary. The discount filter is pushed to the
+    parquet scan of the underlying pass."""
+    from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    obs = Observation()
+    observed = (
+        li.filter((F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(rev).alias("revenue"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returns"),
+            F.min(F.to_date("l_shipdate")).alias("first_ship"),
+            F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        )
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("sum_qty", DoubleType()),
+            StructField("revenue", DoubleType()),
+            StructField("n_returns", LongType()),
+            StructField("first_ship", DateType()),
+            StructField("last_ship", DateType()),
+        ]
+    )
+    row = (
+        m["n_rows"],
+        float(str(m["sum_qty"])),
+        float(str(m["revenue"])),
+        m["n_returns"],
+        m["first_ship"],
+        m["last_ship"],
+    )
+    return spark.createDataFrame([row], schema)

@@ -138,7 +138,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q234_stats_merge_audit", "q235_delta_method",
     "q236_conformal_intervals", "q237_jdbc_roundtrip",
     "q238_drift_report", "q239_diff_in_diff", "q240_kaplan_meier",
-    "q241_power_analysis", "q242_logrank",
+    "q241_power_analysis", "q242_logrank", "q243_holt_forecast",
+    "q244_observed_metrics", "q245_nb_quality_classifier",
+    "q246_record_linkage",
 )
 
 

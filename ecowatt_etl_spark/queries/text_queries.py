@@ -2141,3 +2141,182 @@ def q220_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(c * 10000 DIV n_chunks AS BIGINT)").alias("dominant_bp"),
         (F.col("n_langs") > 1).alias("is_mixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — Naive Bayes quality classifier (weak-label distillation)
+# ---------------------------------------------------------------------------
+# Log-probabilities are QUANTIZED to int64 (floor(ln(p) * 2^20)) and
+# computed DRIVER-SIDE with CPython math.log from the bounded count
+# table, for the same reason q153 computes idf driver-side: CPython and
+# DuckDB share the platform libm, so ln agrees bit-for-bit, while an
+# in-plan JVM Math.log would diverge by an ulp on some inputs. The 2^20
+# scale is a power of two — the multiply is exact — and the per-doc
+# score is then an order-independent integer sum, so argmax and the
+# confusion matrix are engine-exact.
+_NB_SCALE = 1 << 20
+
+
+@query(
+    "q245_nb_quality_classifier",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ws,
+             {_sql_marker_count(STOPWORDS)} AS sw,
+             len({_SQL_TOKENS}) AS ntk
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, ws,
+             CASE WHEN 10 * sw >= ntk THEN 'hi' ELSE 'lo' END AS label,
+             doc_id % 5 = 0 AS is_test
+      FROM base
+    ),
+    train_tok AS (
+      SELECT doc_id, label, unnest(ws) AS w FROM lab WHERE NOT is_test
+    ),
+    ncw AS (SELECT label, w, COUNT(*) AS n FROM train_tok GROUP BY 1, 2),
+    nc AS (SELECT label, COUNT(*) AS n_tok FROM train_tok GROUP BY 1),
+    dc AS (SELECT label, COUNT(*) AS n_docs FROM lab WHERE NOT is_test GROUP BY 1),
+    dtot AS (SELECT COUNT(*) AS n FROM lab WHERE NOT is_test),
+    vocab AS (SELECT DISTINCT w FROM train_tok),
+    vv AS (SELECT COUNT(*) AS v FROM vocab),
+    wq AS (
+      SELECT nc.label, v.w,
+             CAST(floor(ln(CAST(COALESCE(n.n, 0) + 1 AS DOUBLE)
+                           / CAST(nc.n_tok + vv.v AS DOUBLE))
+                        * {_NB_SCALE}.0) AS BIGINT) AS wq
+      FROM nc
+      CROSS JOIN vocab v
+      CROSS JOIN vv
+      LEFT JOIN ncw n ON n.label = nc.label AND n.w = v.w
+    ),
+    prior AS (
+      SELECT dc.label,
+             CAST(floor(ln(CAST(dc.n_docs AS DOUBLE) / CAST(dtot.n AS DOUBLE))
+                        * {_NB_SCALE}.0) AS BIGINT) AS pq
+      FROM dc CROSS JOIN dtot
+    ),
+    test_tok AS (SELECT doc_id, unnest(ws) AS w FROM lab WHERE is_test),
+    tok_scores AS (
+      SELECT tt.doc_id, wq.label, CAST(SUM(wq.wq) AS BIGINT) AS s
+      FROM test_tok tt JOIN wq ON wq.w = tt.w GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT t.doc_id, p.label, p.pq + COALESCE(s.s, 0) AS score
+      FROM (SELECT DISTINCT doc_id FROM lab WHERE is_test) t
+      CROSS JOIN prior p
+      LEFT JOIN tok_scores s ON s.doc_id = t.doc_id AND s.label = p.label
+    ),
+    pred AS (
+      SELECT doc_id, label AS pred_label
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, label) = 1
+    )
+    SELECT l.label AS true_label, pred.pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred JOIN lab l USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q245_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes distilled from a WEAK LABEL — the
+    fastText-style bootstrap every modern curation pipeline runs:
+    derive a cheap heuristic label (here: stopword density >= 0.1, the
+    q71 fluency signal), train a token classifier on the 80% split
+    (doc_id % 5 != 0), score the held-out 20%, and report the
+    confusion matrix the gate decision would be based on.
+
+    Training reduces to ONE bounded aggregate: per-(class, token)
+    counts over the train split. The count table is vocab-capped by
+    construction (distinct train tokens; a 100 TB corpus would first
+    cap vocab with the q76/q77 heavy-hitter machinery), so collecting
+    it to the driver is O(classes x vocab) — the same bounded-collect
+    contract as q63's query matrix — where CPython computes the
+    quantized add-one log-likelihoods (see module note on libm
+    parity). Scoring is the classic broadcast shape: the weight table
+    broadcasts onto the exploded token stream, one (doc, class) sum,
+    one argmax window; cost is O(test tokens x classes) with no
+    shuffle wider than doc_id."""
+    import math as _math
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    lab = d.select(
+        "doc_id",
+        F.when(F.lit(10) * sw >= F.size(toks), F.lit("hi"))
+        .otherwise("lo")
+        .alias("label"),
+        toks.alias("ws"),
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+    )
+    train = lab.filter(~F.col("is_test"))
+    counts = {
+        (r["label"], r["w"]): r["n"]
+        for r in train.select("label", F.explode("ws").alias("w"))
+        .groupBy("label", "w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    docs = {
+        r["label"]: r["n"]
+        for r in train.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    vocab = sorted({w for (_, w) in counts})
+    v_sz = len(vocab)
+    n_tok = {
+        c: sum(n for (cc, _), n in counts.items() if cc == c) for c in docs
+    }
+    n_train = sum(docs.values())
+    wrows = [
+        (
+            c,
+            w,
+            int(
+                _math.floor(
+                    _math.log(
+                        (counts.get((c, w), 0) + 1) / (n_tok[c] + v_sz)
+                    )
+                    * _NB_SCALE
+                )
+            ),
+        )
+        for c in sorted(docs)
+        for w in vocab
+    ]
+    prows = [
+        (c, int(_math.floor(_math.log(docs[c] / n_train) * _NB_SCALE)))
+        for c in sorted(docs)
+    ]
+    wdf = spark.createDataFrame(wrows, "label string, w string, wq long")
+    pdf = spark.createDataFrame(prows, "label string, pq long")
+    test = lab.filter(F.col("is_test"))
+    tok_scores = (
+        test.select("doc_id", F.explode("ws").alias("w"))
+        .join(F.broadcast(wdf), "w")
+        .groupBy("doc_id", "label")
+        .agg(F.sum("wq").alias("s"))
+    )
+    scored = (
+        test.select("doc_id")
+        .crossJoin(F.broadcast(pdf))
+        .join(tok_scores, ["doc_id", "label"], "left")
+        .select(
+            "doc_id",
+            "label",
+            (F.col("pq") + F.coalesce(F.col("s"), F.lit(0))).alias("score"),
+        )
+    )
+    w_arg = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w_arg))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("label").alias("pred_label"))
+    )
+    return (
+        pred.join(lab.select("doc_id", F.col("label").alias("true_label")), "doc_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

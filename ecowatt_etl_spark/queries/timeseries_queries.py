@@ -996,3 +996,106 @@ def q236_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_bp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — Holt linear-trend smoothing + forecast (level & trend state)
+# ---------------------------------------------------------------------------
+# Smoothing constants as exact literal strings: both engines parse the
+# same decimal literal to the same nearest double, and the complements
+# are written as their own literals (0.7, 0.8) rather than computed, so
+# the fold arithmetic below is the identical IEEE op sequence in Spark
+# and DuckDB (the q131 EWMA bit-parity pattern, extended to 2-state).
+_HOLT_A = "0.3"   # level gain
+_HOLT_CA = "0.7"  # 1 - level gain
+_HOLT_B = "0.2"   # trend gain
+_HOLT_CB = "0.8"  # 1 - trend gain
+_HOLT_H = 7       # forecast horizon, days
+
+
+@query(
+    "q243_holt_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM({_V_US_SQL}) AS BIGINT) AS v_us
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+      SELECT event_type,
+             list(CAST(v_us AS DOUBLE) / 1000000.0 ORDER BY day) AS xs
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      SELECT event_type, len(xs) AS n_days,
+             list_reduce(
+               list_prepend([xs[1], 0.0],
+                            list_transform(xs[2:], x -> [x, 0.0])),
+               (acc, e) -> [
+                 {_HOLT_A} * e[1] + {_HOLT_CA} * (acc[1] + acc[2]),
+                 {_HOLT_B} * (({_HOLT_A} * e[1]
+                               + {_HOLT_CA} * (acc[1] + acc[2])) - acc[1])
+                   + {_HOLT_CB} * acc[2]
+               ]) AS st
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[1] AS level, st[2] AS trend,
+           st[1] + {_HOLT_H}.0 * st[2] AS forecast
+    FROM folded
+    """,
+)
+def q243_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event_type over the daily
+    value series, returning the final (level, trend) state and an
+    h-step-ahead linear forecast — the workhorse trend forecaster one
+    rung above q131's EWMA (which tracks level only and lags any
+    trending metric). Recursion: l_t = a*x_t + (1-a)*(l+b);
+    b_t = B*(l_t - l) + (1-B)*b, seeded l1 = x1, b1 = 0.
+
+    Cross-engine exactness: daily inputs ride integer micro-units out
+    of the aggregate, and the order-dependent 2-state recursion is a
+    FIXED-ORDER fold over the day-sorted array (array_sort on a
+    (day, v_us) struct — day is unique per type, so the order is
+    total); every fold op is written as the same literal expression
+    tree in Spark's F.aggregate and DuckDB's list_reduce, so level,
+    trend, and forecast are bit-identical without tolerance.
+
+    Scale: ONE exchange (the daily pre-aggregate, map-side partial);
+    the per-type series is bounded by the calendar (days, not events),
+    so the collected array is small by construction — the same shape
+    every hypertable downsample-then-model pipeline uses. The fold is
+    scan-local; no driver collect, no UDF, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(_v_us()).alias("v_us"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v_us"))),
+            lambda s: s["v_us"].cast("double") / F.lit(1000000.0),
+        ).alias("xs")
+    )
+    a, ca = F.lit(float(_HOLT_A)), F.lit(float(_HOLT_CA))
+    b, cb = F.lit(float(_HOLT_B)), F.lit(float(_HOLT_CB))
+
+    def _step(acc: F.Column, x: F.Column) -> F.Column:
+        l0, b0 = F.element_at(acc, 1), F.element_at(acc, 2)
+        l1 = a * x + ca * (l0 + b0)
+        b1 = b * ((a * x + ca * (l0 + b0)) - l0) + cb * b0
+        return F.array(l1, b1)
+
+    st = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.array(F.element_at(F.col("xs"), 1), F.lit(0.0)),
+        _step,
+    )
+    return series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.element_at(st, 1).alias("level"),
+        F.element_at(st, 2).alias("trend"),
+        (F.element_at(st, 1) + F.lit(float(_HOLT_H)) * F.element_at(st, 2)).alias(
+            "forecast"
+        ),
+    )

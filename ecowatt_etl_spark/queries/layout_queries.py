@@ -757,6 +757,36 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q244 — in-flight pipeline telemetry via the Observation API
 # ---------------------------------------------------------------------------
+def observed_pass(spark: SparkSession, sf_dir: str):
+    """The observed pipeline pass: filtered lineitem with Observation
+    accumulators attached. Split out so tests can assert the PLAN
+    (CollectMetrics riding a pushed-filter scan) without running the
+    sink action."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    obs = Observation()
+    observed = (
+        li.filter((F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(rev).alias("revenue"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returns"),
+            F.min(F.to_date("l_shipdate")).alias("first_ship"),
+            F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        )
+    )
+    return observed, obs
+
+
 @query(
     "q244_observed_metrics",
     oracle="""
@@ -797,7 +827,6 @@ def q244_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     piggyback on task completion events; only the 6-value metrics row
     crosses the driver boundary. The discount filter is pushed to the
     parquet scan of the underlying pass."""
-    from pyspark.sql import Observation
     from pyspark.sql.types import (
         DateType,
         DoubleType,
@@ -806,26 +835,7 @@ def q244_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,6)")
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
-    )
-    obs = Observation()
-    observed = (
-        li.filter((F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07))
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(qty).alias("sum_qty"),
-            F.sum(rev).alias("revenue"),
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-            .cast("long")
-            .alias("n_returns"),
-            F.min(F.to_date("l_shipdate")).alias("first_ship"),
-            F.max(F.to_date("l_shipdate")).alias("last_ship"),
-        )
-    )
+    observed, obs = observed_pass(spark, sf_dir)
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
     schema = StructType(

@@ -2236,9 +2236,11 @@ def q245_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as q63's query matrix — where CPython computes the
     quantized add-one log-likelihoods (see module note on libm
     parity). Scoring is the classic broadcast shape: the weight table
-    broadcasts onto the exploded token stream, one (doc, class) sum,
-    one argmax window; cost is O(test tokens x classes) with no
-    shuffle wider than doc_id."""
+    broadcasts onto the exploded token stream, then ONE per-doc
+    aggregate carries a conditional sum per class (pivoted scores —
+    no doc x class grid, no second join, no window) and the argmax is
+    a lexicographic struct-min; cost is O(test tokens x classes) with
+    no shuffle wider than doc_id."""
     import math as _math
 
     d = load_table(spark, sf_dir, "documents")
@@ -2290,33 +2292,49 @@ def q245_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c, int(_math.floor(_math.log(docs[c] / n_train) * _NB_SCALE)))
         for c in sorted(docs)
     ]
-    wdf = spark.createDataFrame(wrows, "label string, w string, wq long")
-    pdf = spark.createDataFrame(prows, "label string, pq long")
+    priors = dict(prows)
+    wdf = spark.createDataFrame(wrows, "cls string, w string, wq long")
     test = lab.filter(F.col("is_test"))
-    tok_scores = (
-        test.select("doc_id", F.explode("ws").alias("w"))
-        .join(F.broadcast(wdf), "w")
-        .groupBy("doc_id", "label")
-        .agg(F.sum("wq").alias("s"))
-    )
-    scored = (
-        test.select("doc_id")
-        .crossJoin(F.broadcast(pdf))
-        .join(tok_scores, ["doc_id", "label"], "left")
-        .select(
+    # One broadcast LEFT join of the model onto the exploded token
+    # stream (explode_outer keeps zero-vocab-token docs alive, scored
+    # by priors alone), then ONE per-doc aggregate with a conditional
+    # sum per class — the pivot form of per-(doc, class) scoring that
+    # needs no doc x class grid, no second join, no window.
+    per_doc = (
+        test.select(
             "doc_id",
-            "label",
-            (F.col("pq") + F.coalesce(F.col("s"), F.lit(0))).alias("score"),
+            F.col("label").alias("true_label"),
+            F.explode_outer("ws").alias("w"),
+        )
+        .join(F.broadcast(wdf), "w", "left")
+        .groupBy("doc_id", "true_label")
+        .agg(
+            *[
+                (
+                    F.lit(priors[c])
+                    + F.coalesce(
+                        F.sum(F.when(F.col("cls") == c, F.col("wq"))), F.lit(0)
+                    )
+                ).alias(f"score_{i}")
+                for i, c in enumerate(sorted(docs))
+            ]
         )
     )
-    w_arg = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
-    pred = (
-        scored.withColumn("rk", F.row_number().over(w_arg))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("label").alias("pred_label"))
-    )
+    # argmax with deterministic label-asc tie-break: lexicographic
+    # struct min over (-score, label)
+    pred = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"score_{i}")).alias("neg"),
+                    F.lit(c).alias("lab"),
+                )
+                for i, c in enumerate(sorted(docs))
+            ]
+        )
+    )["lab"]
     return (
-        pred.join(lab.select("doc_id", F.col("label").alias("true_label")), "doc_id")
+        per_doc.select("true_label", pred.alias("pred_label"))
         .groupBy("true_label", "pred_label")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )

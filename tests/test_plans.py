@@ -647,3 +647,47 @@ def test_q223_scans_each_table_once(spark):
     assert scan_count(spark, spec.fn(spark, SF_SMOKE)) == 10
     plan = _plan(spark, "q223_column_stats")
     assert "Expand" in plan
+
+
+def test_q243_holt_is_two_aggregates_no_window(spark):
+    plan = _plan(spark, "q243_holt_forecast")
+    # daily rollup + per-type series: two hash-aggregate exchanges and
+    # nothing else — the fold itself must be scan-local expression work
+    assert plan.count("Exchange (") <= 2  # tree nodes, not detail echoes
+    assert "WindowExec" not in plan and "Window\n" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q244_observe_rides_pushed_filter_scan(spark):
+    from ecowatt_etl_spark.queries.layout_queries import observed_pass
+
+    observed, _ = observed_pass(spark, SF_SMOKE)
+    plan = observed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the telemetry is an accumulator node on the SAME pass…
+    assert "CollectMetrics" in plan
+    # …and must not break pushdown of the pipeline's own filter
+    assert "l_discount" in plan.split("PushedFilters")[1].split("]")[0]
+    # metrics add no exchange: the observed segment is exchange-free
+    assert "Exchange" not in plan
+
+
+def test_q245_nb_scoring_broadcasts_weights(spark):
+    plan = _plan(spark, "q245_nb_quality_classifier")
+    # the model (weights + priors) broadcasts onto the token stream;
+    # nothing may sort-merge, and scoring stays JVM-side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q246_linkage_has_no_quadratic_join(spark):
+    plan = _plan(spark, "q246_record_linkage")
+    # deletion-neighborhood blocking must surface as an EQUI-join on the
+    # masked key — any nested-loop/cartesian shape means the blocking
+    # degenerated to all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

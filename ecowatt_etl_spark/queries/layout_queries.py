@@ -857,3 +857,114 @@ def q244_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["last_ship"],
     )
     return spark.createDataFrame([row], schema)
+
+
+# ---------------------------------------------------------------------------
+# q247 — incremental materialized-view refresh (delta propagation)
+# ---------------------------------------------------------------------------
+@query(
+    "q247_incremental_view_refresh",
+    oracle="""
+    WITH joined AS (
+      SELECT o.o_custkey, l.l_orderkey,
+             CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6))
+                  - CAST(l.l_discount AS DECIMAL(18,6))) AS val
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    full_v AS (
+      SELECT o_custkey, COUNT(*) AS n_lines, SUM(val) AS rev
+      FROM joined GROUP BY o_custkey
+    ),
+    affected AS (
+      SELECT DISTINCT o_custkey FROM joined WHERE l_orderkey % 50 = 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM full_v) AS BIGINT) AS n_groups,
+           CAST((SELECT COUNT(*) FROM affected) AS BIGINT) AS n_affected,
+           CAST(CAST((SELECT SUM(rev) FROM full_v) AS VARCHAR) AS DOUBLE)
+             AS total_rev,
+           CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+def q247_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL materialized-view maintenance — the DBSP/
+    delta-propagation contract that makes a 100 TB warehouse viable:
+    when a late fact batch lands, refresh the standing per-customer
+    revenue view by aggregating ONLY the delta and merging it into the
+    persisted view, never recomputing the world. The view here is
+    orders JOIN lineitem -> group by customer (count + exact decimal
+    revenue); the delta batch simulates late arrivals (l_orderkey % 50
+    = 0, ~2% of facts). The query executes BOTH paths — persisted
+    base view + delta merge, and the full recompute — and returns the
+    audit row: group count, affected-group count, total revenue off
+    the INCREMENTAL path, and the number of groups where the two paths
+    disagree. Exact decimal aggregation makes the merge
+    mathematically lossless (decimal sums are associative, so
+    base + delta == full, bit-for-bit), which is precisely why the
+    engine routes money through decimal and not double — an
+    order-dependent float view would drift on every refresh. The
+    oracle pins n_mismatch = 0: any incremental-path bug shows up as
+    a nonzero Spark-side count and fails the value hash.
+
+    Scale: the delta aggregate is O(batch); the merge is a keyed
+    full-outer join touching O(affected groups) — with a keyed sink it
+    is q147's MERGE INTO. The full recompute exists here only as the
+    audit arm; production refreshes run the delta path alone. The
+    persisted view round-trips decimal(38,12) through parquet
+    losslessly (same artifact discipline as q196's index)."""
+    from ecowatt_etl_spark.functions.exact import str_double
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    val = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    joined = li.select("l_orderkey", val.alias("val")).join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    base = joined.filter(F.col("l_orderkey") % 50 != 0)
+    delta = joined.filter(F.col("l_orderkey") % 50 == 0)
+
+    def _view(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_lines"), F.sum("val").alias("rev")
+        )
+
+    mv_path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/mv_cust_revenue"
+    _view(base).write.mode("overwrite").parquet(mv_path)
+    mv = spark.read.parquet(mv_path)
+
+    dz = F.lit(0).cast("decimal(38,12)")
+    merged = (
+        mv.alias("b")
+        .join(_view(delta).alias("d"), "o_custkey", "full")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("b.n_lines"), F.lit(0))
+                + F.coalesce(F.col("d.n_lines"), F.lit(0))
+            ).alias("n_lines"),
+            (
+                F.coalesce(F.col("b.rev"), dz) + F.coalesce(F.col("d.rev"), dz)
+            ).alias("rev"),
+            F.col("d.n_lines").isNotNull().alias("affected"),
+        )
+    )
+    full_v = _view(joined)
+    audit = merged.alias("m").join(full_v.alias("f"), "o_custkey", "full")
+    bad = (
+        F.col("m.n_lines").isNull()
+        | F.col("f.n_lines").isNull()
+        | (F.col("m.n_lines") != F.col("f.n_lines"))
+        | (F.col("m.rev") != F.col("f.rev"))
+    )
+    return audit.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("m.affected"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_affected"),
+        str_double(F.sum(F.col("m.rev"))).alias("total_rev"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_mismatch"),
+    )

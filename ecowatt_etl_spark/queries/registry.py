@@ -140,7 +140,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q238_drift_report", "q239_diff_in_diff", "q240_kaplan_meier",
     "q241_power_analysis", "q242_logrank", "q243_holt_forecast",
     "q244_observed_metrics", "q245_nb_quality_classifier",
-    "q246_record_linkage",
+    "q246_record_linkage", "q247_incremental_view_refresh",
 )
 
 

@@ -691,3 +691,12 @@ def test_q246_linkage_has_no_quadratic_join(spark):
     # degenerated to all-pairs
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q247_refresh_merge_is_keyed_not_nested_loop(spark):
+    plan = _plan(spark, "q247_incremental_view_refresh")
+    # base-view + delta merge and the audit arm are keyed equi-joins;
+    # a nested-loop/cartesian here would mean the refresh re-pairs the
+    # world instead of merging on the group key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

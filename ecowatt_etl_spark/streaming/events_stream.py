@@ -36,7 +36,10 @@ EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events table, normalized to a
     TIMESTAMP(micros) ``ts`` exactly like the batch scan wrapper
@@ -77,11 +80,15 @@ def read_events_stream(
         .schema["ts"]
         .dataType
     )
-    raw = (
-        spark.readStream.schema(_events_schema(ts_type))
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(_events_schema(ts_type)).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        # one replay chunk per micro-batch: lets tests (and ordered
+        # replays) advance the watermark between chunks the way a live
+        # source would between triggers
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     if isinstance(ts_type, T.LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if isinstance(ts_type, T.TimestampNTZType):
@@ -92,8 +99,21 @@ def read_events_stream(
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """1-hour tumbling windows per event type with late-data handling:
     the watermark bounds state — windows older than max(event time) −
-    10 min are finalized and evicted; later-than-watermark events are
-    dropped (the documented late-data policy)."""
+    10 min are finalized, EMITTED (append mode), and evicted.
+
+    Late-data semantics, pinned by test_late_data_drop_accounting and
+    verified against this Spark build (subtler than 'late rows are
+    dropped'): (1) the watermark LAGS one trigger — eviction at the
+    end of each micro-batch uses the watermark derived from PRIOR
+    batches, so a late row whose window has not yet been evicted
+    merges silently into pending state and ships in that window's one
+    emission; (2) once a window has been finalized, late rows for it
+    are dropped before touching state and ARE counted in
+    numRowsDroppedByWatermark — but the counter ticks per dropped
+    partial-aggregate GROUP (map-side combine runs first), not per
+    raw input row; (3) each closed window is emitted exactly once in
+    append mode. Alerting that treats the metric as a row count will
+    under-report lateness by the per-group duplication factor."""
     from ecowatt_etl_spark.functions.exact import exact_sum
 
     return (

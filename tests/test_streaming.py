@@ -434,3 +434,147 @@ def test_rocksdb_state_store_provider(spark):
     assert default_rows == rocks_rows and len(rocks_rows) > 0
     metrics = progress["stateOperators"][0].get("customMetrics", {})
     assert any("rocksdb" in k.lower() for k in metrics), metrics
+
+
+def test_late_data_drop_accounting(spark, tmp_path):
+    """VERY-LATE-DATA contract of windowed aggregation, measured
+    against this Spark build (subtler than 'late rows are dropped').
+    Three-phase replay, one file per micro-batch:
+      phase A — even event_ids, full time range: seeds state and the
+        watermark (eviction lags one trigger: nothing emits yet);
+      phase B — the 50 newest odd rows: its batch runs under A's
+        watermark, so every closed window is finalized and EMITTED
+        (B's own late rows merge into still-pending state silently);
+      phase C — the remaining odd rows, all behind the watermark with
+        their windows already evicted: dropped before touching state.
+    Pinned facts:
+      (a) numRowsDroppedByWatermark counts dropped partial-aggregate
+          GROUPS, not raw rows — map-side combine runs before the
+          state-store lateness filter, so the metric equals C's
+          distinct (window, event_type) count, and lateness alerting
+          that reads it as a row count under-reports;
+      (b) every closed window is emitted EXACTLY ONCE (no duplicate
+          append keys, no re-opened windows), carrying the exact
+          decimal aggregate of all rows that arrived before its
+          eviction — bit-equal to the batch aggregate over phases
+          A∪B below the final watermark."""
+    import datetime as dt
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.functions.exact import exact_sum
+    from ecowatt_etl_spark.sources.tables import load_table
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    odd = raw.filter(F.col("event_id") % 2 == 1).withColumn(
+        "_rk",
+        F.row_number().over(
+            W.orderBy(F.col("ts").cast("timestamp").desc(), F.col("event_id"))
+        ),
+    )
+    chunks = [
+        raw.filter(F.col("event_id") % 2 == 0),  # A: seeds state + watermark
+        odd.filter(F.col("_rk") <= 50).drop("_rk"),  # B: triggers eviction
+        odd.filter(F.col("_rk") > 50).drop("_rk"),  # C: behind evicted windows
+    ]
+    for i, df in enumerate(chunks):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        dst = str(in_dir / f"events-{i}.parquet")
+        shutil.copy(
+            globmod.glob(str(tmp_path / f"s{i}") + "/part-*.parquet")[0], dst
+        )
+        # FileStreamSource replays in modification-time order
+        os.utime(dst, (1_000_000_000 + 100 * i, 1_000_000_000 + 100 * i))
+
+    agg = tumbling_counts(
+        read_events_stream(
+            spark, str(in_dir), glob="events-*.parquet", max_files_per_trigger=1
+        )
+    )
+    for q in spark.streams.active:
+        if q.name == "late_drop":
+            q.stop()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_drop")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progresses = list(q.recentProgress)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    n_batches = len([p for p in progresses if p["numInputRows"] > 0])
+    assert n_batches == 3, "maxFilesPerTrigger must replay one chunk per batch"
+
+    # (a) drop accounting: C's windows were all evicted before batch 3,
+    # so the metric must equal C's distinct group count exactly
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for op in p["stateOperators"]
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    odd_ev = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "_rk",
+        F.row_number().over(W.orderBy(F.col("ts").desc(), F.col("event_id"))),
+    )
+    c_groups = (
+        odd_ev.filter(F.col("_rk") > 50)
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert dropped == c_groups, (dropped, c_groups)
+
+    # (b) exactly-once emission of each closed window, bit-equal to the
+    # batch aggregate over the rows that arrived before eviction (A∪B)
+    wm_iso = next(
+        p["eventTime"]["watermark"]
+        for p in reversed(progresses)
+        if p["eventTime"].get("watermark", "").startswith("2")
+    )
+    wm = dt.datetime.fromisoformat(wm_iso.replace("Z", "+00:00")).replace(
+        tzinfo=None
+    )
+    got = {}
+    for r in spark.table("late_drop").collect():
+        k = (r["window_start"], r["event_type"])
+        assert k not in got, f"window {k} emitted more than once"
+        got[k] = (r["n_events"], r["sum_value"])
+    survivors = ev.filter(
+        (F.col("event_id") % 2 == 0)
+        | ev["event_id"].isin(
+            [r["event_id"] for r in odd_ev.filter(F.col("_rk") <= 50).collect()]
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in survivors.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .filter(F.col("w.end") <= F.lit(wm))  # open tail windows never emit
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -2900,3 +2900,85 @@ def q237_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_suppliers"),
         exact_sum("s_acctbal", "bal_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — SQL scripting (Spark 4 procedural BEGIN…END surface)
+# ---------------------------------------------------------------------------
+@query(
+    "q248_sql_scripting",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    f AS (SELECT rev_c AS first_c FROM m ORDER BY mo LIMIT 1),
+    l AS (SELECT rev_c AS last_c FROM m ORDER BY mo DESC LIMIT 1)
+    SELECT first_c AS first_month_cents,
+           last_c AS last_month_cents,
+           last_c * 10000 // first_c AS growth_bp,
+           list_reduce(
+             list_prepend(last_c,
+                          list_transform(generate_series(1, 6),
+                                         i -> CAST(0 AS BIGINT))),
+             (acc, e) -> acc * (last_c * 10000 // first_c) // 10000)
+             AS proj_6m_cents
+    FROM f, l
+    """,
+)
+def q248_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4's ANSI/PSM procedural surface): a
+    BEGIN…END block with DECLAREd session variables, scalar-subquery
+    SETs, and a WHILE loop — the stored-procedure idiom migrations
+    from T-SQL/PLpgSQL warehouses depend on, running natively in the
+    engine. The script reads first- and last-month revenue (exact
+    cents), derives an integer basis-point growth rate, compounds it
+    SIX iterations in the loop (floor division each round, so the
+    trajectory is integer-exact and engine-reproducible — float pow()
+    would not be), and returns the projection row. The oracle
+    replays the identical fold declaratively (list_reduce), proving
+    the procedural and declarative forms agree to the bit.
+
+    Scale: the loop iterates over VARIABLES, not data — the only
+    cluster work is the one monthly aggregate feeding the two scalar
+    subqueries; each loop step is driver-side expression evaluation.
+    That is the discipline scripting demands at 100 TB: loops bound
+    by the calendar or by scalars, never per-row."""
+    from ecowatt_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE first_c BIGINT;
+          DECLARE last_c BIGINT;
+          DECLARE g_bp BIGINT;
+          DECLARE proj_c BIGINT;
+          DECLARE k INT DEFAULT 0;
+          SET first_c = (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)) * 100)
+                        AS BIGINT)
+            FROM orders
+            WHERE date_trunc('MONTH', o_orderdate) =
+                  (SELECT MIN(date_trunc('MONTH', o_orderdate)) FROM orders));
+          SET last_c = (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)) * 100)
+                        AS BIGINT)
+            FROM orders
+            WHERE date_trunc('MONTH', o_orderdate) =
+                  (SELECT MAX(date_trunc('MONTH', o_orderdate)) FROM orders));
+          SET g_bp = last_c * 10000 DIV first_c;
+          SET proj_c = last_c;
+          WHILE k < 6 DO
+            SET proj_c = proj_c * g_bp DIV 10000;
+            SET k = k + 1;
+          END WHILE;
+          SELECT first_c AS first_month_cents,
+                 last_c AS last_month_cents,
+                 g_bp AS growth_bp,
+                 proj_c AS proj_6m_cents;
+        END
+        """
+    )

@@ -1646,12 +1646,16 @@ def q226_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q246 — entity resolution / record linkage (Fellegi–Sunter shape)
 # ---------------------------------------------------------------------------
 # Candidate generation is SymSpell-style neighborhood blocking on the
-# 9-digit name suffix: each record emits 9 keys, one per digit position
-# masked. Two equal-length names share a key IFF they differ in at most
-# that one digit, so the candidate set is EXACTLY the Hamming<=1 pairs —
-# no quadratic block anywhere (a fixed-prefix block would collapse to
-# one giant skew block on these zero-padded ids; the per-position mask
-# keeps every group at most 10 wide by construction).
+# zero-padded record key, padded to _RL_DIGITS so the scheme holds far
+# past the 9-digit suffix embedded in c_name (12 digits covers 10^12
+# records): each record emits one key per digit position masked. Two
+# equal-width keys share a masked key IFF they differ in at most that
+# one digit, so the candidate set is EXACTLY the Hamming<=1 pairs, each
+# found exactly once (keys are unique, so two records share at most one
+# mask) — no quadratic block anywhere (a fixed-prefix block would
+# collapse to one giant skew block on zero-padded ids; the per-position
+# mask keeps every group at most alphabet-wide, 10, by construction).
+_RL_DIGITS = 12  # blocking-key width: zero-padded custkey
 _RL_BAL_TIGHT_US = 100_000_000  # |balance diff| <= $100
 _RL_BAL_LOOSE_US = 1_000_000_000  # <= $1000
 _RL_MATCH, _RL_POSSIBLE = 65, 45
@@ -1664,13 +1668,14 @@ _RL_MATCH, _RL_POSSIBLE = 65, 45
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
              CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)
                AS bal_us,
-             substr(c_name, 10, 9) AS dg
+             lpad(CAST(c_custkey AS VARCHAR), {_RL_DIGITS}, '0') AS dg
       FROM customer
     ),
     keys AS (
       SELECT c_custkey,
-             substr(dg, 1, i - 1) || '_' || substr(dg, i + 1, 9 - i) AS mk
-      FROM c, UNNEST(generate_series(1, 9)) AS s(i)
+             substr(dg, 1, i - 1) || '_'
+               || substr(dg, i + 1, {_RL_DIGITS} - i) AS mk
+      FROM c, UNNEST(generate_series(1, {_RL_DIGITS})) AS s(i)
     ),
     cand AS (
       SELECT a.c_custkey AS ka, b.c_custkey AS kb
@@ -1708,7 +1713,7 @@ def q246_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance proximity on exact micro-units.
 
     Scale: candidate generation is the deletion-neighborhood trick
-    (header note) — each record emits 9 masked keys, the self-join is
+    (header note) — each record emits _RL_DIGITS masked keys, the self-join is
     key-partitioned, and group width is bounded by the alphabet (10),
     so candidates are O(n x positions), not O(block^2); the attribute
     fetch joins back on the record key. All scoring is integer, so the
@@ -1721,14 +1726,15 @@ def q246_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal").cast("decimal(18,6)") * 1_000_000)
         .cast("bigint")
         .alias("bal_us"),
-        F.substring("c_name", 10, 9).alias("dg"),
+        F.lpad(F.col("c_custkey").cast("string"), _RL_DIGITS, "0").alias("dg"),
     )
     keys = c.select(
         "c_custkey",
         F.explode(
             F.expr(
-                "transform(sequence(1, 9), i -> concat(substring(dg, 1, i - 1),"
-                " '_', substring(dg, i + 1, 9 - i)))"
+                f"transform(sequence(1, {_RL_DIGITS}),"
+                " i -> concat(substring(dg, 1, i - 1),"
+                f" '_', substring(dg, i + 1, {_RL_DIGITS} - i)))"
             )
         ).alias("mk"),
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ecowatt_etl_spark.functions.exact import sql_exact_sum
 from ecowatt_etl_spark.queries.registry import query
 from ecowatt_etl_spark.sources.tables import load_table
 
@@ -789,14 +790,17 @@ def observed_pass(spark: SparkSession, sf_dir: str):
 
 @query(
     "q244_observed_metrics",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
-                AS VARCHAR) AS DOUBLE) AS sum_qty,
+           {sql_exact_sum("l_quantity", "sum_qty")},
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
                          * (CAST(1 AS DECIMAL(18,6))
                             - CAST(l_discount AS DECIMAL(18,6))))
                 AS VARCHAR) AS DOUBLE) AS revenue,
+           -- handwritten (not sql_exact_sum_product): the Spark side
+           -- subtracts AFTER casting both operands to decimal, and the
+           -- oracle must replay that exact tree
+
            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_returns,
            MIN(CAST(l_shipdate AS DATE)) AS first_ship,
@@ -848,10 +852,15 @@ def q244_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("last_ship", DateType()),
         ]
     )
+    def _dbl(v):
+        # empty observed pass: sum/min/max accumulators come back None,
+        # matching the oracle's NULL aggregates over zero rows
+        return None if v is None else float(str(v))
+
     row = (
         m["n_rows"],
-        float(str(m["sum_qty"])),
-        float(str(m["revenue"])),
+        _dbl(m["sum_qty"]),
+        _dbl(m["revenue"]),
         m["n_returns"],
         m["first_ship"],
         m["last_ship"],

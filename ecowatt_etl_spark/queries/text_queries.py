@@ -2182,14 +2182,18 @@ _NB_SCALE = 1 << 20
     vocab AS (SELECT DISTINCT w FROM train_tok),
     vv AS (SELECT COUNT(*) AS v FROM vocab),
     wq AS (
-      SELECT nc.label, v.w,
+      -- classes come from dc (>=1 train DOC), mirroring the Spark
+      -- side exactly: a class whose docs all tokenize empty still
+      -- gets smoothed weights ln(1/(0+V)), not prior-only scoring
+      SELECT dc.label, v.w,
              CAST(floor(ln(CAST(COALESCE(n.n, 0) + 1 AS DOUBLE)
-                           / CAST(nc.n_tok + vv.v AS DOUBLE))
+                           / CAST(COALESCE(nc.n_tok, 0) + vv.v AS DOUBLE))
                         * {_NB_SCALE}.0) AS BIGINT) AS wq
-      FROM nc
+      FROM dc
       CROSS JOIN vocab v
       CROSS JOIN vv
-      LEFT JOIN ncw n ON n.label = nc.label AND n.w = v.w
+      LEFT JOIN nc ON nc.label = dc.label
+      LEFT JOIN ncw n ON n.label = dc.label AND n.w = v.w
     ),
     prior AS (
       SELECT dc.label,
@@ -2288,11 +2292,10 @@ def q245_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in sorted(docs)
         for w in vocab
     ]
-    prows = [
-        (c, int(_math.floor(_math.log(docs[c] / n_train) * _NB_SCALE)))
+    priors = {
+        c: int(_math.floor(_math.log(docs[c] / n_train) * _NB_SCALE))
         for c in sorted(docs)
-    ]
-    priors = dict(prows)
+    }
     wdf = spark.createDataFrame(wrows, "cls string, w string, wq long")
     test = lab.filter(F.col("is_test"))
     # One broadcast LEFT join of the model onto the exploded token

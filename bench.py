@@ -71,6 +71,10 @@ HEADLINE = [
     # warehouse maintenance / gates
     "q152_dq_audit",
     "q168_zorder_layout",
+    "q247_incremental_view_refresh",
+    # forecasting + linkage (r4, cont.)
+    "q243_holt_forecast",
+    "q246_record_linkage",
 ]
 
 

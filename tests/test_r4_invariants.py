@@ -483,3 +483,194 @@ def test_kaplan_meier_curve_is_a_valid_survival_function(spark):
         prev_risk_floor = r["n_risk"] - r["n_events"] - r["n_censored"]
         prev_s = r["survival"]
     assert any(r["n_censored"] > 0 for r in rows) or rows[-1]["n_risk"] > 0
+
+
+def test_holt_matches_pure_python_fold(spark):
+    """q243's level/trend/forecast must equal a pure-CPython replay of
+    the same fixed-order fold over the same daily series — IEEE double
+    ops in identical order are engine-independent, so this is exact,
+    and it validates the JVM fold against an implementation that
+    shares no code with it."""
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    out = {r["event_type"]: r for r in _q("q243_holt_forecast").fn(spark, SF_ORACLE).collect()}
+    ev = load_table(spark, SF_ORACLE, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint")
+            ).alias("v_us")
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["v_us"]))
+    assert out.keys() == series.keys()
+    for et, pairs in series.items():
+        xs = [v / 1_000_000.0 for _, v in sorted(pairs)]
+        lvl, trd = xs[0], 0.0
+        for x in xs[1:]:
+            lvl, trd = (
+                0.3 * x + 0.7 * (lvl + trd),
+                0.2 * ((0.3 * x + 0.7 * (lvl + trd)) - lvl) + 0.8 * trd,
+            )
+        assert out[et]["n_days"] == len(xs)
+        assert out[et]["level"] == lvl, et
+        assert out[et]["trend"] == trd, et
+        assert out[et]["forecast"] == lvl + 7.0 * trd, et
+
+
+def test_nb_classifier_matches_pure_python_model(spark):
+    """q245's confusion matrix must equal a from-scratch CPython Naive
+    Bayes (same tokenization, same quantized weights) — an independent
+    reimplementation of train + score + argmax, catching any silent
+    divergence the shared-constant oracle could miss."""
+    import math
+    from collections import Counter
+
+    from ecowatt_etl_spark.operators.text import STOPWORDS
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    SCALE = 1 << 20
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().lower().split() for r in docs}
+    lab = {
+        d: ("hi" if 10 * sum(1 for t in ws if t in STOPWORDS) >= len(ws) else "lo")
+        for d, ws in toks.items()
+    }
+    train = [d for d in toks if d % 5 != 0]
+    test = [d for d in toks if d % 5 == 0]
+    cnt: Counter = Counter()
+    for d in train:
+        for t in toks[d]:
+            cnt[(lab[d], t)] += 1
+    classes = sorted({lab[d] for d in train})
+    vocab = sorted({t for (_, t) in cnt})
+    n_tok = {c: sum(n for (cc, _), n in cnt.items() if cc == c) for c in classes}
+    wq = {
+        (c, t): math.floor(
+            math.log((cnt.get((c, t), 0) + 1) / (n_tok[c] + len(vocab))) * SCALE
+        )
+        for c in classes
+        for t in vocab
+    }
+    n_docs = Counter(lab[d] for d in train)
+    prior = {
+        c: math.floor(math.log(n_docs[c] / len(train)) * SCALE) for c in classes
+    }
+    confusion: Counter = Counter()
+    for d in test:
+        scores = {
+            c: prior[c] + sum(wq[(c, t)] for t in toks[d] if (c, t) in wq)
+            for c in classes
+        }
+        pred = min(classes, key=lambda c: (-scores[c], c))
+        confusion[(lab[d], pred)] += 1
+    got = {
+        (r["true_label"], r["pred_label"]): r["n_docs"]
+        for r in _q("q245_nb_quality_classifier").fn(spark, SF_ORACLE).collect()
+    }
+    assert got == dict(confusion)
+    assert sum(got.values()) == len(test)
+
+
+def test_record_linkage_candidates_are_exactly_hamming1(spark):
+    """q246's blocking must surface EXACTLY the Hamming<=1 key pairs:
+    the classification histogram's total pair count equals a brute-
+    force O(n^2) count over the zero-padded keys — no missed pairs
+    (blocking recall 1.0 for this distance), no double-counted pairs
+    (unique keys share at most one mask)."""
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    out = _q("q246_record_linkage").fn(spark, SF_ORACLE).collect()
+    n_pairs = sum(r["n_pairs"] for r in out)
+
+    keys = [
+        f"{r['c_custkey']:012d}"
+        for r in load_table(spark, SF_ORACLE, "customer").select("c_custkey").collect()
+    ]
+    brute = sum(
+        1
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+        if sum(a != b for a, b in zip(keys[i], keys[j])) <= 1
+    )
+    assert n_pairs == brute and n_pairs > 0
+
+
+def test_incremental_refresh_audit_is_clean_and_counts_check(spark):
+    """q247's audit row: zero mismatched groups (incremental == full,
+    the associativity guarantee), and the group/affected counts match
+    independent recomputations."""
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    row = _q("q247_incremental_view_refresh").fn(spark, SF_ORACLE).collect()[0]
+    assert row["n_mismatch"] == 0
+    li = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey")
+    o = load_table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    assert row["n_groups"] == j.select("o_custkey").distinct().count()
+    assert (
+        row["n_affected"]
+        == j.filter(F.col("l_orderkey") % 50 == 0)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert 0 < row["n_affected"] < row["n_groups"]
+
+
+def test_sql_script_matches_python_compounding(spark):
+    """q248's procedural WHILE-loop trajectory must equal the same
+    integer recurrence run in CPython from the same monthly
+    aggregates."""
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    row = _q("q248_sql_scripting").fn(spark, SF_ORACLE).collect()[0]
+    o = load_table(spark, SF_ORACLE, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("MONTH", "o_orderdate").alias("mo"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .orderBy("mo")
+        .collect()
+    )
+    first_c, last_c = monthly[0]["c"], monthly[-1]["c"]
+    g_bp = last_c * 10_000 // first_c
+    proj = last_c
+    for _ in range(6):
+        proj = proj * g_bp // 10_000
+    assert (
+        row["first_month_cents"],
+        row["last_month_cents"],
+        row["growth_bp"],
+        row["proj_6m_cents"],
+    ) == (first_c, last_c, g_bp, proj)
+
+
+def test_observed_metrics_equal_second_pass_aggregate(spark):
+    """q244's accumulator-borne metrics must equal the same aggregates
+    computed by an ordinary second scan — the Observation path changes
+    WHERE the numbers are computed, never the numbers."""
+    from ecowatt_etl_spark.functions.exact import exact_sum
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    row = _q("q244_observed_metrics").fn(spark, SF_ORACLE).collect()[0]
+    li = load_table(spark, SF_ORACLE, "lineitem").filter(
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+    )
+    chk = li.agg(
+        F.count("*").alias("n_rows"),
+        exact_sum("l_quantity", "sum_qty"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    ).collect()[0]
+    assert row["n_rows"] == chk["n_rows"]
+    assert row["sum_qty"] == chk["sum_qty"]
+    assert row["first_ship"] == chk["first_ship"]
+    assert row["last_ship"] == chk["last_ship"]

@@ -141,7 +141,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q241_power_analysis", "q242_logrank", "q243_holt_forecast",
     "q244_observed_metrics", "q245_nb_quality_classifier",
     "q246_record_linkage", "q247_incremental_view_refresh",
-    "q248_sql_scripting",
+    "q248_sql_scripting", "q249_gate_calibration",
 )
 
 

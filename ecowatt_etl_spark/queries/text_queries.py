@@ -2156,11 +2156,10 @@ def q220_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confusion matrix are engine-exact.
 _NB_SCALE = 1 << 20
 
-
-@query(
-    "q245_nb_quality_classifier",
-    oracle=f"""
-    WITH base AS (
+# Shared oracle CTE block: weak label -> split -> train counts ->
+# quantized weights/priors -> per-(test doc, class) integer scores.
+# q245 derives the confusion matrix from it; q249 the margin sweep.
+_NB_ORACLE_CTES = f"""base AS (
       SELECT doc_id, {_SQL_TOKENS} AS ws,
              {_sql_marker_count(STOPWORDS)} AS sw,
              len({_SQL_TOKENS}) AS ntk
@@ -2211,7 +2210,13 @@ _NB_SCALE = 1 << 20
       FROM (SELECT DISTINCT doc_id FROM lab WHERE is_test) t
       CROSS JOIN prior p
       LEFT JOIN tok_scores s ON s.doc_id = t.doc_id AND s.label = p.label
-    ),
+    )"""
+
+
+@query(
+    "q245_nb_quality_classifier",
+    oracle=f"""
+    WITH {_NB_ORACLE_CTES},
     pred AS (
       SELECT doc_id, label AS pred_label
       FROM scored
@@ -2245,6 +2250,33 @@ def q245_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no doc x class grid, no second join, no window) and the argmax is
     a lexicographic struct-min; cost is O(test tokens x classes) with
     no shuffle wider than doc_id."""
+    per_doc, classes = _nb_scored_docs(spark, sf_dir)
+    # argmax with deterministic label-asc tie-break: lexicographic
+    # struct min over (-score, label)
+    pred = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"score_{i}")).alias("neg"),
+                    F.lit(c).alias("lab"),
+                )
+                for i, c in enumerate(classes)
+            ]
+        )
+    )["lab"]
+    return (
+        per_doc.select("true_label", pred.alias("pred_label"))
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _nb_scored_docs(spark: SparkSession, sf_dir: str):
+    """Shared NB machinery: weak label -> split -> bounded count-table
+    train -> driver-quantized weights -> broadcast pivoted scoring.
+    Returns (per_doc DataFrame with doc_id / true_label / score_i per
+    class, sorted class list). q245 derives the confusion matrix,
+    q249 the score-margin calibration sweep."""
     import math as _math
 
     d = load_table(spark, sf_dir, "documents")
@@ -2323,21 +2355,131 @@ def q245_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    # argmax with deterministic label-asc tie-break: lexicographic
-    # struct min over (-score, label)
-    pred = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (-F.col(f"score_{i}")).alias("neg"),
-                    F.lit(c).alias("lab"),
-                )
-                for i, c in enumerate(sorted(docs))
-            ]
+    return per_doc, sorted(docs)
+
+
+# ---------------------------------------------------------------------------
+# q249 — model-gate calibration: precision/recall sweep over NB margin
+# ---------------------------------------------------------------------------
+@query(
+    "q249_gate_calibration",
+    oracle=f"""
+    WITH {_NB_ORACLE_CTES},
+    margins AS (
+      SELECT s.doc_id,
+             CAST(SUM(CASE WHEN s.label = 'hi' THEN s.score END) AS BIGINT)
+               - CAST(SUM(CASE WHEN s.label = 'lo' THEN s.score END)
+                      AS BIGINT) AS margin,
+             MAX(l.label) AS true_label
+      FROM scored s JOIN lab l ON l.doc_id = s.doc_id
+      GROUP BY s.doc_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS nn,
+             CAST(SUM(CASE WHEN true_label = 'hi' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hi
+      FROM margins
+    ),
+    ranked AS (
+      SELECT margin,
+             ROW_NUMBER() OVER (ORDER BY margin DESC, doc_id) AS rn
+      FROM margins
+    ),
+    thr AS (
+      SELECT g.d, r.margin AS margin_threshold
+      FROM UNNEST(generate_series(1, 10)) AS g(d)
+      CROSS JOIN tot
+      JOIN ranked r ON r.rn = (g.d * tot.nn + 9) // 10
+    ),
+    kept AS (
+      SELECT t.d AS decile, t.margin_threshold,
+             CAST(SUM(CASE WHEN m.margin >= t.margin_threshold
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN m.margin >= t.margin_threshold
+                            AND m.true_label = 'hi'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_kept
+      FROM thr t CROSS JOIN margins m
+      GROUP BY 1, 2
+    )
+    SELECT decile, margin_threshold, n_kept, n_hi_kept,
+           n_hi_kept * 10000 // n_kept AS precision_bp,
+           n_hi_kept * 10000 // GREATEST(tot.n_hi, 1) AS recall_bp
+    FROM kept CROSS JOIN tot
+    """,
+)
+def q249_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-threshold CALIBRATION for the q245 classifier — the
+    artifact you actually stare at before turning a model filter on:
+    for each decile cutoff of the score margin (score_hi − score_lo,
+    integer, so thresholds are engine-exact), how many documents the
+    gate would keep, and the precision / recall against the weak
+    label in basis points. Picking a filtering threshold from this
+    curve (rather than 'keep pred == hi') is how production pipelines
+    trade corpus size against purity — and the deciles make the
+    choice budget-denominated ('keep the top 30%') instead of
+    score-denominated.
+
+    Scale: margins come from the q245 scoring pass (broadcast model,
+    one doc-keyed aggregate). The rank window runs over the
+    EVALUATION SAMPLE — bounded by construction, like every
+    calibration set — not the corpus; the sweep itself is a 10-row
+    broadcast against the margins frame. All counting is integer;
+    precision/recall are floor-divided basis points."""
+    per_doc, classes = _nb_scored_docs(spark, sf_dir)
+    if classes != ["hi", "lo"]:
+        raise ValueError(f"binary gate expects classes ['hi','lo'], got {classes}")
+    margins = per_doc.select(
+        "doc_id",
+        "true_label",
+        (F.col("score_0") - F.col("score_1")).alias("margin"),
+    )
+    w_all = W.partitionBy(F.lit(1))
+    ranked = margins.select(
+        "margin",
+        "true_label",
+        F.row_number()
+        .over(W.partitionBy(F.lit(1)).orderBy(F.desc("margin"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w_all).alias("nn"),
+        F.sum(F.when(F.col("true_label") == "hi", 1).otherwise(0))
+        .over(w_all)
+        .cast("long")
+        .alias("n_hi"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    thr = F.broadcast(
+        ranked.join(
+            deciles,
+            F.col("rn") == F.expr("(d * nn + 9) DIV 10"),
+        ).select(
+            F.col("d").alias("decile"),
+            F.col("margin").alias("margin_threshold"),
+            "n_hi",
         )
-    )["lab"]
-    return (
-        per_doc.select("true_label", pred.alias("pred_label"))
-        .groupBy("true_label", "pred_label")
-        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    kept = (
+        margins.crossJoin(thr)
+        .groupBy("decile", "margin_threshold", "n_hi")
+        .agg(
+            F.sum(F.when(F.col("margin") >= F.col("margin_threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(
+                    (F.col("margin") >= F.col("margin_threshold"))
+                    & (F.col("true_label") == "hi"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hi_kept"),
+        )
+    )
+    return kept.select(
+        "decile",
+        "margin_threshold",
+        "n_kept",
+        "n_hi_kept",
+        F.expr("n_hi_kept * 10000 DIV n_kept").alias("precision_bp"),
+        F.expr("n_hi_kept * 10000 DIV GREATEST(n_hi, 1)").alias("recall_bp"),
     )

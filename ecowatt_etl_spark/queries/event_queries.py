@@ -2326,3 +2326,136 @@ def q242_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(fold("vt", 0.0, "DOUBLE"))
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — streaming lateness audit: per-batch input + dropped-group counts
+# ---------------------------------------------------------------------------
+@query(
+    "q250_stream_late_audit",
+    oracle="""
+    WITH odd AS (
+      SELECT ts, event_type,
+             ROW_NUMBER() OVER (ORDER BY ts DESC, event_id) AS rn
+      FROM events WHERE event_id % 2 = 1
+    ),
+    wm AS (
+      -- watermark in effect for batch 2 = max event time seen in
+      -- batches 0+1 minus the 10-minute delay; the global max is
+      -- always in those batches (even rows, or odd rank 1)
+      SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events
+    )
+    SELECT CAST(0 AS BIGINT) AS batch,
+           CAST((SELECT COUNT(*) FROM events WHERE event_id % 2 = 0)
+                AS BIGINT) AS n_input,
+           CAST(0 AS BIGINT) AS dropped_groups
+    UNION ALL
+    SELECT 1, (SELECT COUNT(*) FROM odd WHERE rn <= 50), 0
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM odd WHERE rn > 50),
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT date_trunc('hour', o.ts), o.event_type
+              FROM odd o CROSS JOIN wm
+              WHERE o.rn > 50
+                AND date_trunc('hour', o.ts) + INTERVAL 1 HOUR <= wm.w))
+    """,
+)
+def q250_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LATENESS audit under the driver's value gate: replay
+    the events stream in three deterministic chunks (even ids seed
+    state and the watermark; the 50 newest odd rows trigger eviction
+    of every closed window; the remaining odd rows arrive behind the
+    evicted windows) and report, per micro-batch, the input rows and
+    the watermark-dropped count from StreamingQueryProgress. The
+    oracle derives all three rows RELATIONALLY from the replay
+    definition — including the measured fact (see
+    streaming/events_stream.py::tumbling_counts and
+    tests/test_streaming.py::test_late_data_drop_accounting) that the
+    drop counter ticks per dropped partial-aggregate GROUP whose
+    window closed before the batch's operative watermark, not per raw
+    row. A hash match here is cross-engine evidence that the
+    runtime's late-data enforcement is exactly the documented
+    predicate, not folklore.
+
+    Scale: the replay writes three bounded chunk files to scratch;
+    the streaming aggregation itself is q44's shape (one user-free
+    (window, type) state exchange per batch). The audit output is
+    O(batches)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    odd = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "_rk",
+        F.row_number().over(
+            W.partitionBy(F.lit(1)).orderBy(F.desc("ts"), F.asc("event_id"))
+        ),
+    )
+    chunks = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        odd.filter(F.col("_rk") <= 50).drop("_rk"),
+        odd.filter(F.col("_rk") > 50).drop("_rk"),
+    ]
+    root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/late_replay"
+    in_dir = f"{root}/in"
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    for i, df in enumerate(chunks):
+        stage = f"{root}/s{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{in_dir}/events-{i}.parquet"
+        shutil.copy(globmod.glob(stage + "/part-*.parquet")[0], dst)
+        # FileStreamSource replays in modification-time order
+        os.utime(dst, (1_000_000_000 + 100 * i, 1_000_000_000 + 100 * i))
+
+    agg = tumbling_counts(
+        read_events_stream(
+            spark, in_dir, glob="events-*.parquet", max_files_per_trigger=1
+        )
+    )
+    name = "q250_late_audit_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progresses = list(q.recentProgress)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    rows = [
+        (
+            int(p["batchId"]),
+            int(p["numInputRows"]),
+            int(
+                sum(
+                    op.get("numRowsDroppedByWatermark", 0)
+                    for op in p["stateOperators"]
+                )
+            ),
+        )
+        for p in sorted(progresses, key=lambda p: p["batchId"])
+        if p["numInputRows"] > 0
+    ]
+    return spark.createDataFrame(
+        rows, "batch long, n_input long, dropped_groups long"
+    )

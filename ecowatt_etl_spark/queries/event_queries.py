@@ -2459,3 +2459,104 @@ def q250_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch long, n_input long, dropped_groups long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — clamped running balance (non-associative per-key scan)
+# ---------------------------------------------------------------------------
+from ecowatt_etl_spark.queries.timeseries_queries import (  # noqa: E402
+    _V_US_SQL,
+    _v_us,
+)
+
+_BAL_CAP_US = 500_000_000  # $500 ceiling; floor is 0
+
+
+@query(
+    "q251_clamped_balance",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN {_V_US_SQL}
+                  ELSE -{_V_US_SQL} END AS delta_us
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    s AS (
+      SELECT user_id,
+             list(delta_us ORDER BY ts, event_id) AS ds
+      FROM d GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, len(ds) AS n_moves,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                             CAST(0 AS BIGINT)],
+                            list_transform(ds, x -> [x, CAST(0 AS BIGINT),
+                                                     CAST(0 AS BIGINT)])),
+               (acc, e) -> [
+                 LEAST(GREATEST(acc[1] + e[1], 0), {_BAL_CAP_US}),
+                 acc[2] + CASE WHEN acc[1] + e[1] > {_BAL_CAP_US}
+                               THEN 1 ELSE 0 END,
+                 acc[3] + CASE WHEN acc[1] + e[1] < 0 THEN 1 ELSE 0 END
+               ]) AS st
+      FROM s
+    )
+    SELECT user_id, CAST(n_moves AS BIGINT) AS n_moves,
+           st[1] AS balance_us, st[2] AS n_capped, st[3] AS n_floored
+    FROM folded
+    """,
+)
+def q251_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user — purchases credit, errors
+    debit, and the balance saturates at [0, $500]: the classic
+    NON-ASSOCIATIVE scan (ledgers with overdraft floors, inventory
+    with capacity ceilings, rate-limiter token buckets) that windowed
+    SUM cannot express, because clamping destroys the prefix-sum
+    decomposition. The engine's answer is the bounded per-key fold:
+    ONE hash aggregate collects each user's move list in (ts,
+    event_id) order, and a scan-local integer fold replays it,
+    counting every cap/floor saturation on the way. All arithmetic is
+    int64 micro-units — no floats anywhere — so the oracle matches
+    bit-for-bit by construction.
+
+    Scale: one exchange (user_id), state bounded per key; the fold
+    never leaves the executor. The live form is the same fold as the
+    applyInPandasWithState update function (q49/q133 machinery) with
+    (balance, counters) as the carried state; per-key sequential,
+    across-keys parallel — exactly how a distributed engine legally
+    runs a non-associative recurrence."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", _v_us())
+        .otherwise(-_v_us())
+        .alias("delta_us"),
+    )
+    s = d.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "delta_us"))),
+            lambda r: r["delta_us"],
+        ).alias("ds")
+    )
+    zero = F.lit(0).cast("long")
+    init = F.array(zero, zero, zero)
+
+    def _step(acc: F.Column, x: F.Column) -> F.Column:
+        bal, cap, flo = (F.element_at(acc, i) for i in (1, 2, 3))
+        moved = bal + x
+        return F.array(
+            F.least(F.greatest(moved, F.lit(0).cast("long")), F.lit(_BAL_CAP_US)),
+            cap + F.when(moved > _BAL_CAP_US, 1).otherwise(0),
+            flo + F.when(moved < 0, 1).otherwise(0),
+        )
+
+    st = F.aggregate(F.col("ds"), init, _step)
+    return s.select(
+        "user_id",
+        F.size("ds").cast("long").alias("n_moves"),
+        F.element_at(st, 1).alias("balance_us"),
+        F.element_at(st, 2).alias("n_capped"),
+        F.element_at(st, 3).alias("n_floored"),
+    )

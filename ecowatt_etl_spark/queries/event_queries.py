@@ -2471,10 +2471,10 @@ from ecowatt_etl_spark.queries.timeseries_queries import (  # noqa: E402
 
 _BAL_CAP_US = 500_000_000  # $500 ceiling; floor is 0
 
-
-@query(
-    "q251_clamped_balance",
-    oracle=f"""
+# Shared by the batch (q251) and streaming (q252) forms — the clamped
+# fold is integer-exact, so both implementations must land on the SAME
+# final state row per user.
+_CLAMP_ORACLE = f"""
     WITH d AS (
       SELECT user_id, ts, event_id,
              CASE WHEN event_type = 'purchase' THEN {_V_US_SQL}
@@ -2504,8 +2504,10 @@ _BAL_CAP_US = 500_000_000  # $500 ceiling; floor is 0
     SELECT user_id, CAST(n_moves AS BIGINT) AS n_moves,
            st[1] AS balance_us, st[2] AS n_capped, st[3] AS n_floored
     FROM folded
-    """,
-)
+    """
+
+
+@query("q251_clamped_balance", oracle=_CLAMP_ORACLE)
 def q251_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped running balance per user — purchases credit, errors
     debit, and the balance saturates at [0, $500]: the classic
@@ -2559,4 +2561,29 @@ def q251_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(st, 1).alias("balance_us"),
         F.element_at(st, 2).alias("n_capped"),
         F.element_at(st, 3).alias("n_floored"),
+    )
+
+
+@query("q252_stream_clamped_balance", oracle=_CLAMP_ORACLE)
+def q252_stream_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q251's saturating ledger under Structured Streaming: the same
+    integer fold carried as GroupState (applyInPandasWithState), under
+    the SAME exact oracle — proving the batch and live forms of the
+    non-associative scan land on identical final state, the contract a
+    lambda-architecture migration needs before trusting the streaming
+    path. See streaming/events_stream.py::stateful_clamped_balance
+    for why batch splits cannot change the result.
+
+    Scale: state is four int64 scalars per user; each micro-batch
+    shuffles once on user_id into the state store; the per-batch sort
+    is bounded by batch size, never history."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+        stateful_clamped_balance,
+    )
+
+    out = stateful_clamped_balance(read_events_stream(spark, sf_dir))
+    return run_to_completion(
+        out, "q252_clamped_sink", output_mode="update"
     )

@@ -485,3 +485,62 @@ def ohlc_bars_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             "total_value",
         )
     )
+
+
+def stateful_clamped_balance(
+    events: DataFrame, cap_us: int = 500_000_000
+) -> DataFrame:
+    """The q251 clamped-balance scan LIVE: per-user saturating ledger
+    state carried in GroupState (applyInPandasWithState). Deltas enter
+    as exact int64 micro-units (the decimal quantization happens
+    JVM-side before Arrow), each micro-batch is sorted by (ts,
+    event_id) and folded sequentially from the carried state, so the
+    end-to-end integer operation sequence over ANY batch split equals
+    one ordered fold over the whole stream — the non-associative
+    recurrence is legal to distribute because it is sequential per
+    key, parallel across keys. State per key: four int64 scalars."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        bal, ncap, nflo, n = state.get if state.exists else (0, 0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for t, v in zip(batch["event_type"].tolist(), batch["v_us"].tolist()):
+            moved = bal + (int(v) if t == "purchase" else -int(v))
+            if moved > cap_us:
+                ncap += 1
+            if moved < 0:
+                nflo += 1
+            bal = min(max(moved, 0), cap_us)
+        n += len(batch)
+        state.update((bal, ncap, nflo, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_moves": [n],
+                "balance_us": [bal],
+                "n_capped": [ncap],
+                "n_floored": [nflo],
+            }
+        )
+
+    v_us = (
+        (F.col("value").cast("decimal(18,6)") * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("v_us")
+    )
+    pts = events.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "ts", "event_id", "event_type", v_us
+    )
+    return pts.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_moves long, balance_us long,"
+            " n_capped long, n_floored long"
+        ),
+        stateStructType="bal long, ncap long, nflo long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2587,3 +2587,68 @@ def q252_stream_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         out, "q252_clamped_sink", output_mode="update"
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — rolling active users (DAU / trailing-7-day WAU / stickiness)
+# ---------------------------------------------------------------------------
+@query(
+    "q253_rolling_active_users",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM activity)
+    SELECT g.day,
+           CAST(COUNT(DISTINCT CASE WHEN a.day = g.day
+                                    THEN a.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau,
+           COUNT(DISTINCT CASE WHEN a.day = g.day THEN a.user_id END)
+             * 10000 // COUNT(DISTINCT a.user_id) AS sticky_bp
+    FROM grid g
+    JOIN activity a ON a.day BETWEEN g.day - 6 AND g.day
+    GROUP BY g.day
+    """,
+)
+def q253_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement rollup — per day: DAU, trailing-7-day WAU,
+    and the DAU/WAU stickiness ratio in basis points. Distinct counts
+    over SLIDING windows don't decompose (a user active on 3 of the 7
+    days must count once), so the exact form fans each (user, day)
+    activity row onto the <=7 grid days it supports via a broadcast
+    range join and runs one distinct-aggregate per day — both
+    distincts (DAU and WAU) ride a single Expand-based aggregation.
+
+    Scale: activity is the deduped (user, day) frame — already
+    orders-of-magnitude smaller than events — and the fan-out is
+    bounded by the window width (x7), with the day grid broadcast.
+    At 100 TB the same report typically runs on q224's machinery
+    instead: one HLL sketch per day, rolling union over 7 — this
+    exact form is its audit, the same exact-vs-sketch pairing as
+    q163/q161."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grid = F.broadcast(activity.select("day").distinct().alias("g"))
+    a = activity.alias("a")
+    j = a.join(
+        grid,
+        (F.col("a.day") >= F.date_sub(F.col("g.day"), 6))
+        & (F.col("a.day") <= F.col("g.day")),
+    )
+    return (
+        j.groupBy(F.col("g.day").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("a.day") == F.col("g.day"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+            F.countDistinct("user_id").cast("long").alias("wau"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("dau * 10000 DIV wau").alias("sticky_bp"),
+        )
+    )

@@ -674,3 +674,95 @@ def test_observed_metrics_equal_second_pass_aggregate(spark):
     assert row["sum_qty"] == chk["sum_qty"]
     assert row["first_ship"] == chk["first_ship"]
     assert row["last_ship"] == chk["last_ship"]
+
+
+def test_gate_calibration_curve_is_monotone(spark):
+    """q249: as the decile loosens, the threshold is non-increasing,
+    kept/recall are non-decreasing, and the decile-rank contract
+    n_kept >= ceil(d*n/10) holds (ties can only widen the kept set)."""
+    rows = sorted(
+        _q("q249_gate_calibration").fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["decile"],
+    )
+    nn = max(r["n_kept"] for r in rows)  # decile 10 keeps everything
+    for a, b in zip(rows, rows[1:]):
+        assert b["margin_threshold"] <= a["margin_threshold"]
+        assert b["n_kept"] >= a["n_kept"]
+        assert b["recall_bp"] >= a["recall_bp"]
+    for r in rows:
+        assert r["n_kept"] >= (r["decile"] * nn + 9) // 10
+        assert 0 <= r["precision_bp"] <= 10000
+        assert 0 <= r["recall_bp"] <= 10000
+
+
+def test_clamped_balance_matches_pure_python_and_streaming(spark):
+    """q251 (batch fold) and q252 (GroupState live form) must both
+    equal a from-scratch CPython replay of the saturating ledger —
+    integer arithmetic end to end, so equality is exact."""
+    from ecowatt_etl_spark.queries.event_queries import _BAL_CAP_US
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,6)") * 1_000_000)
+            .cast("bigint")
+            .alias("v_us"),
+        )
+        .collect()
+    )
+    moves: dict = {}
+    for r in ev:
+        d = r["v_us"] if r["event_type"] == "purchase" else -r["v_us"]
+        moves.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], d))
+    want = {}
+    for u, ms in moves.items():
+        bal = ncap = nflo = 0
+        for _, _, d in sorted(ms):
+            moved = bal + d
+            ncap += moved > _BAL_CAP_US
+            nflo += moved < 0
+            bal = min(max(moved, 0), _BAL_CAP_US)
+        want[u] = (len(ms), bal, ncap, nflo)
+    for name in ("q251_clamped_balance", "q252_stream_clamped_balance"):
+        got = {
+            r["user_id"]: (
+                r["n_moves"],
+                r["balance_us"],
+                r["n_capped"],
+                r["n_floored"],
+            )
+            for r in _q(name).fn(spark, SF_ORACLE).collect()
+        }
+        assert got == want, name
+
+
+def test_rolling_active_users_match_pure_python_sets(spark):
+    """q253's sliding distincts against literal Python set unions."""
+    import datetime as dt
+
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    act = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in act:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    for r in _q("q253_rolling_active_users").fn(spark, SF_ORACLE).collect():
+        d = r["day"]
+        window = set().union(
+            *(by_day.get(d - dt.timedelta(days=k), set()) for k in range(7))
+        )
+        assert r["dau"] == len(by_day[d])
+        assert r["wau"] == len(window)
+        assert r["sticky_bp"] == r["dau"] * 10000 // r["wau"]
+        assert r["dau"] <= r["wau"]

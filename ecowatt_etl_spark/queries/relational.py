@@ -2982,3 +2982,53 @@ def q248_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — parameterized SQL (named parameter markers, Spark 4 surface)
+# ---------------------------------------------------------------------------
+_P_SEGMENT = "BUILDING"
+_P_MIN_BAL = 4000.0
+
+
+@query(
+    "q254_parameterized_sql",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS total_balance
+    FROM customer
+    WHERE c_mktsegment = '{_P_SEGMENT}' AND c_acctbal >= {_P_MIN_BAL}
+    GROUP BY c_mktsegment
+    """,
+)
+def q254_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL — named parameter markers bound through
+    ``spark.sql(query, args=...)``, the injection-safe templating
+    surface (parameters are bound as literals by the PARSER, never
+    string-interpolated, so a hostile segment value cannot break out
+    of the predicate). The oracle is the same query with the
+    parameters inlined, proving marker binding compiles to the
+    identical plan/result. Every repeated dashboard/report query at
+    scale should run through this surface: stable SQL text means a
+    stable plan cache key.
+
+    Scale: surface-only — the bound predicate pushes to the scan like
+    any literal (one segment + balance filter, one exact-decimal hash
+    aggregate)."""
+    from ecowatt_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS STRING)
+                    AS DOUBLE) AS total_balance
+        FROM customer
+        WHERE c_mktsegment = :segment AND c_acctbal >= :min_bal
+        GROUP BY c_mktsegment
+        """,
+        args={"segment": _P_SEGMENT, "min_bal": _P_MIN_BAL},
+    )

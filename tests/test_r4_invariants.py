@@ -766,3 +766,26 @@ def test_rolling_active_users_match_pure_python_sets(spark):
         assert r["wau"] == len(window)
         assert r["sticky_bp"] == r["dau"] * 10000 // r["wau"]
         assert r["dau"] <= r["wau"]
+
+
+def test_bench_headline_names_resolve_and_are_oracle_backed(spark):
+    """bench.py is the driver's per-round throughput probe: every
+    HEADLINE name must resolve in the registry (a rename here would
+    silently shrink the bench), and the four parity/recall extras
+    must reference queries that still exist."""
+    import bench
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    specs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    for n in (
+        "q61_cosine_topk",
+        "q63_cosine_topk_matmul",
+        "q64_lsh_topk",
+        "q65_ivf_topk",
+        "q156_ivfpq_topk",
+        "q90_regr_by_type",
+        "q91_regr_grouped_map",
+    ):
+        assert n in specs, n

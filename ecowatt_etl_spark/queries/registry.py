@@ -147,7 +147,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q248_sql_scripting", "q249_gate_calibration",
     "q250_stream_late_audit", "q251_clamped_balance",
     "q252_stream_clamped_balance", "q253_rolling_active_users",
-    "q254_parameterized_sql",
+    "q254_parameterized_sql", "q255_charset_profile",
 )
 
 

@@ -2483,3 +2483,115 @@ def q249_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_hi_kept * 10000 DIV n_kept").alias("precision_bp"),
         F.expr("n_hi_kept * 10000 DIV GREATEST(n_hi, 1)").alias("recall_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — charset hygiene profile via mapInArrow (raw-Arrow UDx)
+# ---------------------------------------------------------------------------
+# Completes the Arrow UDx matrix (pandas_udf / grouped-map / mapInPandas
+# / cogroup / UDTF / mapInArrow): the batch iterator receives raw
+# pyarrow RecordBatches — no pandas materialization at all, the lowest-
+# overhead Python hook Spark offers. Entropy is folded with CPython
+# math.log2 in char-ascending order; DuckDB's log2 shares the platform
+# libm (the q153/q245 argument), and the fold order is pinned on both
+# sides, so even the float column is hash-exact.
+_ENT_SCALE = 1 << 20
+
+
+@query(
+    "q255_charset_profile",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars
+      WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    folded AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             CAST(MAX(c) AS BIGINT) AS top_char_count,
+             CAST(SUM(CASE WHEN ch BETWEEN 'a' AND 'z' OR ch = ' '
+                           THEN c ELSE 0 END) AS BIGINT) AS n_printable,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(CAST(c AS DOUBLE) ORDER BY ch)),
+               (acc, x) -> acc + x * log2(x)) AS clog_sum
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct_chars, top_char_count,
+           n_printable * 10000 // n_chars AS printable_bp,
+           CAST(floor((log2(CAST(n_chars AS DOUBLE))
+                       - clog_sum / CAST(n_chars AS DOUBLE))
+                      * {_ENT_SCALE}.0) AS BIGINT) AS entropy_q
+    FROM folded
+    """,
+)
+def q255_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset hygiene profile per document — character count,
+    distinct-character diversity, dominant-character count, printable
+    share in basis points, and quantized Shannon entropy of the
+    character distribution. These are the binary-junk / mojibake /
+    low-diversity detectors a corpus intake runs before any semantic
+    filter (low entropy = repeated filler; low printable share =
+    encoding damage or non-text payloads).
+
+    Engine surface: computed with ``mapInArrow`` — the raw
+    RecordBatch iterator, no pandas conversion — completing the Arrow
+    UDx matrix. Per batch, CPython walks each string once, builds the
+    char histogram, and folds entropy in char-ascending order with
+    math.log2 (libm-shared with the oracle's log2; identical fold
+    order), so every column including the quantized entropy is
+    hash-exact cross-engine.
+
+    Scale: scan-local (zero exchanges); Arrow batches stream through
+    the Python worker at arrow.maxRecordsPerBatch granularity, and the
+    histogram is bounded by the charset, not the text."""
+    import math as _math
+
+    import pyarrow as pa
+
+    def profile(batches):
+        for batch in batches:
+            out = {
+                "doc_id": [],
+                "n_chars": [],
+                "n_distinct_chars": [],
+                "top_char_count": [],
+                "printable_bp": [],
+                "entropy_q": [],
+            }
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                hist: dict = {}
+                for ch in text:
+                    hist[ch] = hist.get(ch, 0) + 1
+                n = sum(hist.values())
+                acc = 0.0
+                for ch in sorted(hist):
+                    acc = acc + float(hist[ch]) * _math.log2(float(hist[ch]))
+                ent = _math.log2(float(n)) - acc / float(n)
+                printable = sum(
+                    c for ch, c in hist.items() if ch == " " or "a" <= ch <= "z"
+                )
+                out["doc_id"].append(doc_id)
+                out["n_chars"].append(n)
+                out["n_distinct_chars"].append(len(hist))
+                out["top_char_count"].append(max(hist.values()))
+                out["printable_bp"].append(printable * 10000 // n)
+                out["entropy_q"].append(int(_math.floor(ent * _ENT_SCALE)))
+            yield pa.RecordBatch.from_pydict(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        profile,
+        schema=(
+            "doc_id long, n_chars long, n_distinct_chars long,"
+            " top_char_count long, printable_bp long, entropy_q long"
+        ),
+    )

@@ -1169,7 +1169,8 @@ def q133_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying a VALUE-CHECKED exact oracle, which running floats in
     stream state normally can't have: the update function sorts each
     micro-batch by (ts, event_id) and folds sequentially from the
-    carried state, so the operation sequence over any batch split is
+    carried state, so (per-key-ordered batches assumed — ordered
+    replay here) the operation sequence is
     identical to one ordered fold over the whole stream, and the
     result doubles match DuckDB's list_reduce bit-for-bit. Complements
     q131 (the batch window form) and upgrades the GroupState path from
@@ -2389,6 +2390,7 @@ def q250_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecowatt_etl_spark.sources.formats import SCRATCH_ROOT
     from ecowatt_etl_spark.streaming.events_stream import (
         read_events_stream,
+        run_to_completion,
         tumbling_counts,
     )
 
@@ -2421,27 +2423,14 @@ def q250_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, in_dir, glob="events-*.parquet", max_files_per_trigger=1
         )
     )
-    name = "q250_late_audit_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            progresses = list(q.recentProgress)
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    _, progresses = run_to_completion(
+        agg, "q250_late_audit_sink", collect_progress=True
+    )
 
+    # batches 0..2 map 1:1 to the three replay files under
+    # maxFilesPerTrigger=1 (an empty chunk still yields its batch row,
+    # matching the oracle); later watermark-advance batches carry no
+    # file and are not part of the audit
     rows = [
         (
             int(p["batchId"]),
@@ -2454,7 +2443,7 @@ def q250_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         for p in sorted(progresses, key=lambda p: p["batchId"])
-        if p["numInputRows"] > 0
+        if p["batchId"] <= 2
     ]
     return spark.createDataFrame(
         rows, "batch long, n_input long, dropped_groups long"
@@ -2614,37 +2603,48 @@ def q253_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling engagement rollup — per day: DAU, trailing-7-day WAU,
     and the DAU/WAU stickiness ratio in basis points. Distinct counts
     over SLIDING windows don't decompose (a user active on 3 of the 7
-    days must count once), so the exact form fans each (user, day)
-    activity row onto the <=7 grid days it supports via a broadcast
-    range join and runs one distinct-aggregate per day — both
-    distincts (DAU and WAU) ride a single Expand-based aggregation.
+    days must count once), so the exact form EXPLODES each (user, day)
+    activity row onto the exactly-7 grid days it supports
+    (sequence(day, day+6)) and runs one distinct-aggregate per day —
+    both distincts (DAU and WAU) ride a single Expand-based
+    aggregation, and generated days with no same-day activity are
+    dropped post-agg (dau >= 1 == membership in the active-day grid).
+    A range join against the grid would compile to a nested loop over
+    activity x all-days — superlinear as the calendar grows — which
+    is why the fan-out is GENERATED, not matched.
 
     Scale: activity is the deduped (user, day) frame — already
     orders-of-magnitude smaller than events — and the fan-out is
-    bounded by the window width (x7), with the day grid broadcast.
+    bounded by the window width (x7) by construction.
     At 100 TB the same report typically runs on q224's machinery
     instead: one HLL sketch per day, rolling union over 7 — this
     exact form is its audit, the same exact-vs-sketch pairing as
     q163/q161."""
     ev = load_table(spark, sf_dir, "events")
     activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    grid = F.broadcast(activity.select("day").distinct().alias("g"))
-    a = activity.alias("a")
-    j = a.join(
-        grid,
-        (F.col("a.day") >= F.date_sub(F.col("g.day"), 6))
-        & (F.col("a.day") <= F.col("g.day")),
+    # each activity row supports exactly the 7 grid days [day, day+6]:
+    # generate them and EQUI-join-by-aggregation — a x7 explode plus one
+    # hash aggregate, never a nested-loop pairing against the full grid
+    fan = activity.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("g_day"),
     )
     return (
-        j.groupBy(F.col("g.day").alias("day"))
+        fan.groupBy(F.col("g_day").alias("day"))
         .agg(
             F.countDistinct(
-                F.when(F.col("a.day") == F.col("g.day"), F.col("user_id"))
+                F.when(F.col("day") == F.col("g_day"), F.col("user_id"))
             )
             .cast("long")
             .alias("dau"),
             F.countDistinct("user_id").cast("long").alias("wau"),
         )
+        # generated days with no same-day activity are not grid days
+        # (the oracle's grid is the distinct ACTIVE days): dau >= 1
+        .filter(F.col("dau") >= 1)
         .select(
             "day",
             "dau",

@@ -78,14 +78,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # exist now, convert to green), (c) the 3 queries whose
     # implementation or oracle changed in round 4 (q65 trained-IVF
     # rework, qe05/qe06 new golden oracles). New round-4 queries
-    # (q153–q250) are appended as they land; the ~50-slot cutoff falls
-    # inside them (≈ after q170), so q171–q250 SPILL to round 5 — all
+    # (q153 onward) are appended as they land; the ~50-slot cutoff
+    # falls inside them (≈ after q170), so q171+ SPILL to round 5 — all
     # have local exact-parity evidence (tests/test_oracle_parity.py),
     # and the round-5 rotation should promote them to the front the
-    # way this round promoted the r03 spill (~80 spilled queries ≈
-    # two further rounds of 50-slot windows; prioritize the riskiest
-    # shapes first: q250 streaming replay, q237 live JDBC, q247
-    # artifact round-trip, q248 scripting, then the bulk).
+    # way this round promoted the r03 spill (the spill is ~85 queries
+    # ≈ two further rounds of 50-slot windows; prioritize the riskiest
+    # shapes first: q250 streaming replay, q252 GroupState fold, q237
+    # live JDBC, q247 artifact round-trip, q248 scripting, then the
+    # bulk).
     # new r3 operators, never checked (riskiest shapes first — ADVICE)
     "q149_stream_cdc_upsert", "q150_recursive_cte",
     "q140_priority_late_count", "q141_shipclass_priority",

@@ -2568,6 +2568,10 @@ def q255_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch.column("doc_id").to_pylist(),
                 batch.column("text").to_pylist(),
             ):
+                if not text:
+                    # mirror the oracle: a document with no characters
+                    # produces no histogram row, not a crash
+                    continue
                 hist: dict = {}
                 for ch in text:
                     hist[ch] = hist.get(ch, 0) + 1

@@ -148,11 +148,17 @@ def session_aggregates(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 
 
 def run_to_completion(
-    agg: DataFrame, name: str, output_mode: str = "append", shuffle_partitions: int = 8
-) -> DataFrame:
+    agg: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int = 8,
+    collect_progress: bool = False,
+):
     """Drive a streaming aggregation over a bounded file source to
     completion via a memory sink; returns the materialized result as a
-    batch DataFrame. Smoke-test harness for the streaming path.
+    batch DataFrame (or ``(df, recentProgress)`` with
+    ``collect_progress=True`` — q250's lateness audit reads the
+    per-batch metrics). Smoke-test harness for the streaming path.
 
     Streaming stages don't get AQE partition coalescing, so a session
     default of 200 shuffle partitions means 200 state-store tasks per
@@ -166,6 +172,7 @@ def run_to_completion(
             q.stop()
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    progresses: list = []
     try:
         query = (
             agg.writeStream.outputMode(output_mode)
@@ -175,11 +182,14 @@ def run_to_completion(
         )
         try:
             query.processAllAvailable()
+            if collect_progress:
+                progresses = list(query.recentProgress)
         finally:
             query.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(name)
+    table = spark.table(name)
+    return (table, progresses) if collect_progress else table
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:
@@ -495,10 +505,16 @@ def stateful_clamped_balance(
     as exact int64 micro-units (the decimal quantization happens
     JVM-side before Arrow), each micro-batch is sorted by (ts,
     event_id) and folded sequentially from the carried state, so the
-    end-to-end integer operation sequence over ANY batch split equals
-    one ordered fold over the whole stream — the non-associative
-    recurrence is legal to distribute because it is sequential per
-    key, parallel across keys. State per key: four int64 scalars."""
+    end-to-end integer operation sequence equals one ordered fold over
+    the whole stream WHENEVER batches partition the stream in per-key
+    event-time order (true for this harness's ordered single-file
+    replay, and for any source delivering per-key in-order). A
+    non-associative fold CANNOT absorb out-of-order arrivals from
+    carried state alone — a production deployment sorts upstream per
+    key or buffers within a watermark before folding (the q149
+    merge-ordering guard is the same discipline on the sink side).
+    Sequential per key, parallel across keys. State per key: four
+    int64 scalars."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

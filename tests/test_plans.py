@@ -700,3 +700,13 @@ def test_q247_refresh_merge_is_keyed_not_nested_loop(spark):
     # world instead of merging on the group key
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q253_rolling_distincts_have_no_nested_loop(spark):
+    plan = _plan(spark, "q253_rolling_active_users")
+    # the x7 fan-out must be GENERATED (explode of sequence) and
+    # aggregated on an equi key — a nested-loop against the day grid
+    # is the O(history^2) failure mode this query exists to avoid
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Expand" in plan  # the two distincts share one aggregation

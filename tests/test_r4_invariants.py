@@ -789,3 +789,24 @@ def test_bench_headline_names_resolve_and_are_oracle_backed(spark):
         "q91_regr_grouped_map",
     ):
         assert n in specs, n
+
+
+def test_readme_query_counts_match_registry(spark):
+    """README's headline counts are hand-edited and have drifted twice;
+    pin them to the registry so every addition forces the doc update."""
+    import re
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    specs = all_queries()
+    n_total = len(specs)
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    text = open("README.md").read()
+    m = re.search(
+        r"(\d+) registered queries, (\d+) with DuckDB oracle twins", text
+    )
+    assert m, "README layout line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_total, n_oracle), (
+        f"README says {m.group(1)}/{m.group(2)}, registry has "
+        f"{n_total}/{n_oracle}"
+    )

@@ -921,23 +921,38 @@ def q87_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q88 — full k-means training (rows-only: iterative, exact per-step
-# semantics already value-gated by q87; determinism + monotone inertia
-# asserted in tests/test_curation_properties.py)
+# q88 — full k-means training (upgraded from rows-only: the SQL replay
+# of kmeans_train that backs q65/q154/q196's green oracles is
+# parameterizable, so the trained codebook itself is value-gated too)
 # ---------------------------------------------------------------------------
-@query("q88_kmeans_train")
+@query(
+    "q88_kmeans_train",
+    oracle=f"""
+    WITH {_sql_kmeans_cents(k=8, rounds=3)}
+    SELECT cid, t.i AS dim_idx, c_emb[t.i] AS value
+    FROM c3, generate_series(1, 64) AS t(i)
+    """,
+)
 def q88_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-round deterministic k-means over the embedding corpus (the
     composed form of q87): returns the trained coarse-quantizer
     codebook as (cid, dim_idx, value) rows. Bit-identical across runs
-    by construction — see kmeans_train."""
+    AND across engines by construction — fixed-point int64 centroid
+    accumulators, ties to the smaller cid, empty clusters carry their
+    previous centroid (see kmeans_train); the oracle replays the full
+    training loop with _sql_kmeans_cents, the same CTE chain q65's
+    serving oracle already proves equivalent at k=64."""
     from ecowatt_etl_spark.operators.similarity import kmeans_train
 
     em = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_train(em, k=8, rounds=3)
     return cents.select(
         "cid", F.posexplode("centroid").alias("pos", "value")
-    ).select("cid", (F.col("pos") + 1).alias("dim_idx"), "value")
+    ).select(
+        F.col("cid").cast("long").alias("cid"),
+        (F.col("pos") + 1).cast("long").alias("dim_idx"),
+        "value",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -710,3 +710,33 @@ def test_q253_rolling_distincts_have_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Expand" in plan  # the two distincts share one aggregation
+
+
+def test_plan_guard_blocks_and_allows(spark):
+    """The runtime admission guard (plans/guard.py) must reject the
+    shapes this file pins against — and accept both a healthy plan and
+    an explicitly-allowed exception."""
+    import pytest
+
+    from ecowatt_etl_spark.plans.guard import PlanGuardError, assert_scalable
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    a = spark.range(10)
+    b = spark.range(10)
+    cart = a.crossJoin(b)
+    with pytest.raises(PlanGuardError, match="CartesianProduct|NestedLoop"):
+        assert_scalable(cart)
+    # a written justification whitelists the shape
+    assert assert_scalable(
+        cart, allow={"CartesianProduct", "BroadcastNestedLoopJoin"}
+    ) is cart
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    slow = a.select(F.udf(lambda x: x + 1, LongType())("id"))
+    with pytest.raises(PlanGuardError, match="BatchEvalPython"):
+        assert_scalable(slow)
+
+    healthy = all_queries()["q01_pricing_summary"].fn(spark, SF_SMOKE)
+    assert assert_scalable(healthy) is healthy

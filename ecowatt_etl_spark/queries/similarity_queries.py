@@ -2052,3 +2052,169 @@ def q201_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label") == _FILT_LABEL
     ).select("vec_id", "embedding", "cid")
     return _ivf_serve(em, cent_df, cells_f)
+
+
+# ---------------------------------------------------------------------------
+# q256 — retrieval self-eval harness (known-item recall, two retrievers)
+# ---------------------------------------------------------------------------
+# Every 25th document is a known-item probe: the lexical retriever
+# queries with the doc's first 6 distinct tokens, the vector retriever
+# with a deterministically perturbed copy of the doc's embedding (dim j
+# scaled by (95 + (7j mod 11))/100 — ±5%, so self-rank is earned, not
+# an identity artifact). Rank of the source doc under each retriever ->
+# hit@1 / hit@3 / floor-reciprocal-rank — all integers.
+from ecowatt_etl_spark.queries.text_queries import (  # noqa: E402
+    _SQL_TOKENS,
+)
+
+_EVAL_STRIDE = 25
+_EVAL_TERMS = 6
+
+
+def _sql_perturb(e: str) -> str:
+    return (
+        f"list_transform(generate_series(1, 64), "
+        f"i -> CAST({e}[i] AS DOUBLE)"
+        f" * CAST(95 + (i * 7) % 11 AS DOUBLE) / 100.0)"
+    )
+
+
+@query(
+    "q256_retrieval_self_eval",
+    oracle=f"""
+    WITH qt AS (
+      SELECT doc_id AS qid,
+             list_distinct(({_SQL_TOKENS})[1:{_EVAL_TERMS}]) AS terms
+      FROM documents WHERE doc_id % {_EVAL_STRIDE} = 0
+    ),
+    cand AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ctoks FROM documents
+    ),
+    lexrk AS (
+      SELECT qt.qid, c.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qt.qid
+               ORDER BY len(list_intersect(qt.terms, c.ctoks)) DESC,
+                        c.doc_id) AS rk
+      FROM qt CROSS JOIN cand c
+    ),
+    lexsrc AS (SELECT qid, rk FROM lexrk WHERE doc_id = qid),
+    qv AS (
+      SELECT vec_id AS qid, {_sql_perturb("embedding")} AS q_emb
+      FROM embeddings WHERE vec_id % {_EVAL_STRIDE} = 0
+    ),
+    vecrk AS (
+      SELECT qv.qid, c.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qv.qid
+               ORDER BY {_sql_dot("qv.q_emb", "c.embedding")}
+                        / ({_sql_norm("qv.q_emb")}
+                           * {_sql_norm("c.embedding")}) DESC,
+                        c.vec_id) AS rk
+      FROM qv CROSS JOIN embeddings c
+    ),
+    vecsrc AS (SELECT qid, rk FROM vecrk WHERE doc_id = qid)
+    SELECT 'lexical' AS retriever,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
+           CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3,
+           CAST(SUM(1000 // rk) AS BIGINT) AS rr_milli_sum
+    FROM lexsrc
+    UNION ALL
+    SELECT 'vector', COUNT(*),
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(1000 // rk) AS BIGINT)
+    FROM vecsrc
+    """,
+)
+def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVAL harness — the offline known-item benchmark a
+    search/RAG stack runs before shipping an index change: probe
+    queries derived from corpus items themselves (header note), rank
+    the source item under each retriever, and report hit@1 / hit@3 /
+    summed floor-reciprocal-rank per retriever. This is the
+    eval-side complement to q219 (index recall vs ground truth) and
+    q202 (serving-side fusion): q219 scores the INDEX, this scores
+    the RETRIEVER END-TO-END, and a regression in tokenization,
+    normalization, or scoring shows up here before users see it.
+
+    Reading the numbers on THIS corpus: the vector arm recovers every
+    probe at rank 1 (near-orthogonal embeddings keep self-similarity
+    dominant under a ±5% perturbation), while the lexical arm recovers
+    almost none — the synthetic 31-word shared vocabulary makes
+    distinct-term overlap tie across most of the corpus, i.e. the
+    harness correctly exposes a retriever whose signal is gone. That
+    asymmetry is the point of running the eval.
+
+    Exactness: the lexical rank is pure integer (distinct-term
+    intersection size); the vector rank rides the engine's fold-exact
+    cosine (q61's machinery) over a perturbed query built from the
+    same literal expression in both engines; ranks, hits, and the
+    floor-divided reciprocal sum are integers end to end.
+
+    Scale: probes broadcast (a bounded eval sample, like every
+    benchmark set); candidate scoring is one corpus pass per
+    retriever; ranks come from per-probe windows over the scored
+    stream. At 100 TB the vector arm routes through the trained IVF
+    serve path (q65/q196) instead of the exact scan — the harness
+    itself is retriever-agnostic."""
+    d = load_table(spark, sf_dir, "documents")
+    from ecowatt_etl_spark.operators.text import tokens
+
+    toks = tokens("text")
+    qt = d.filter(F.col("doc_id") % _EVAL_STRIDE == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct(F.slice(toks, 1, _EVAL_TERMS)).alias("terms"),
+    )
+    cand = d.select("doc_id", F.array_distinct(toks).alias("ctoks"))
+    lex_score = F.size(F.array_intersect(F.col("terms"), F.col("ctoks")))
+    w_lex = W.partitionBy("qid").orderBy(
+        lex_score.desc(), F.col("doc_id").asc()
+    )
+    lexsrc = (
+        cand.crossJoin(F.broadcast(qt))
+        .withColumn("rk", F.row_number().over(w_lex))
+        .filter(F.col("doc_id") == F.col("qid"))
+        .select("qid", "rk")
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    perturb = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        * ((i + 1) * 7 % 11 + 95).cast("double")
+        / F.lit(100.0),
+    )
+    qv = em.filter(F.col("vec_id") % _EVAL_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), perturb.alias("q_emb")
+    )
+    w_vec = W.partitionBy("qid").orderBy(
+        F.desc("sim"), F.col("vec_id").asc()
+    )
+    vecsrc = (
+        em.crossJoin(F.broadcast(qv))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_vec))
+        .filter(F.col("vec_id") == F.col("qid"))
+        .select("qid", "rk")
+    )
+
+    def _summary(src: DataFrame, label: str) -> DataFrame:
+        return src.agg(
+            F.lit(label).alias("retriever"),
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hit1"),
+            F.sum(F.when(F.col("rk") <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("hit3"),
+            F.sum(F.expr("1000 DIV rk")).cast("long").alias("rr_milli_sum"),
+        )
+
+    return _summary(lexsrc, "lexical").unionByName(_summary(vecsrc, "vector"))

@@ -810,3 +810,65 @@ def test_readme_query_counts_match_registry(spark):
         f"README says {m.group(1)}/{m.group(2)}, registry has "
         f"{n_total}/{n_oracle}"
     )
+
+
+def test_retrieval_self_eval_matches_pure_python(spark):
+    """q256's per-retriever hit/RR summary against a from-scratch
+    CPython replay of both retrievers (same tokenization, same
+    perturbation, same tie-breaks)."""
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    em = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    probes = sorted(d for d in docs if d % 25 == 0)
+
+    def ranks(score_fn):
+        out = {}
+        for q in probes:
+            scored = sorted(
+                ((score_fn(q, c), -c) for c in docs), reverse=True
+            )
+            out[q] = next(
+                i + 1 for i, (_, negc) in enumerate(scored) if -negc == q
+            )
+        return out
+
+    def lex(q, c):
+        terms = set(docs[q][:6])
+        return len(terms & set(docs[c]))
+
+    def vec(q, c):
+        import math
+
+        pq = [
+            x * float((j + 1) * 7 % 11 + 95) / 100.0
+            for j, x in enumerate(em[q])
+        ]
+        dot = norm_q = norm_c = 0.0
+        for a, b in zip(pq, em[c]):
+            dot += a * b
+            norm_q += a * a
+            norm_c += b * b
+        return dot / (math.sqrt(norm_q) * math.sqrt(norm_c))
+
+    got = {
+        r["retriever"]: (r["n_queries"], r["hit1"], r["hit3"], r["rr_milli_sum"])
+        for r in _q("q256_retrieval_self_eval").fn(spark, SF_ORACLE).collect()
+    }
+    for label, fn in (("lexical", lex), ("vector", vec)):
+        rk = ranks(fn)
+        want = (
+            len(probes),
+            sum(1 for v in rk.values() if v == 1),
+            sum(1 for v in rk.values() if v <= 3),
+            sum(1000 // v for v in rk.values()),
+        )
+        assert got[label] == want, (label, got[label], want)

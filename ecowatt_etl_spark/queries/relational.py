@@ -3032,3 +3032,84 @@ def q254_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"segment": _P_SEGMENT, "min_bal": _P_MIN_BAL},
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — NULL semantics under the value gate
+# ---------------------------------------------------------------------------
+@query(
+    "q257_null_semantics",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.seg, COUNT(*) AS n_pairs
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.seg IS NOT DISTINCT FROM b.seg
+       AND a.c_custkey < b.c_custkey
+      GROUP BY a.seg
+    )
+    SELECT c.seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(c.seg) AS BIGINT) AS n_nonnull,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_nullsafe_pairs
+    FROM c LEFT JOIN pairs p ON p.seg IS NOT DISTINCT FROM c.seg
+    GROUP BY c.seg, p.n_pairs
+    """,
+)
+def q257_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics contract, value-gated — the three rules every
+    migrated workload trips over, demonstrated on a derived nullable
+    column (segment with one value nulled out):
+      1. GROUP BY collects all NULLs into ONE group (the NULL row in
+         the output — SQL grouping treats NULL as equal-for-grouping);
+      2. COUNT(*) counts rows, COUNT(col) skips NULLs — both reported
+         per group so the difference is visible in the NULL row;
+      3. ``<=>`` (null-safe equality; IS NOT DISTINCT FROM) MATCHES
+         null-to-null where ``=`` would drop the pair — the
+         n_nullsafe_pairs count on the NULL row is nonzero only
+         because the join used the null-safe operator.
+    Both engines agree on all three to the row, which is the point: a
+    hash match here pins the engine to ANSI null behavior, not an
+    implementation accident.
+
+    Scale: the pair join is keyed on (nation, seg) with bounded
+    groups; everything else is one grouped aggregate. Null-safe
+    equality compiles to an ordinary equi-join key (Spark plans <=>
+    as EqualNullSafe inside the join key set, no nested loop)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & F.col("a.seg").eqNullSafe(F.col("b.seg"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .groupBy(F.col("a.seg").alias("seg"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return (
+        c.join(pairs.alias("p"), c["seg"].eqNullSafe(F.col("p.seg")), "left")
+        .groupBy(c["seg"].alias("seg"), F.col("p.n_pairs"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.count(c["seg"]).cast("long").alias("n_nonnull"),
+        )
+        .select(
+            "seg",
+            "n_customers",
+            "n_nonnull",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+                "n_nullsafe_pairs"
+            ),
+        )
+    )

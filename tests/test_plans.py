@@ -740,3 +740,46 @@ def test_plan_guard_blocks_and_allows(spark):
 
     healthy = all_queries()["q01_pricing_summary"].fn(spark, SF_SMOKE)
     assert assert_scalable(healthy) is healthy
+
+
+def test_parquet_aggregate_pushdown_is_metadata_only(spark):
+    """COUNT/MIN/MAX over parquet can resolve from row-group METADATA
+    (PushedAggregation) under the DSv2 read path — the stats-only scan
+    that answers table-profile queries without touching data pages.
+    Exercised as a test rather than a registry query because enabling
+    it requires flipping the session-global useV1SourceList (which
+    would silently re-plan every other parquet read in the session —
+    the q222/tables.py global-mutation lesson). Values must equal the
+    ordinary scan's aggregates exactly."""
+    from pyspark.sql import functions as F
+
+    keys = ("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "")
+        spark.conf.set(keys[1], "true")
+        df = spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        plan = agg._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_extendedprice)]" in plan
+        got = agg.collect()[0]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = (
+        spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+        .agg(F.count("*"), F.min("l_quantity"), F.max("l_extendedprice"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)

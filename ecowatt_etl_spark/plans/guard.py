@@ -44,28 +44,73 @@ class PlanGuardError(RuntimeError):
 
 
 def physical_plan(df: DataFrame) -> str:
-    """The formatted physical plan string the guard inspects."""
-    spark = df.sparkSession
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+    """The formatted physical plan string the guard inspects.
+
+    Classic sessions read it through the JVM handle; Spark Connect
+    DataFrames have no ``_jdf``, so the fallback captures
+    ``df.explain('formatted')`` — same text, transport-agnostic, which
+    is what lets the guard run inside the notebook gateways and
+    scheduled jobs the module docstring describes."""
+    try:
+        spark = df.sparkSession
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
-    )
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
 
-def assert_scalable(df: DataFrame, allow: Iterable[str] = ()) -> DataFrame:
+def _shape_count(plan: str, shape: str) -> int:
+    """Occurrences of a node, counted once each via the formatted
+    plan's details section ("(id) Shape" lines) — tree lines carry
+    modifiers between the name and the id ("BroadcastNestedLoopJoin
+    Cross BuildRight (5)") and would need fragile parsing. Falls back
+    to a bare substring test for plan texts without a details section
+    (simple-mode strings)."""
+    import re
+
+    n = len(re.findall(rf"^\(\d+\) {re.escape(shape)}\b", plan, re.M))
+    if n == 0 and shape in plan:
+        return 1
+    return n
+
+
+def assert_scalable(
+    df: DataFrame, allow: Iterable[str] | dict[str, int] = ()
+) -> DataFrame:
     """Raise :class:`PlanGuardError` if ``df``'s physical plan contains
     a banned shape not explicitly allowed; return ``df`` unchanged so
     the guard chains into pipelines:
 
         assert_scalable(build_report(spark)).write.parquet(out)
 
-    ``allow`` lists shapes the caller has ARGUED are safe here (e.g.
-    ``{"BroadcastNestedLoopJoin"}`` for a 1-row broadcast frame) — the
-    argument belongs in a comment next to the call site."""
-    allowed = set(allow)
+    ``allow`` waives shapes the caller has ARGUED are safe here — the
+    argument belongs in a comment next to the call site. Pass a dict
+    ``{shape: max_occurrences}`` to cap the waiver at the number of
+    justified sites (e.g. ``{"BroadcastNestedLoopJoin": 1}`` for one
+    1-row stats-frame join): a SECOND occurrence appearing later —
+    say a lost equi-key turning another join nested-loop — still
+    fails. A plain set/iterable waives the shape entirely."""
+    caps = (
+        dict(allow)
+        if isinstance(allow, dict)
+        else {s: None for s in allow}  # None = unlimited
+    )
     plan = physical_plan(df)
-    hits = [b for b in BANNED if b not in allowed and b in plan]
+    hits = []
+    for shape in BANNED:
+        n = _shape_count(plan, shape)
+        cap = caps.get(shape, 0)
+        if n and cap is not None and n > cap:
+            hits.append(f"{shape} x{n} (allowed {cap})")
     if hits:
         raise PlanGuardError(
             f"plan contains banned shape(s) {hits}; either fix the query "

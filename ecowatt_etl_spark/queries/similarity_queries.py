@@ -2058,7 +2058,7 @@ def q201_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q256 — retrieval self-eval harness (known-item recall, two retrievers)
 # ---------------------------------------------------------------------------
 # Every 25th document is a known-item probe: the lexical retriever
-# queries with the doc's first 6 distinct tokens, the vector retriever
+# queries with the distinct of the doc's first 6 tokens, the vector retriever
 # with a deterministically perturbed copy of the doc's embedding (dim j
 # scaled by (95 + (7j mod 11))/100 — ±5%, so self-rank is earned, not
 # an identity artifact). Rank of the source doc under each retriever ->
@@ -2090,30 +2090,38 @@ def _sql_perturb(e: str) -> str:
     cand AS (
       SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ctoks FROM documents
     ),
-    lexrk AS (
+    lexsc AS (
       SELECT qt.qid, c.doc_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY qt.qid
-               ORDER BY len(list_intersect(qt.terms, c.ctoks)) DESC,
-                        c.doc_id) AS rk
+             len(list_intersect(qt.terms, c.ctoks)) AS s
       FROM qt CROSS JOIN cand c
     ),
-    lexsrc AS (SELECT qid, rk FROM lexrk WHERE doc_id = qid),
+    lexself AS (SELECT qid, s AS self_s FROM lexsc WHERE doc_id = qid),
+    lexsrc AS (
+      SELECT l.qid,
+             1 + SUM(CASE WHEN l.s > e.self_s
+                            OR (l.s = e.self_s AND l.doc_id < l.qid)
+                          THEN 1 ELSE 0 END) AS rk
+      FROM lexsc l JOIN lexself e USING (qid) GROUP BY l.qid
+    ),
     qv AS (
       SELECT vec_id AS qid, {_sql_perturb("embedding")} AS q_emb
       FROM embeddings WHERE vec_id % {_EVAL_STRIDE} = 0
     ),
-    vecrk AS (
+    vecsc AS (
       SELECT qv.qid, c.vec_id AS doc_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY qv.qid
-               ORDER BY {_sql_dot("qv.q_emb", "c.embedding")}
-                        / ({_sql_norm("qv.q_emb")}
-                           * {_sql_norm("c.embedding")}) DESC,
-                        c.vec_id) AS rk
+             {_sql_dot("qv.q_emb", "c.embedding")}
+               / ({_sql_norm("qv.q_emb")}
+                  * {_sql_norm("c.embedding")}) AS s
       FROM qv CROSS JOIN embeddings c
     ),
-    vecsrc AS (SELECT qid, rk FROM vecrk WHERE doc_id = qid)
+    vecself AS (SELECT qid, s AS self_s FROM vecsc WHERE doc_id = qid),
+    vecsrc AS (
+      SELECT v.qid,
+             1 + SUM(CASE WHEN v.s > e.self_s
+                            OR (v.s = e.self_s AND v.doc_id < v.qid)
+                          THEN 1 ELSE 0 END) AS rk
+      FROM vecsc v JOIN vecself e USING (qid) GROUP BY v.qid
+    )
     SELECT 'lexical' AS retriever,
            CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
@@ -2155,8 +2163,10 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: probes broadcast (a bounded eval sample, like every
     benchmark set); candidate scoring is one corpus pass per
-    retriever; ranks come from per-probe windows over the scored
-    stream. At 100 TB the vector arm routes through the trained IVF
+    retriever; the source rank is 1 + a COUNT of strictly-better
+    candidates (one conditional aggregate over the scored stream —
+    never a corpus-wide sort window per probe), with the 20-row
+    self-score frame broadcast. At 100 TB the vector arm routes through the trained IVF
     serve path (q65/q196) instead of the exact scan — the harness
     itself is retriever-agnostic."""
     d = load_table(spark, sf_dir, "documents")
@@ -2169,14 +2179,27 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = d.select("doc_id", F.array_distinct(toks).alias("ctoks"))
     lex_score = F.size(F.array_intersect(F.col("terms"), F.col("ctoks")))
-    w_lex = W.partitionBy("qid").orderBy(
-        lex_score.desc(), F.col("doc_id").asc()
+    # rank of the source = 1 + count of strictly-better candidates
+    # (score desc, doc_id asc tie-break) — one conditional aggregate
+    # over the scored stream; no corpus-wide sort window (the
+    # Sort+Window form pays O(N log N) per probe for one kept row)
+    lex_scored = cand.crossJoin(F.broadcast(qt)).select(
+        "qid", "doc_id", lex_score.alias("s")
     )
+    lex_self = F.broadcast(
+        qt.join(cand, F.col("qid") == F.col("doc_id")).select(
+            "qid", lex_score.alias("self_s")
+        )
+    )
+    better = F.when(
+        (F.col("s") > F.col("self_s"))
+        | ((F.col("s") == F.col("self_s")) & (F.col("doc_id") < F.col("qid"))),
+        1,
+    ).otherwise(0)
     lexsrc = (
-        cand.crossJoin(F.broadcast(qt))
-        .withColumn("rk", F.row_number().over(w_lex))
-        .filter(F.col("doc_id") == F.col("qid"))
-        .select("qid", "rk")
+        lex_scored.join(lex_self, "qid")
+        .groupBy("qid")
+        .agg((F.lit(1) + F.sum(better)).alias("rk"))
     )
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -2189,19 +2212,20 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = em.filter(F.col("vec_id") % _EVAL_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), perturb.alias("q_emb")
     )
-    w_vec = W.partitionBy("qid").orderBy(
-        F.desc("sim"), F.col("vec_id").asc()
+    vec_scored = em.crossJoin(F.broadcast(qv)).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("s"),
+    )
+    vec_self = F.broadcast(
+        qv.join(em, F.col("qid") == F.col("vec_id")).select(
+            "qid", cosine(F.col("q_emb"), F.col("embedding")).alias("self_s")
+        )
     )
     vecsrc = (
-        em.crossJoin(F.broadcast(qv))
-        .select(
-            "qid",
-            "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
-        )
-        .withColumn("rk", F.row_number().over(w_vec))
-        .filter(F.col("vec_id") == F.col("qid"))
-        .select("qid", "rk")
+        vec_scored.join(vec_self, "qid")
+        .groupBy("qid")
+        .agg((F.lit(1) + F.sum(better)).alias("rk"))
     )
 
     def _summary(src: DataFrame, label: str) -> DataFrame:

@@ -661,12 +661,10 @@ def test_q243_holt_is_two_aggregates_no_window(spark):
 def test_q244_observe_rides_pushed_filter_scan(spark):
     from ecowatt_etl_spark.queries.layout_queries import observed_pass
 
+    from ecowatt_etl_spark.plans.guard import physical_plan
+
     observed, _ = observed_pass(spark, SF_SMOKE)
-    plan = observed._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    plan = physical_plan(observed)
     # the telemetry is an accumulator node on the SAME pass…
     assert "CollectMetrics" in plan
     # …and must not break pushdown of the pipeline's own filter
@@ -730,6 +728,11 @@ def test_plan_guard_blocks_and_allows(spark):
     assert assert_scalable(
         cart, allow={"CartesianProduct", "BroadcastNestedLoopJoin"}
     ) is cart
+    # occurrence-capped waiver: one justified site does not silence a
+    # second banned occurrence of the same shape
+    cart2 = cart.crossJoin(spark.range(5).withColumnRenamed("id", "id3"))
+    with pytest.raises(PlanGuardError, match="allowed 1"):
+        assert_scalable(cart2, allow={"BroadcastNestedLoopJoin": 1})
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -764,11 +767,9 @@ def test_parquet_aggregate_pushdown_is_metadata_only(spark):
             F.min("l_quantity").alias("min_qty"),
             F.max("l_extendedprice").alias("max_price"),
         )
-        plan = agg._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
+        from ecowatt_etl_spark.plans.guard import physical_plan
+
+        plan = physical_plan(agg)
         assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_extendedprice)]" in plan
         got = agg.collect()[0]
     finally:

@@ -150,6 +150,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q252_stream_clamped_balance", "q253_rolling_active_users",
     "q254_parameterized_sql", "q255_charset_profile",
     "q256_retrieval_self_eval", "q257_null_semantics",
+    "q258_federated_join",
 )
 
 

@@ -3113,3 +3113,77 @@ def q257_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — federated multi-format join (parquet ⋈ JSONL ⋈ ORC)
+# ---------------------------------------------------------------------------
+@query(
+    "q258_federated_join",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                     AS VARCHAR) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q258_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED query across three physical formats in one plan: the
+    orders/customer facts stay parquet, the nation dimension is
+    served from JSONL and the region dimension from ORC (both
+    materialized to scratch from the warehouse tables, standing in
+    for the ops-owned JSON feed and the legacy ORC extract every real
+    lake has). The engine's claim — and what the oracle hash proves —
+    is that STORAGE FORMAT IS NOT SEMANTICS: the four-way join
+    aggregates to the same bits regardless of which connector served
+    which table, so migrating a dimension between formats can never
+    change an answer.
+
+    Scale: the format boundary changes scan economics only — JSONL is
+    row-oriented and splittable but unpruned (fine for a 25-row dim,
+    wrong for a fact), ORC and parquet both prune and push down. Both
+    dims broadcast; the fact joins never shuffle on the dim side;
+    one exact-decimal hash aggregate."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import (
+        SCRATCH_ROOT,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/federated"
+    nation_path, region_path = f"{root}/nation_jsonl", f"{root}/region_orc"
+    write_jsonl(load_table(spark, sf_dir, "nation"), nation_path)
+    load_table(spark, sf_dir, "region").write.mode("overwrite").orc(region_path)
+
+    n = read_jsonl(
+        spark,
+        nation_path,
+        load_table(spark, sf_dir, "nation").schema,
+    ).select("n_nationkey", "n_regionkey")
+    r = spark.read.orc(region_path).select("r_regionkey", "r_name")
+
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

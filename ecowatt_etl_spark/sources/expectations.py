@@ -1,0 +1,66 @@
+"""Write-time data-quality gate: refuse to materialize a frame that
+violates its declared expectations.
+
+q152's DQ audit reports violations after the fact; production
+pipelines also need the WRITE-side contract — the sink equivalent of
+plans/guard.py's admission control: a batch that breaks an invariant
+(null keys, out-of-range money, dangling foreign keys) must fail the
+job loudly BEFORE it lands where downstream readers trust it.
+
+The check pass and the write share one computation: expectations are
+evaluated as conditional counts in a single aggregate over the frame
+(one extra action, no extra shuffle — each check is a map-side
+predicate), so the gate costs one scan, not one scan per rule. At
+100 TB the same single-aggregate shape holds; for pipelines that
+cannot afford any second pass, ride the counts on the write itself via
+q244's Observation pattern and validate post-write before publishing
+the partition (write-audit-publish).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ExpectationError(RuntimeError):
+    """Raised when a frame violates its write expectations."""
+
+
+def check_expectations(
+    df: DataFrame, checks: dict[str, Column]
+) -> dict[str, int]:
+    """Evaluate all expectations in ONE aggregate: each value is a
+    boolean Column that must hold per row; returns violation counts
+    per check name."""
+    if not checks:
+        return {}
+    row = df.agg(
+        *[
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in checks.items()
+        ]
+    ).collect()[0]
+    return {name: row[name] or 0 for name in checks}
+
+
+def write_checked(
+    df: DataFrame,
+    path: str,
+    checks: dict[str, Column],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, int]:
+    """Gate-then-write: evaluate ``checks`` (name -> per-row boolean
+    Column), raise :class:`ExpectationError` naming every violated
+    expectation and its count if any fail, otherwise write and return
+    the (all-zero) violation report for the job log."""
+    report = check_expectations(df, checks)
+    violated = {k: v for k, v in report.items() if v}
+    if violated:
+        raise ExpectationError(
+            f"refusing to write {path}: violated expectations {violated} "
+            "(counts are rows failing the declared per-row condition)"
+        )
+    df.write.mode(mode).format(fmt).save(path)
+    return report

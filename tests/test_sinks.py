@@ -395,3 +395,42 @@ def test_avro_gate(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+def test_write_checked_gates_on_expectations(spark, tmp_path):
+    """The write-time DQ gate: a frame violating a declared expectation
+    must NOT land (and the error must name the failed checks with
+    counts); a clean frame writes and returns the zero report. All
+    checks ride one aggregate."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.sources.expectations import (
+        ExpectationError,
+        write_checked,
+    )
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    out = str(tmp_path / "gated")
+    checks = {
+        "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        "qty_positive": F.col("l_quantity") > 0,
+        "price_in_range": F.col("l_extendedprice").between(0, 10_000_000),
+    }
+    report = write_checked(li, out, checks)
+    assert report == {k: 0 for k in checks}
+    assert os.path.exists(out)
+
+    bad = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 100 == 0, -1.0).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    out2 = str(tmp_path / "gated2")
+    with pytest.raises(ExpectationError, match="qty_positive"):
+        write_checked(bad, out2, checks)
+    assert not os.path.exists(out2), "violating frame must not land"

@@ -38,10 +38,16 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# DuckDB twin of tokens() — the canonical tokenization SQL, defined
+# here (not in a query module) so every oracle that tokenizes imports
+# it from the operator layer without query-module import cycles.
+SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization of lowercased text.
 
-    DuckDB twin: regexp_split_to_array(lower(trim(text)), '\\s+')."""
+    DuckDB twin: :data:`SQL_TOKENS`."""
     return F.split(F.lower(F.trim(_c(col))), r"\s+")
 
 

@@ -79,7 +79,11 @@ def _shape_count(plan: str, shape: str) -> int:
 
     n = len(re.findall(rf"^\(\d+\) {re.escape(shape)}\b", plan, re.M))
     if n == 0 and shape in plan:
-        return 1
+        # plan text without a details section (simple-mode string or a
+        # changed layout): a raw substring count OVERSTATES (tree +
+        # detail echoes) but never understates, so occurrence caps
+        # stay conservative instead of silently collapsing to 1
+        return plan.count(shape)
     return n
 
 

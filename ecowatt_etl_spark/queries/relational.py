@@ -3163,14 +3163,13 @@ def q258_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/federated"
     nation_path, region_path = f"{root}/nation_jsonl", f"{root}/region_orc"
-    write_jsonl(load_table(spark, sf_dir, "nation"), nation_path)
+    nation = load_table(spark, sf_dir, "nation")
+    write_jsonl(nation, nation_path)
     load_table(spark, sf_dir, "region").write.mode("overwrite").orc(region_path)
 
-    n = read_jsonl(
-        spark,
-        nation_path,
-        load_table(spark, sf_dir, "nation").schema,
-    ).select("n_nationkey", "n_regionkey")
+    n = read_jsonl(spark, nation_path, nation.schema).select(
+        "n_nationkey", "n_regionkey"
+    )
     r = spark.read.orc(region_path).select("r_regionkey", "r_name")
 
     return (

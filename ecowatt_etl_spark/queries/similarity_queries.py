@@ -2063,8 +2063,8 @@ def q201_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scaled by (95 + (7j mod 11))/100 — ±5%, so self-rank is earned, not
 # an identity artifact). Rank of the source doc under each retriever ->
 # hit@1 / hit@3 / floor-reciprocal-rank — all integers.
-from ecowatt_etl_spark.queries.text_queries import (  # noqa: E402
-    _SQL_TOKENS,
+from ecowatt_etl_spark.operators.text import (  # noqa: E402
+    SQL_TOKENS as _SQL_TOKENS,
 )
 
 _EVAL_STRIDE = 25

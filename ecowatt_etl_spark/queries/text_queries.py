@@ -24,7 +24,9 @@ from ecowatt_etl_spark.operators.text import (
 from ecowatt_etl_spark.queries.registry import query
 from ecowatt_etl_spark.sources.tables import load_table
 
-_SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+from ecowatt_etl_spark.operators.text import (  # noqa: E402
+    SQL_TOKENS as _SQL_TOKENS,
+)
 
 
 def _sql_marker_count(markers: list[str]) -> str:

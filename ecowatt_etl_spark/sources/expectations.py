@@ -31,13 +31,18 @@ def check_expectations(
     df: DataFrame, checks: dict[str, Column]
 ) -> dict[str, int]:
     """Evaluate all expectations in ONE aggregate: each value is a
-    boolean Column that must hold per row; returns violation counts
-    per check name."""
+    boolean Column that must hold (evaluate to TRUE) per row — FALSE
+    and NULL both violate; returns violation counts per check name."""
     if not checks:
         return {}
+    # three-valued logic matters here: a NULL-evaluating condition is
+    # NOT TRUE, so it must count as a violation — when(cond, 0)
+    # .otherwise(1) sends both FALSE and NULL to 1, where the naive
+    # when(~cond, 1) form would silently wave NULLs through (the exact
+    # trap q257 pins)
     row = df.agg(
         *[
-            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+            F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(name)
             for name, cond in checks.items()
         ]
     ).collect()[0]

@@ -413,7 +413,9 @@ def test_write_checked_gates_on_expectations(spark, tmp_path):
     )
     from ecowatt_etl_spark.sources.tables import load_table
 
-    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
     out = str(tmp_path / "gated")
     checks = {
         "orderkey_not_null": F.col("l_orderkey").isNotNull(),
@@ -434,3 +436,16 @@ def test_write_checked_gates_on_expectations(spark, tmp_path):
     with pytest.raises(ExpectationError, match="qty_positive"):
         write_checked(bad, out2, checks)
     assert not os.path.exists(out2), "violating frame must not land"
+
+    # three-valued logic: a NULL-evaluating condition is NOT TRUE and
+    # must count as a violation — the q257 trap, closed at the gate
+    nullish = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 100 == 0, None).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    out3 = str(tmp_path / "gated3")
+    with pytest.raises(ExpectationError, match="qty_positive"):
+        write_checked(nullish, out3, checks)
+    assert not os.path.exists(out3)

@@ -322,7 +322,11 @@ def run_pipeline(spark: SparkSession, data_dir: str) -> StarSchema:
 
 
 def write_star_schema(
-    star: StarSchema, out_dir: str, fmt: str = "parquet", quality_gate: bool = True
+    star: StarSchema,
+    out_dir: str,
+    fmt: str = "parquet",
+    quality_gate: bool = True,
+    plan_gate: bool = True,
 ) -> dict[str, dict[str, object]]:
     """Load stage (reference load_to_azure + CSV side-writes,
     main.py:214-236,345-346,351-369): facts partitioned by YEAR —
@@ -336,9 +340,20 @@ def write_star_schema(
     came out empty or its dimension join sprouted null surrogate keys:
     the Spark-native form of the reference's post-stage print checks
     (main.py:392-433), turned from console output into a hard gate.
-    Returns per-table collected metrics for caller-side audit logs."""
-    from ecowatt_etl_spark.operators.quality import expect, observe_quality
+    Returns per-table collected metrics for caller-side audit logs.
 
+    ``plan_gate`` additionally runs plans/guard.py admission control on
+    every table BEFORE any write starts: a transform edit that silently
+    turns a dimension join cartesian or introduces a row-wise Python
+    UDF fails the load at submit time, not as a cluster incident. The
+    star frames carry no waivers — every join in this pipeline is
+    broadcast/equi by design, so any banned shape is a regression."""
+    from ecowatt_etl_spark.operators.quality import expect, observe_quality
+    from ecowatt_etl_spark.plans.guard import assert_scalable
+
+    if plan_gate:
+        for df in star.tables().values():
+            assert_scalable(df)
     collected: dict[str, dict[str, object]] = {}
     for name, df in star.tables().items():
         obs = None

@@ -80,10 +80,16 @@ def _shape_count(plan: str, shape: str) -> int:
     n = len(re.findall(rf"^\(\d+\) {re.escape(shape)}\b", plan, re.M))
     if n == 0 and shape in plan:
         # plan text without a details section (simple-mode string or a
-        # changed layout): a raw substring count OVERSTATES (tree +
-        # detail echoes) but never understates, so occurrence caps
-        # stay conservative instead of silently collapsing to 1
-        return plan.count(shape)
+        # changed layout): count the node at TREE positions only (line
+        # start or after tree-drawing prefixes like "+-"/":-"/"*"), so
+        # one legitimately-waived occurrence under a {shape: 1} cap
+        # doesn't spuriously fail from detail echoes of the same node
+        n = len(re.findall(rf"^[\s+:|*-]*{re.escape(shape)}\b", plan, re.M))
+        if n == 0:
+            # the node appears only mid-line (an unrecognized layout):
+            # fall back to the raw substring count, which OVERSTATES
+            # but never understates — caps stay conservative
+            return plan.count(shape)
     return n
 
 

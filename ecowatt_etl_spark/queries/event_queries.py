@@ -2406,6 +2406,52 @@ def q250_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         odd.filter(F.col("_rk") <= 50).drop("_rk"),
         odd.filter(F.col("_rk") > 50).drop("_rk"),
     ]
+    # Oracle preconditions, pinned here so a different events
+    # distribution fails loudly at build time, not as a hash mismatch.
+    # Batch 1's dropped_groups=0 needs NO data assumption: drops tick
+    # only for groups whose window was already EVICTED (measured
+    # contract, tests/test_streaming.py::test_late_data_drop_accounting
+    # — batch-1 rows behind the watermark merge into still-pending
+    # state silently), and no eviction can precede batch 1 because the
+    # watermark is still at epoch while batch 0 runs. What IS
+    # data-dependent is batch 2's watermark: the oracle uses
+    # max(all ts) - 10 min, while the lag-one contract makes
+    # max(even ts) - 10 min equally defensible; the two classify every
+    # hour-aligned window end identically iff no hour boundary falls
+    # between them — assert that, so the oracle's choice is safe under
+    # either reading of the lag.
+    wends = F.broadcast(
+        chunks[0]
+        .agg((F.max("ts") - F.expr("INTERVAL 10 MINUTE")).alias("w_even"))
+        .crossJoin(
+            ev.agg(
+                (F.max("ts") - F.expr("INTERVAL 10 MINUTE")).alias("w_all")
+            )
+        )
+    )
+    n_ambiguous = (
+        chunks[2]
+        .select(
+            (
+                F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+            ).alias("wend"),
+            "event_type",
+        )
+        .distinct()
+        .crossJoin(wends)
+        .filter(
+            (F.col("wend") > F.col("w_even")) & (F.col("wend") <= F.col("w_all"))
+        )
+        .count()
+    )
+    if n_ambiguous:
+        raise AssertionError(
+            f"q250 replay precondition violated: {n_ambiguous} batch-2 "
+            "group(s) have window ends between the two candidate "
+            "watermarks (even-rows max-10min vs all-rows max-10min); "
+            "the oracle's dropped-group count would depend on the "
+            "watermark-lag reading on this events distribution"
+        )
     root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/late_replay"
     in_dir = f"{root}/in"
     shutil.rmtree(in_dir, ignore_errors=True)

@@ -2448,16 +2448,29 @@ def q249_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_hi"),
     )
-    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    # the decile→rank mapping is a function of columns already on
+    # `ranked` (rn, nn), so derive it SCAN-LOCALLY: a join predicate
+    # referencing both sides (rn == (d*nn+9) DIV 10) would plan as a
+    # BroadcastNestedLoopJoin — one of the shapes plans/guard.py bans —
+    # where this explode touches only the ≤10 threshold rows
     thr = F.broadcast(
-        ranked.join(
-            deciles,
-            F.col("rn") == F.expr("(d * nn + 9) DIV 10"),
-        ).select(
-            F.col("d").alias("decile"),
+        ranked.filter(
+            F.expr(
+                "array_contains(transform(sequence(1, 10),"
+                " d -> (d * nn + 9) DIV 10), rn)"
+            )
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(sequence(1, 10),"
+                    " d -> (d * nn + 9) DIV 10 = rn)"
+                )
+            ).alias("decile"),
             F.col("margin").alias("margin_threshold"),
             "n_hi",
         )
+        .withColumn("decile", F.col("decile").cast("int"))
     )
     kept = (
         margins.crossJoin(thr)

@@ -60,12 +60,25 @@ def write_checked(
     Column), raise :class:`ExpectationError` naming every violated
     expectation and its count if any fail, otherwise write and return
     the (all-zero) violation report for the job log."""
-    report = check_expectations(df, checks)
-    violated = {k: v for k, v in report.items() if v}
-    if violated:
-        raise ExpectationError(
-            f"refusing to write {path}: violated expectations {violated} "
-            "(counts are rows failing the declared per-row condition)"
-        )
-    df.write.mode(mode).format(fmt).save(path)
+    # Pin ONE materialization for both the check and the write: the
+    # two actions otherwise recompute the frame independently, so a
+    # non-deterministic expression (rand, current_timestamp, shuffling
+    # UDx output) or a source mutated between the scans could land rows
+    # the gate never saw. localCheckpoint truncates the lineage to the
+    # materialized blocks; eager=True runs the single computation here.
+    # At 100 TB the equivalent is staging to a temp location (or the
+    # q244 write-audit-publish pattern) rather than executor memory —
+    # the invariant is the same: check and write read ONE snapshot.
+    pinned = df.localCheckpoint(eager=True)
+    try:
+        report = check_expectations(pinned, checks)
+        violated = {k: v for k, v in report.items() if v}
+        if violated:
+            raise ExpectationError(
+                f"refusing to write {path}: violated expectations {violated} "
+                "(counts are rows failing the declared per-row condition)"
+            )
+        pinned.write.mode(mode).format(fmt).save(path)
+    finally:
+        pinned.unpersist()
     return report

@@ -182,12 +182,29 @@ def run_to_completion(
         )
         try:
             query.processAllAvailable()
-            if collect_progress:
+            if collect_progress or output_mode == "update":
                 progresses = list(query.recentProgress)
         finally:
             query.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+    if output_mode == "update":
+        # the memory sink APPENDS every batch's updated rows: a key
+        # touched in two data-carrying micro-batches would leave its
+        # stale intermediate row alongside final state in the table.
+        # The update-mode callers (q49/q133/q252) read the table as
+        # final state, so pin the precondition that makes that valid —
+        # the bounded replay resolved to at most ONE data batch.
+        data_batches = [
+            int(p["batchId"]) for p in progresses if p["numInputRows"] > 0
+        ]
+        if len(data_batches) > 1:
+            raise AssertionError(
+                f"update-mode memory sink '{name}' saw {len(data_batches)} "
+                f"data-carrying micro-batches {data_batches}: the table "
+                "would mix stale per-key intermediates with final state; "
+                "dedupe to last-row-per-key or keep the input single-batch"
+            )
     table = spark.table(name)
     return (table, progresses) if collect_progress else table
 

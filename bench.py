@@ -49,8 +49,8 @@ HEADLINE = [
     "q169_sorted_neighborhood",
     "q171_tfidf_shingle_pairs",
     "q61_cosine_topk",
-    "q64_lsh_topk",
     "q65_ivf_topk",
+    "q156_ivfpq_topk",
     "q71_quality_scores",
     "q74_subword_stats",
     "q75_corpus_pipeline",

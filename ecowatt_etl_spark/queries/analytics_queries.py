@@ -29,9 +29,9 @@ _DEC_WIDE = "decimal(38,6)"
 # ---------------------------------------------------------------------------
 # q90 — OLS slope/intercept per event type (exact-decimal closed form)
 # ---------------------------------------------------------------------------
-@query(
-    "q90_regr_by_type",
-    oracle=f"""
+# shared with q91: the grouped-map twin reproduces q90's floats
+# bit-for-bit (exact-int closed form + identical float routing)
+_Q90_ORACLE = f"""
     WITH pts AS (
       SELECT event_type,
              epoch_us(ts) // 1000000 AS x,
@@ -55,8 +55,10 @@ _DEC_WIDE = "decimal(38,6)"
                 / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
                * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / n AS intercept
     FROM sums
-    """,
-)
+    """
+
+
+@query("q90_regr_by_type", oracle=_Q90_ORACLE)
 def q90_regr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS y = a·x + b per event type (x = epoch seconds, y = value),
     via the closed form over exact-decimal sums: one hash aggregate
@@ -98,41 +100,53 @@ def q90_regr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q91 — the same regression via groupBy().applyInPandas (rows-only)
 # ---------------------------------------------------------------------------
-@query("q91_regr_grouped_map")  # numpy lstsq summation order ≠ decimal → rows-only
+@query("q91_regr_grouped_map", oracle=_Q90_ORACLE)
 def q91_regr_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Arrow path: each event type's full point set arrives
-    as ONE pandas DataFrame; numpy solves the least-squares fit. The
-    API template for per-group logic beyond SQL (model fits, seasonal
-    decomposition, custom scoring). Values match q90 to float64
-    tolerance (asserted in tests); the group must fit one executor's
-    memory — for 100 TB groups, use the q90 aggregate form instead."""
-    import numpy as np
+    as ONE pandas DataFrame; the worker solves the OLS closed form in
+    EXACT Python integer arithmetic (y lifted to integer micros, all
+    quadratic sums unbounded ints), then routes the two final
+    divisions through the same int→float64 correctly-rounded
+    conversions q90's decimal→string→double casts use — so the output
+    is bit-identical to q90 and shares its oracle (oracle-backed since
+    round 5; the original numpy lstsq fit was not fold-order
+    deterministic and kept this rows-only). The API template for
+    per-group logic beyond SQL (model fits, seasonal decomposition,
+    custom scoring). The group must fit one executor's memory — for
+    100 TB groups, use the q90 aggregate form instead."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
         F.floor(F.unix_micros("ts") / 1_000_000).alias("x"),
-        F.col("value").alias("y"),
+        # integer micros via the decimal lift (the q92 pattern): exact
+        # for the 2-dp money values, and integer sums are
+        # order-independent — the whole point of the rework
+        (F.col("value").cast(_DEC_Y) * 1_000_000).cast("long").alias("y_us"),
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["x"].to_numpy(dtype=np.float64)
-        y = pdf["y"].to_numpy(dtype=np.float64)
-        # center x: raw epoch-seconds (~1.7e9) make [x, 1] so
-        # ill-conditioned that lstsq's rcond cutoff silently zeroes the
-        # constant column once n grows (at sf0.1 every intercept came
-        # back ~1e-17 and all slopes collapsed to the same value);
-        # centering is the standard conditioning fix and recovers the
-        # identical mathematical solution
-        xm = x.mean()
-        a = np.vstack([x - xm, np.ones_like(x)]).T
-        (slope, b), *_ = np.linalg.lstsq(a, y, rcond=None)
-        intercept = b - slope * xm
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y_us"]]
+        n = len(xs)
+        sx, sy_us = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy_us = sum(a * b for a, b in zip(xs, ys))
+        # closed form over exact ints, float-routed exactly like q90:
+        # n·sxy − sx·sy is a decimal(38,6) there, i.e. the exact int
+        # (n·sxy_us − sx·sy_us) / 10⁶ — CPython int/int true division
+        # is correctly rounded, the same single rounding as q90's
+        # decimal→string→double cast; then one IEEE division.
+        num = (n * sxy_us - sx * sy_us) / 10**6
+        den = float(n * sxx - sx * sx)
+        slope = num / den if den else float("nan")
+        sy_d = sy_us / 10**6
+        intercept = (sy_d - slope * float(sx)) / n
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "n": [len(pdf)],
+                "n": [n],
                 "slope": [slope],
                 "intercept": [intercept],
             }

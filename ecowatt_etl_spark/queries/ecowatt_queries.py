@@ -189,11 +189,54 @@ def qe06_combined_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.fact_ev_impact.join(F.broadcast(energy_2023), "id_suburb", "left")
 
 
-@query("qe07_normalized_scores")
+def _golden_minmax(col: str, scrubbed: str, invert: bool = False) -> str:
+    """DuckDB twin of cleaning.minmax_normalize for one column: the
+    engine computes ((x - min) / (max - min)) * 100.0 (inverted:
+    100.0 - that), min==max → 50.0.  Sub/div/mul are single IEEE ops,
+    so replaying them in the same order on bit-identical inputs (the
+    _golden_scrub frame) lands on bit-identical doubles — the same
+    argument that makes qe05/qe06 hash-exact."""
+    lo, hi = f"MIN({scrubbed}) OVER ()", f"MAX({scrubbed}) OVER ()"
+    scaled = f"(({scrubbed}) - {lo}) / ({hi} - {lo}) * 100.0"
+    if invert:
+        scaled = f"100.0 - ({scaled})"
+    return (
+        f"CASE WHEN {hi} - {lo} = 0 THEN 50.0 ELSE {scaled} END"
+        f" AS {col}_score"
+    )
+
+
+@query(
+    "qe07_normalized_scores",
+    oracle=f"""
+    WITH joined AS (
+      SELECT s.SUBURB_NAME,
+             {_golden_scrub("e.TOTAL_EVS")} AS TOTAL_EVS,
+             {_golden_scrub("n.NO2_LEVEL")} AS NO2_LEVEL,
+             {_golden_scrub("n.ENERGY_CONSUMPTION")} AS ENERGY_CONSUMPTION
+      FROM read_csv_auto('{GOLDEN_DIR}/ev_fact.csv') e
+      LEFT JOIN read_csv_auto('{GOLDEN_DIR}/suburb_dim.csv') s
+        ON e.SUBURB_KEY = s.id_suburb
+      LEFT JOIN (SELECT * FROM read_csv_auto('{GOLDEN_DIR}/energy_fact.csv')
+                 WHERE "YEAR" = 2023) n
+        ON e.SUBURB_KEY = n.SUBURB_KEY
+    )
+    SELECT SUBURB_NAME, TOTAL_EVS, NO2_LEVEL, ENERGY_CONSUMPTION,
+           {_golden_minmax("TOTAL_EVS", "TOTAL_EVS")},
+           {_golden_minmax("NO2_LEVEL", "NO2_LEVEL", invert=True)},
+           {_golden_minmax("ENERGY_CONSUMPTION", "ENERGY_CONSUMPTION")}
+    FROM joined
+    """,
+)
 def qe07_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min–max-normalized comparison scores, NO2 inverted
     (lower-is-better), degenerate range → 50 (reference
-    app.py:352-359,388-398)."""
+    app.py:352-359,388-398). Golden-backed oracle (was rows-only
+    through round 4): the oracle replays the engine's fact
+    normalization (_golden_scrub) AND the minmax chain
+    (_golden_minmax) on the reference's extracted star schema — all
+    float ops are single IEEE sub/div/mul applied in the engine's
+    order, so the scores are bit-exact across engines."""
     from ecowatt_etl_spark.functions.cleaning import minmax_normalize
 
     star = _star(spark)

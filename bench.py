@@ -95,12 +95,19 @@ def main() -> None:
     specs[names[0]].fn(spark, sf_dir).collect()
 
     for name in names:
-        best = float("inf")
+        samples = []
         for _ in range(2):  # best-of-2: strip JIT/GC noise from the signal
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        # scheduling contention shows up as wildly disagreeing samples
+        # (the r4 artifact overstated ~17% from exactly this); when the
+        # two disagree by >30%, one more rep pins the true minimum
+        if abs(samples[0] - samples[1]) > 0.3 * min(samples):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(

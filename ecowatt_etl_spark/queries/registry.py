@@ -64,73 +64,57 @@ def _load_all() -> None:
 # else oracle-backed, with rows-only queries last so they never consume
 # a value-check slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation. Evidence ledger: r01 green q01–q09, q40–q49e,
+    # Round-5 rotation — drain the r4 spill (VERDICT r4 item 1: freeze
+    # net-new queries, spend every slot on oracle-backed queries with
+    # no driver row yet). Evidence ledger: r01 green q01–q09, q40–q49e,
     # q50–q56, q80/q83, q90/q92; r02 green q10–q37, q39, q47, q57–q66,
     # q70–q76, q82, qe03/qe04; r03 green (50/50) q38 + curation
     # q93–q102/q121/q122/q128/q130, dedup q89/q119/q120/q127/q134/
     # q135, event q49f–q49j/q45b/q131–q133/q136, multimodal q84/q137,
     # relational q69/q85/q101/q104, similarity q67/q87/q117/q118/
-    # q123/q129, text q68/q78/q79/q86/q138, TPC-H q106/q107/q115.
-    # Round-4 window: (a) the r03 spill — the 25 oracle-backed
-    # queries that had NEVER had a driver row (the round-3 additions
-    # q140–q152 and the TPC-H tail), (b) the 4 streaming queries whose
-    # r1 rows predate their oracles (stale `err: no_oracle` — oracles
-    # exist now, convert to green), (c) the 3 queries whose
-    # implementation or oracle changed in round 4 (q65 trained-IVF
-    # rework, qe05/qe06 new golden oracles). New round-4 queries
-    # (q153 onward) are appended as they land; the ~50-slot cutoff
-    # falls inside them (≈ after q170), so q171+ SPILL to round 5 — all
-    # have local exact-parity evidence (tests/test_oracle_parity.py),
-    # and the round-5 rotation should promote them to the front the
-    # way this round promoted the r03 spill (the spill is ~85 queries
-    # ≈ two further rounds of 50-slot windows; prioritize the riskiest
-    # shapes first: q250 streaming replay, q252 GroupState fold, q237
-    # live JDBC, q247 artifact round-trip, q248 scripting, then the
-    # bulk).
-    # new r3 operators, never checked (riskiest shapes first — ADVICE)
-    "q149_stream_cdc_upsert", "q150_recursive_cte",
-    "q140_priority_late_count", "q141_shipclass_priority",
-    "q143_schema_evolution", "q144_boilerplate_strip",
-    "q145_xml_roundtrip", "q146_partitioned_write_prune",
-    "q147_merge_upsert", "q148_scd2_history",
-    "q151_grouped_agg_udaf", "q152_dq_audit",
-    # TPC-H tail, never checked
-    "q124_forecast_revenue", "q125_returned_customers",
-    "q103_welch_ttest", "q105_market_share", "q108_promo_revenue",
-    "q109_top_supplier", "q110_supplier_relation", "q111_large_orders",
-    "q112_disjunctive_pred", "q113_dormant_customers",
-    "q114_min_cost_supplier", "q116_important_parts",
-    "q126_dominant_suppliers",
-    # streaming rows stale since r1 (checked before their oracles
-    # existed); re-check converts err → green
-    "q44_stream_tumbling", "q45_stream_sessions",
-    "q49_stream_stateful_totals", "q49b_stream_stream_join",
-    # implementation/oracle changed in round 4
-    "q65_ivf_topk", "qe05_year_filter", "qe06_combined_analysis",
-    # new in round 4
-    "q153_bm25_search", "q154_product_quantization",
-    "q155_semantic_neardup", "q156_ivfpq_topk", "q157_lm_quality",
-    "q158_semantic_decontaminate", "q159_rollup_revenue",
-    "q160_median_order_value", "q161_countmin_audit",
-    "q162_interpolated_gapfill", "q163_kmv_distinct",
-    "q164_ohlc_bars", "q165_time_weighted_avg", "q166_locf_impute",
-    "q167_mad_anomalies", "q168_zorder_layout", "q169_sorted_neighborhood",
-    "q170_weighted_sample", "q171_tfidf_shingle_pairs",
-    "q172_chisq_variant", "q173_pareto_suppliers", "q174_stream_ohlc",
+    # q123/q129, text q68/q78/q79/q86/q138, TPC-H q106/q107/q115;
+    # r04 green (50/50) q140–q152 + TPC-H tail q103/q105/q108–q114/
+    # q116/q124–q126, streaming re-checks q44/q45/q49/q49b, reworked
+    # q65/qe05/qe06, and the r4 additions q153–q170.
+    # Round-5 window (the ~50-slot cutoff falls after the last entry
+    # of the second block below): (a) the riskiest never-checked
+    # shapes per the r4 verdict — streaming replay/GroupState, live
+    # Derby JDBC, artifact round-trip, SQL scripting, custom Python
+    # data sources, UDTF, cogroup, mapInArrow, k-means train; (b) the
+    # three queries oracle-backed THIS round (qe07 golden minmax
+    # replay, q63 exact-fold re-score, q91 exact-int closed form) —
+    # their r1 `err: no_oracle` rows convert to green on re-check;
+    # (c) the q171+ bulk in registry order. The remainder (q210+,
+    # ~42 queries) SPILLS to round 6 — rotate it to the front then,
+    # exactly as this round promoted the r4 spill.
+    # (a) riskiest never-checked shapes first
+    "q250_stream_late_audit", "q252_stream_clamped_balance",
+    "q237_jdbc_roundtrip", "q247_incremental_view_refresh",
+    "q248_sql_scripting", "q193_python_datasource",
+    "q194_python_stream_source", "q213_dynamic_udtf",
+    "q190_cogroup_order_audit", "q255_charset_profile",
+    "q88_kmeans_train",
+    # (b) oracle-backed in round 5 — stale r1 rows convert to green
+    "qe07_normalized_scores", "q63_cosine_topk_matmul",
+    "q91_regr_grouped_map",
+    # (c) the r4-spill bulk, registry order (36 slots to the cutoff)
+    "q171_tfidf_shingle_pairs", "q172_chisq_variant",
+    "q173_pareto_suppliers", "q174_stream_ohlc",
     "q175_theta_intersection", "q176_skew_report", "q177_winsorize",
     "q178_pit_join", "q179_bloom_audit", "q180_length_calibration",
     "q181_linear_attribution", "q182_ratio_to_report", "q183_top_paths",
-    "q184_diurnal_profile", "q185_feature_hashing", "q186_segment_reconcile",
-    "q187_lateral_topk", "q188_right_to_erasure", "q189_compact_files",
-    "q190_cogroup_order_audit", "q191_chunk_dedup_report",
-    "q192_ngram_overlap_report", "q193_python_datasource",
-    "q194_python_stream_source", "q195_sql_udf", "q196_ivf_persist_serve",
+    "q184_diurnal_profile", "q185_feature_hashing",
+    "q186_segment_reconcile", "q187_lateral_topk",
+    "q188_right_to_erasure", "q189_compact_files",
+    "q191_chunk_dedup_report", "q192_ngram_overlap_report",
+    "q195_sql_udf", "q196_ivf_persist_serve",
     "q197_ivf_incremental_ingest", "q198_curation_funnel",
     "q199_pipe_syntax", "q200_dataset_card", "q201_filtered_ann",
-    "q202_hybrid_rrf", "q203_forecast_backtest", "q204_cusum_changepoint",
-    "q205_benford_audit", "q206_gini_revenue", "q207_basket_rules",
-    "q208_rfm_segments", "q209_join_size_estimate", "q210_k_anonymity",
-    "q211_cuped", "q212_bfs_hops", "q213_dynamic_udtf",
+    "q202_hybrid_rrf", "q203_forecast_backtest",
+    "q204_cusum_changepoint", "q205_benford_audit", "q206_gini_revenue",
+    "q207_basket_rules", "q208_rfm_segments", "q209_join_size_estimate",
+    # ---- round-5 window cutoff (50) — everything below spills to r6
+    "q210_k_anonymity", "q211_cuped", "q212_bfs_hops",
     "q214_memorization_spans", "q215_bootstrap_ci", "q216_mannwhitney",
     "q217_ks_test", "q218_spearman", "q219_lsh_recall_audit",
     "q220_mixed_language", "q221_permutation_test",
@@ -140,15 +124,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q228_map_profile", "q229_watermark_tuning", "q230_schema_diff",
     "q231_equidepth_histogram", "q232_fd_discovery", "q233_median_ci",
     "q234_stats_merge_audit", "q235_delta_method",
-    "q236_conformal_intervals", "q237_jdbc_roundtrip",
-    "q238_drift_report", "q239_diff_in_diff", "q240_kaplan_meier",
-    "q241_power_analysis", "q242_logrank", "q243_holt_forecast",
-    "q244_observed_metrics", "q245_nb_quality_classifier",
-    "q246_record_linkage", "q247_incremental_view_refresh",
-    "q248_sql_scripting", "q249_gate_calibration",
-    "q250_stream_late_audit", "q251_clamped_balance",
-    "q252_stream_clamped_balance", "q253_rolling_active_users",
-    "q254_parameterized_sql", "q255_charset_profile",
+    "q236_conformal_intervals", "q238_drift_report",
+    "q239_diff_in_diff", "q240_kaplan_meier", "q241_power_analysis",
+    "q242_logrank", "q243_holt_forecast", "q244_observed_metrics",
+    "q245_nb_quality_classifier", "q246_record_linkage",
+    "q249_gate_calibration", "q251_clamped_balance",
+    "q253_rolling_active_users", "q254_parameterized_sql",
     "q256_retrieval_self_eval", "q257_null_semantics",
     "q258_federated_join",
 )

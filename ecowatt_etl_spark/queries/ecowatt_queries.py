@@ -4,13 +4,15 @@ Re-expresses every dashboard computation (reference app.py) as a named
 query over the star schema produced by the engine's own pipeline. The
 pipeline runs on the reference's raw CSVs (fixed location, sf-independent
 — these queries ignore sf_dir), so there is no warehouse-table oracle.
-qe03–qe06 are instead value-checked against the reference's own golden
-star schema (/root/reference/extracted) read via DuckDB read_csv_auto
-(qe05/qe06 replay the engine's fact normalization on the golden floats
-inside the oracle — see _golden_scrub); qe01/qe02/qe07/qe08 stay
-rows-only because their outputs include engine-derived floats with no
-golden twin — their parity is covered with tolerance by
-tests/test_ecowatt_pipeline.py.
+Every qe* query is instead value-checked against the reference's own
+golden star schema (/root/reference/extracted) read via DuckDB
+read_csv_auto: the oracles replay the engine's fact normalization on
+the golden floats (_golden_scrub) and, for qe07, the minmax scoring
+chain (_golden_minmax) — single IEEE ops applied in the engine's order
+land on bit-identical doubles, so all eight dashboard queries are
+hash-exact (qe01/qe02/qe07/qe08 were rows-only through round 4).
+tests/test_ecowatt_pipeline.py additionally checks the pipeline
+against the reference goldens with tolerance.
 """
 
 from __future__ import annotations
@@ -41,25 +43,6 @@ def _star(spark: SparkSession):
     return _STAR_CACHE[key]
 
 
-@query("qe01_ev_dashboard_base")
-def qe01_ev_dashboard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dashboard base frame: fact_ev_impact ⋈ dim_suburb (left,
-    broadcast) — reference join_tables (app.py:85-95)."""
-    star = _star(spark)
-    return star.fact_ev_impact.join(
-        F.broadcast(star.dim_suburb), "id_suburb", "left"
-    )
-
-
-@query("qe02_energy_dashboard_base")
-def qe02_energy_dashboard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fact_energy_pollution ⋈ dim_suburb (reference app.py:98-104)."""
-    star = _star(spark)
-    return star.fact_energy_pollution.join(
-        F.broadcast(star.dim_suburb), "id_suburb", "left"
-    )
-
-
 GOLDEN_DIR = "/root/reference/extracted"
 
 # Golden-backed oracles: the reference's own extracted star schema is
@@ -82,6 +65,92 @@ def _golden_scrub(col: str) -> str:
     return (
         f"ROUND(COALESCE(CASE WHEN isinf({col}) OR isnan({col}) "
         f"THEN 0.0 ELSE {col} END, 0.0), 6)"
+    )
+
+
+@query(
+    "qe01_ev_dashboard_base",
+    oracle=f"""
+    SELECT CAST(e.SUBURB_KEY AS BIGINT) AS id_suburb,
+           CAST(e.column0 + 1 AS BIGINT) AS fact_ev_impact_id,
+           CAST(e."YEAR" AS BIGINT) AS "YEAR",
+           {_golden_scrub("e.TOTAL_EVS")} AS TOTAL_EVS,
+           {_golden_scrub("e.BEV_COUNT")} AS BEV_COUNT,
+           {_golden_scrub("e.PHEV_COUNT")} AS PHEV_COUNT,
+           {_golden_scrub("e.AVG_RANGE_KM")} AS AVG_RANGE_KM,
+           {_golden_scrub("e.AVG_PRICE")} AS AVG_PRICE,
+           {_golden_scrub("e.EV_ADOPTION_SCORE")} AS EV_ADOPTION_SCORE,
+           s.SUBURB_NAME
+    FROM read_csv_auto('{GOLDEN_DIR}/ev_fact.csv') e
+    LEFT JOIN read_csv_auto('{GOLDEN_DIR}/suburb_dim.csv') s
+      ON e.SUBURB_KEY = s.id_suburb
+    """,
+)
+def qe01_ev_dashboard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard base frame: fact_ev_impact ⋈ dim_suburb (left,
+    broadcast) — reference join_tables (app.py:85-95). Golden-backed
+    oracle (was rows-only through round 4): every column is either a
+    golden integer/string or a fact-stage float whose normalization
+    replays bit-exactly in DuckDB (_golden_scrub — the qe05/qe06
+    argument, now applied to the full joined base frame)."""
+    star = _star(spark)
+    return star.fact_ev_impact.join(
+        F.broadcast(star.dim_suburb), "id_suburb", "left"
+    )
+
+
+@query(
+    "qe02_energy_dashboard_base",
+    oracle=f"""
+    SELECT CAST(n.SUBURB_KEY AS BIGINT) AS id_suburb,
+           -- the engine keys the 2023 block 1..n then continues the
+           -- non-2023 block at n+1 (add_surrogate_key offset=n_rows);
+           -- the golden CSV's index RESTARTS per block, so replay the
+           -- offset for the later block
+           CAST(n.column0 + 1
+                + CASE WHEN n."YEAR" = 2023 THEN 0
+                       ELSE (SELECT COUNT(*)
+                             FROM read_csv_auto('{GOLDEN_DIR}/energy_fact.csv')
+                             WHERE "YEAR" = 2023) END
+                AS BIGINT) AS fact_energy_pollution_id,
+           CAST(n."YEAR" AS BIGINT) AS "YEAR",
+           {_golden_scrub("n.ENERGY_CONSUMPTION")} AS ENERGY_CONSUMPTION,
+           {_golden_scrub("n.ENERGY_CHANGE_PCT")} AS ENERGY_CHANGE_PCT,
+           {_golden_scrub("n.NO2_LEVEL")} AS NO2_LEVEL,
+           {_golden_scrub("n.NO2_CHANGE")} AS NO2_CHANGE,
+           {_golden_scrub("n.NO2_CHANGE_PCT")} AS NO2_CHANGE_PCT,
+           -- golden 2022 rows predate the reference's guarded ratios
+           -- (main.py:304-331 overwrite the unguarded replace(0,1)
+           -- constructor; SURVEY §1.4: only the guarded semantics
+           -- matter) — re-apply the guard to the golden expectation,
+           -- exactly as tests/test_ecowatt_pipeline.py's golden
+           -- comparison does
+           CASE WHEN n."YEAR" = 2022 AND n.ENERGY_CONSUMPTION <= 0
+                THEN 0.0
+                ELSE {_golden_scrub("n.EV_PER_ENERGY_UNIT")}
+           END AS EV_PER_ENERGY_UNIT,
+           CASE WHEN n."YEAR" = 2022 AND COALESCE(e.TOTAL_EVS, 0) <= 0
+                THEN 0.0
+                ELSE {_golden_scrub("n.NO2_PER_EV")}
+           END AS NO2_PER_EV,
+           s.SUBURB_NAME
+    FROM read_csv_auto('{GOLDEN_DIR}/energy_fact.csv') n
+    LEFT JOIN read_csv_auto('{GOLDEN_DIR}/suburb_dim.csv') s
+      ON n.SUBURB_KEY = s.id_suburb
+    LEFT JOIN read_csv_auto('{GOLDEN_DIR}/ev_fact.csv') e
+      ON n.SUBURB_KEY = e.SUBURB_KEY
+    """,
+)
+def qe02_energy_dashboard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_energy_pollution ⋈ dim_suburb (reference app.py:98-104).
+    Golden-backed oracle since round 5 — same construction as qe01,
+    over both year blocks of the energy fact (the surrogate id
+    replays as golden row number + 1 across the blocks, and the
+    documented stale-golden guard for the 2022 ratio columns replays
+    in SQL)."""
+    star = _star(spark)
+    return star.fact_energy_pollution.join(
+        F.broadcast(star.dim_suburb), "id_suburb", "left"
     )
 
 
@@ -260,12 +329,27 @@ def qe07_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("qe08_adhoc_sql")
+@query(
+    "qe08_adhoc_sql",
+    oracle=f"""
+    SELECT s.SUBURB_NAME,
+           {_golden_scrub("f.TOTAL_EVS")} AS TOTAL_EVS,
+           {_golden_scrub("f.AVG_PRICE")} AS AVG_PRICE
+    FROM read_csv_auto('{GOLDEN_DIR}/ev_fact.csv') f
+    JOIN read_csv_auto('{GOLDEN_DIR}/suburb_dim.csv') s
+      ON f.SUBURB_KEY = s.id_suburb
+    ORDER BY {_golden_scrub("f.TOTAL_EVS")} DESC, s.SUBURB_NAME
+    LIMIT 10
+    """,
+)
 def qe08_adhoc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ad-hoc SQL passthrough (reference app.py:519-538): user SQL runs
     on the engine's catalog via spark.sql — Catalyst replaces Azure SQL
     Server as parser/optimizer/executor. Dialect shift: T-SQL
-    'SELECT TOP 10' → 'LIMIT 10' (SURVEY §3 EP3)."""
+    'SELECT TOP 10' → 'LIMIT 10' (SURVEY §3 EP3). Golden-backed oracle
+    since round 5: the projected columns replay via _golden_scrub and
+    the ORDER BY is fully deterministic (TOTAL_EVS desc, then the
+    unique SUBURB_NAME), so the LIMIT-10 row SET is engine-independent."""
     from ecowatt_etl_spark.plans.ecowatt_pipeline import register_star_views
 
     star = _star(spark)

@@ -132,9 +132,10 @@ def main() -> None:
                     # tradeoff if recall is visible per round.
                     "q64_recall_vs_q61": _ann_recall(spark, specs, sf_dir, "q64_lsh_topk"),
                     "q65_recall_vs_q61": _ann_recall(spark, specs, sf_dir, "q65_ivf_topk"),
-                    # IVF-PQ: same routing as q65, scored over 2-byte
-                    # codes — the gap to q65's recall is the measured
-                    # quantization loss of the 4x16 codebooks.
+                    # IVF-PQ: same routing as q65, ADC over 4-byte
+                    # codes, 256-deep exact refine — the shipped
+                    # operating point measures 1.00 on this corpus;
+                    # any drop flags codebook/refine drift.
                     "q156_recall_vs_q61": _ann_recall(spark, specs, sf_dir, "q156_ivfpq_topk"),
                     # ...and its cost: fraction of the corpus each
                     # approximate index actually scored per query.

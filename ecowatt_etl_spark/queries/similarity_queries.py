@@ -1238,13 +1238,21 @@ def q123_diversity_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Subspace count picked from the measured refine-recall frontier on
 # this corpus (isotropic — the PQ worst case): M=4 (2 bytes/vector)
 # plateaued at 0.79 recall@3 under any shortlist depth at sf0.1; M=8
-# (4 bytes/vector, 0.5 bits/dim) reaches 0.83–0.88 at shortlist 32.
-# Still 64x smaller than the float32 vectors.
+# (4 bytes/vector, 0.5 bits/dim) reaches 0.83 at shortlist 32, 0.96
+# at 192, and 1.00 at 256 (measured at sf0.1, round 5). Still 64x
+# smaller than the float32 vectors.
 _PQ_M = 8  # subspaces (64 dims → 8 × 8)
 _PQ_SUBDIM = 64 // _PQ_M
 _PQ_K = 16  # centroids per subspace → 4-bit codes, 4 bytes/vector total
 _PQ_ROUNDS = 2
-_PQ_REFINE = 32  # ADC shortlist depth re-ranked exactly (q156)
+# ADC shortlist depth re-ranked exactly (q156). 256 is the measured
+# recall-1.00 operating point on this isotropic corpus — the ADC still
+# prunes ~77% of the ~1.1k routed candidates per query, and the exact
+# re-rank is 256 scan-local folds per query, so the refine cost stays
+# negligible next to the routing scan. On clustered real-world
+# embeddings a far shallower shortlist hits 1.00; this constant prices
+# the worst case.
+_PQ_REFINE = 256
 
 
 _PQ_CODEBOOK_CACHE: dict[tuple[int, str], list[DataFrame]] = {}
@@ -1592,15 +1600,16 @@ def q156_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        joins on 8-byte keys + a pivoted fixed-order 8-term add. No
        raw vector is touched: per candidate the serve path reads 4
        bytes of codes.
-    3. REFINE: only the ADC top-32 per query is re-ranked with exact
-       cosine over the raw vectors (32·NQ fetches — the only
-       vector-sized I/O in the whole serve path) for the final top-k.
+    3. REFINE: only the ADC top-``_PQ_REFINE`` per query is re-ranked
+       with exact cosine over the raw vectors (the only vector-sized
+       I/O in the whole serve path) for the final top-k.
 
     The refine stage is what makes PQ honest on this corpus: raw ADC
     ordering at 4 bits/subspace keeps ~0.25 recall on isotropic data
     (measured — the PQ worst case: no cluster structure to spend the
-    bits on), while the 32-deep exact refine recovers 0.83–0.88 at
-    ~1.7% of the corpus exactly scored. Both index artifacts (trained
+    bits on), while the exact refine recovers it (measured at sf0.1:
+    0.83 at depth 32 → 1.00 at 256, the shipped operating point —
+    ~23% of routed candidates exactly scored, ~4% of the corpus). Both index artifacts (trained
     cells, codebooks+codes) are session-cached offline builds shared
     with q65/q154/q155; the oracle replays ALL NINE trainings (IVF +
     8 subspaces) plus routing, encoding, ADC, and refine —

@@ -247,7 +247,7 @@ def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the data-independent-LSH frontier on isotropic vectors, see the
     operating-point analysis above); a user who wants approximate
     search should take q65 (trained IVF, recall 1.00 @ ~19%) or q156
-    (IVF-PQ, recall 0.83 over 2-byte codes), and q219 audits this
+    (IVF-PQ+refine, recall 1.00 over 4-byte codes), and q219 audits this
     index's recall inline. q64 stays registered as the zero-training
     variant (no model to version, same cost on any distribution) and
     as the recall-audit subject.
@@ -626,7 +626,7 @@ def ivf_candidate_frac(spark: SparkSession, sf_dir: str) -> float:
 
 
 # ---------------------------------------------------------------------------
-# q63 — numpy block-matmul top-k (the throughput path; rows-only)
+# q63 — numpy block-matmul top-k (the throughput path)
 # ---------------------------------------------------------------------------
 @query(
     "q63_cosine_topk_matmul",

@@ -872,3 +872,36 @@ def test_retrieval_self_eval_matches_pure_python(spark):
             sum(1000 // v for v in rk.values()),
         )
         assert got[label] == want, (label, got[label], want)
+
+
+def test_driver_window_spends_slots_on_unchecked_oracle_queries(spark):
+    """The driver value-checks only the FIRST ~50 entries of queries()
+    in iteration order, so the window is load-bearing state: every
+    slot must be oracle-backed, and (per the r4 verdict's rotation
+    contract) spent on queries WITHOUT a prior driver hash row —
+    except the explicitly staged stale-`err` conversions. Pinning
+    this stops an innocent registry reorder or a new registration
+    from silently evicting a spill query out of its slot."""
+    import glob
+    import json
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    specs = all_queries()
+    first50 = list(specs)[:50]
+    assert all(specs[n].oracle is not None for n in first50), [
+        n for n in first50 if specs[n].oracle is None
+    ]
+    checked: set[str] = set()
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(path)))
+    # rows-only in their old driver rows; re-check converts err->green
+    staged_conversions = {
+        "qe07_normalized_scores",
+        "q63_cosine_topk_matmul",
+        "q91_regr_grouped_map",
+    }
+    stale = set(first50) & checked - staged_conversions
+    assert not stale, (
+        f"window slots wasted on already-checked queries: {sorted(stale)}"
+    )

@@ -78,6 +78,29 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert exact_pairs[k] == ivf_pairs[k], k
 
 
+def test_ivfpq_topk_recall_vs_exact(spark):
+    """IVF-PQ+refine (the headline serving path since r5): recall@3
+    vs brute force at smoke scale, and — because the refine stage
+    re-ranks with the same deterministic fold q61 uses — bit-identical
+    cosine on every returned true neighbor. Measured smoke recall is
+    0.83 (tiny-corpus routing loss; 1.00 at sf0.1, the benched scale),
+    so the floor guards against codebook/refine regressions without
+    pinning the training to one arithmetic path."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    exact = qs["q61_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    pq = qs["q156_ivfpq_topk"].fn(spark, SF_SMOKE).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact}
+    pq_pairs = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in pq}
+    assert len(pq_pairs) > 0
+    hits = set(exact_pairs) & set(pq_pairs)
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.75, f"IVF-PQ recall@3 too low: {recall:.2f}"
+    for k in hits:
+        assert exact_pairs[k] == pq_pairs[k], k
+
+
 def test_jsonl_failfast_raises_on_malformed(spark, tmp_path):
     """The JSONL source contract is FAILFAST: malformed lines are an
     error, not silent nulls."""

@@ -2341,10 +2341,13 @@ def q242_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id % 2 = 1
     ),
     wm AS (
-      -- watermark in effect for batch 2 = max event time seen in
-      -- batches 0+1 minus the 10-minute delay; the global max is
-      -- always in those batches (even rows, or odd rank 1)
-      SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events
+      -- the drop filter for batch N uses the watermark derived from
+      -- data through batch N-2 (measured: SCALE.md round-5 lag
+      -- probes — one MORE trigger of lag than the progress-displayed
+      -- value, which is through N-1), so batch 2's filter watermark
+      -- comes from batch 0 alone: max EVEN-row event time - 10 min
+      SELECT MAX(ts) - INTERVAL 10 MINUTE AS w
+      FROM events WHERE event_id % 2 = 0
     )
     SELECT CAST(0 AS BIGINT) AS batch,
            CAST((SELECT COUNT(*) FROM events WHERE event_id % 2 = 0)
@@ -2369,14 +2372,20 @@ def q250_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted windows) and report, per micro-batch, the input rows and
     the watermark-dropped count from StreamingQueryProgress. The
     oracle derives all three rows RELATIONALLY from the replay
-    definition — including the measured fact (see
-    streaming/events_stream.py::tumbling_counts and
-    tests/test_streaming.py::test_late_data_drop_accounting) that the
-    drop counter ticks per dropped partial-aggregate GROUP whose
-    window closed before the batch's operative watermark, not per raw
-    row. A hash match here is cross-engine evidence that the
-    runtime's late-data enforcement is exactly the documented
-    predicate, not folklore.
+    definition and the MEASURED drop semantics of this build
+    (tests/test_streaming.py::test_late_data_drop_accounting plus the
+    round-5 controlled lag probes, SCALE.md): the counter ticks per
+    dropped partial-aggregate GROUP (map-side combine first, not per
+    raw row), the drop predicate is a pure watermark comparison on
+    the window end (state presence is irrelevant — a never-seeded
+    group behind the watermark still counts), and the filter
+    watermark for batch N derives from event times through batch
+    N-2 — one MORE trigger of lag than the progress-displayed value.
+    Hence batch 1 drops exactly 0 on ANY distribution (its filter
+    watermark is still epoch) and batch 2's oracle watermark is the
+    EVEN-row max minus the delay, not the global max. A hash match
+    here is cross-engine evidence that the runtime's late-data
+    enforcement is exactly the documented predicate, not folklore.
 
     Scale: the replay writes three bounded chunk files to scratch;
     the streaming aggregation itself is q44's shape (one user-free
@@ -2406,52 +2415,6 @@ def q250_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         odd.filter(F.col("_rk") <= 50).drop("_rk"),
         odd.filter(F.col("_rk") > 50).drop("_rk"),
     ]
-    # Oracle preconditions, pinned here so a different events
-    # distribution fails loudly at build time, not as a hash mismatch.
-    # Batch 1's dropped_groups=0 needs NO data assumption: drops tick
-    # only for groups whose window was already EVICTED (measured
-    # contract, tests/test_streaming.py::test_late_data_drop_accounting
-    # — batch-1 rows behind the watermark merge into still-pending
-    # state silently), and no eviction can precede batch 1 because the
-    # watermark is still at epoch while batch 0 runs. What IS
-    # data-dependent is batch 2's watermark: the oracle uses
-    # max(all ts) - 10 min, while the lag-one contract makes
-    # max(even ts) - 10 min equally defensible; the two classify every
-    # hour-aligned window end identically iff no hour boundary falls
-    # between them — assert that, so the oracle's choice is safe under
-    # either reading of the lag.
-    wends = F.broadcast(
-        chunks[0]
-        .agg((F.max("ts") - F.expr("INTERVAL 10 MINUTE")).alias("w_even"))
-        .crossJoin(
-            ev.agg(
-                (F.max("ts") - F.expr("INTERVAL 10 MINUTE")).alias("w_all")
-            )
-        )
-    )
-    n_ambiguous = (
-        chunks[2]
-        .select(
-            (
-                F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
-            ).alias("wend"),
-            "event_type",
-        )
-        .distinct()
-        .crossJoin(wends)
-        .filter(
-            (F.col("wend") > F.col("w_even")) & (F.col("wend") <= F.col("w_all"))
-        )
-        .count()
-    )
-    if n_ambiguous:
-        raise AssertionError(
-            f"q250 replay precondition violated: {n_ambiguous} batch-2 "
-            "group(s) have window ends between the two candidate "
-            "watermarks (even-rows max-10min vs all-rows max-10min); "
-            "the oracle's dropped-group count would depend on the "
-            "watermark-lag reading on this events distribution"
-        )
     root = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/late_replay"
     in_dir = f"{root}/in"
     shutil.rmtree(in_dir, ignore_errors=True)

@@ -466,14 +466,19 @@ def test_rocksdb_state_store_provider(spark):
 def test_late_data_drop_accounting(spark, tmp_path):
     """VERY-LATE-DATA contract of windowed aggregation, measured
     against this Spark build (subtler than 'late rows are dropped').
-    Three-phase replay, one file per micro-batch:
+    Three-phase replay, one file per micro-batch. The drop filter for
+    batch N uses the watermark derived from event times through batch
+    N-2 (one trigger MORE lag than the progress-displayed value — the
+    round-5 controlled probes in SCALE.md pin this), so:
       phase A — even event_ids, full time range: seeds state and the
-        watermark (eviction lags one trigger: nothing emits yet);
-      phase B — the 50 newest odd rows: its batch runs under A's
-        watermark, so every closed window is finalized and EMITTED
-        (B's own late rows merge into still-pending state silently);
-      phase C — the remaining odd rows, all behind the watermark with
-        their windows already evicted: dropped before touching state.
+        watermark source (nothing emits or drops yet);
+      phase B — the 50 newest odd rows: its filter watermark is still
+        epoch, so B's own late rows merge into pending state silently
+        and drop NOTHING, on any distribution;
+      phase C — the remaining odd rows: its filter watermark is A's
+        max minus the delay; every C group sits behind it (pinned by
+        the assertion below on this dataset), dropped before touching
+        state, and every closed window is emitted by end of replay.
     Pinned facts:
       (a) numRowsDroppedByWatermark counts dropped partial-aggregate
           GROUPS, not raw rows — map-side combine runs before the

@@ -55,8 +55,11 @@ GOLDEN_DIR = "/root/reference/extracted"
 # transform in DuckDB lands on bit-identical doubles (verified
 # row-for-row at build time; data is fixed, so this holds in the
 # driver). Spark round() and DuckDB ROUND() both round half away from
-# zero on these values. qe01/qe02/qe07/qe08 stay rows-only: their
-# outputs include engine-derived floats with no golden twin.
+# zero on these values. Round 5 extended the replay to the rest of the
+# surface: qe01/qe02 (full joined base frames; qe02 also replays the
+# surrogate-id block offset and the stale-golden 2022 ratio guard),
+# qe07 (minmax scoring chain, _golden_minmax), qe08 (deterministic
+# ORDER BY + LIMIT) — every qe* query is oracle-backed.
 
 
 def _golden_scrub(col: str) -> str:

@@ -83,8 +83,18 @@ def _shape_count(plan: str, shape: str) -> int:
         # changed layout): count the node at TREE positions only (line
         # start or after tree-drawing prefixes like "+-"/":-"/"*"), so
         # one legitimately-waived occurrence under a {shape: 1} cap
-        # doesn't spuriously fail from detail echoes of the same node
-        n = len(re.findall(rf"^[\s+:|*-]*{re.escape(shape)}\b", plan, re.M))
+        # doesn't spuriously fail from detail echoes of the same node.
+        # Simple-mode codegen annotations put "*(2) " between the tree
+        # prefix and the name — permit it, else a mixed plan where one
+        # occurrence is codegen-wrapped UNDERSTATES and a capped
+        # waiver silently absorbs the uncounted site (r5 ADVICE).
+        n = len(
+            re.findall(
+                rf"^[\s+:|*-]*(?:\*\(\d+\)\s+)?{re.escape(shape)}\b",
+                plan,
+                re.M,
+            )
+        )
         if n == 0:
             # the node appears only mid-line (an unrecognized layout):
             # fall back to the raw substring count, which OVERSTATES

@@ -6,10 +6,12 @@ in decimal (x is integer epoch-seconds, y fixed-point decimal(18,6)),
 the numerator/denominator differences stay decimal-exact, and only the
 final division runs in double after a string-routed cast — identical
 bits in Spark and DuckDB. q91 is the same regression via
-groupBy().applyInPandas (numpy lstsq) — the grouped-map Arrow API the
-engine exposes for per-group logic SQL can't express; parity with q90
-is asserted in tests (float tolerance: numpy's summation order is its
-own).
+groupBy().applyInPandas — the grouped-map Arrow API the engine exposes
+for per-group logic SQL can't express; its worker solves the closed
+form in exact Python integers and routes the final divisions through
+the same correctly-rounded conversions, so q90 ≡ q91 bit-for-bit —
+including the degenerate all-equal-x branch, where both emit NULL
+(try_divide / None) to match the oracle's NULL-on-zero-divisor.
 """
 
 from __future__ import annotations
@@ -86,7 +88,11 @@ def q90_regr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx_dec = F.col("sx").cast("decimal(38,0)")
     num = (F.col("n") * F.col("sxy") - sx_dec * F.col("sy")).cast("string").cast("double")
     den = (F.col("n") * F.col("sxx") - sx_dec * sx_dec).cast("string").cast("double")
-    slope = num / den
+    # try_divide: an all-equal-x group zeroes the denominator — under
+    # Spark 4's ANSI default a plain `/` THROWS there, while the
+    # DuckDB oracle returns NULL; try_divide pins NULL on all paths
+    # (q91's worker emits None on the same branch — r5 ADVICE)
+    slope = F.try_divide(num, den)
     sy_d = F.col("sy").cast("string").cast("double")
     sx_d = F.col("sx").cast("string").cast("double")
     return sums.select(
@@ -140,9 +146,15 @@ def q91_regr_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal→string→double cast; then one IEEE division.
         num = (n * sxy_us - sx * sy_us) / 10**6
         den = float(n * sxx - sx * sx)
-        slope = num / den if den else float("nan")
+        # den == 0 (all x equal in the group): q90's Spark Divide and
+        # the DuckDB oracle both yield NULL on the zero divisor, so
+        # emit None — NaN here would break the claimed q90≡q91
+        # bit-identity on any constant-timestamp group (r5 ADVICE)
+        slope = num / den if den else None
         sy_d = sy_us / 10**6
-        intercept = (sy_d - slope * float(sx)) / n
+        intercept = (
+            (sy_d - slope * float(sx)) / n if slope is not None else None
+        )
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],

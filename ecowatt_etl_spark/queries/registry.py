@@ -64,56 +64,34 @@ def _load_all() -> None:
 # else oracle-backed, with rows-only queries last so they never consume
 # a value-check slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-5 rotation — drain the r4 spill (VERDICT r4 item 1: freeze
-    # net-new queries, spend every slot on oracle-backed queries with
-    # no driver row yet). Evidence ledger: r01 green q01–q09, q40–q49e,
-    # q50–q56, q80/q83, q90/q92; r02 green q10–q37, q39, q47, q57–q66,
-    # q70–q76, q82, qe03/qe04; r03 green (50/50) q38 + curation
-    # q93–q102/q121/q122/q128/q130, dedup q89/q119/q120/q127/q134/
-    # q135, event q49f–q49j/q45b/q131–q133/q136, multimodal q84/q137,
-    # relational q69/q85/q101/q104, similarity q67/q87/q117/q118/
-    # q123/q129, text q68/q78/q79/q86/q138, TPC-H q106/q107/q115;
-    # r04 green (50/50) q140–q152 + TPC-H tail q103/q105/q108–q114/
-    # q116/q124–q126, streaming re-checks q44/q45/q49/q49b, reworked
-    # q65/qe05/qe06, and the r4 additions q153–q170.
-    # Round-5 window (the ~50-slot cutoff falls after the last entry
-    # of the second block below): (a) the riskiest never-checked
-    # shapes per the r4 verdict — streaming replay/GroupState, live
-    # Derby JDBC, artifact round-trip, SQL scripting, custom Python
-    # data sources, UDTF, cogroup, mapInArrow, k-means train; (b) the
-    # three queries oracle-backed THIS round (qe07 golden minmax
-    # replay, q63 exact-fold re-score, q91 exact-int closed form) —
-    # their r1 `err: no_oracle` rows convert to green on re-check;
-    # (c) the q171+ bulk in registry order. The remainder (q210+,
-    # ~42 queries) SPILLS to round 6 — rotate it to the front then,
-    # exactly as this round promoted the r4 spill.
-    # (a) riskiest never-checked shapes first
-    "q250_stream_late_audit", "q252_stream_clamped_balance",
-    "q237_jdbc_roundtrip", "q247_incremental_view_refresh",
-    "q248_sql_scripting", "q193_python_datasource",
-    "q194_python_stream_source", "q213_dynamic_udtf",
-    "q190_cogroup_order_audit", "q255_charset_profile",
-    "q88_kmeans_train",
-    # (b) oracle-backed in round 5 — stale r1 rows convert to green
-    "qe07_normalized_scores", "q63_cosine_topk_matmul",
-    "q91_regr_grouped_map",
-    # (c) the r4-spill bulk, registry order (36 slots to the cutoff)
-    "q171_tfidf_shingle_pairs", "q172_chisq_variant",
-    "q173_pareto_suppliers", "q174_stream_ohlc",
-    "q175_theta_intersection", "q176_skew_report", "q177_winsorize",
-    "q178_pit_join", "q179_bloom_audit", "q180_length_calibration",
-    "q181_linear_attribution", "q182_ratio_to_report", "q183_top_paths",
-    "q184_diurnal_profile", "q185_feature_hashing",
-    "q186_segment_reconcile", "q187_lateral_topk",
-    "q188_right_to_erasure", "q189_compact_files",
-    "q191_chunk_dedup_report", "q192_ngram_overlap_report",
-    "q195_sql_udf", "q196_ivf_persist_serve",
-    "q197_ivf_incremental_ingest", "q198_curation_funnel",
-    "q199_pipe_syntax", "q200_dataset_card", "q201_filtered_ann",
-    "q202_hybrid_rrf", "q203_forecast_backtest",
-    "q204_cusum_changepoint", "q205_benford_audit", "q206_gini_revenue",
-    "q207_basket_rules", "q208_rfm_segments", "q209_join_size_estimate",
-    # ---- round-5 window cutoff (50) — everything below spills to r6
+    # Round-6 rotation — the FINAL coverage window (r5 verdict item 1:
+    # spend the 50 slots on the 42-query r5 spill + staged re-checks).
+    # Evidence ledger: r01 green q01–q09, q40–q49e, q50–q56, q80/q83,
+    # q90/q92; r02 green q10–q37, q39, q47, q57–q66, q70–q76, q82,
+    # qe03/qe04; r03 green (50/50) q38 + curation/dedup/event/
+    # multimodal/similarity/text/TPC-H breadth; r04 green (50/50)
+    # q103–q126 TPC-H tail + q140–q170; r05 green (49/50 — the one
+    # miss, q176, adjudicated an oracle-side DuckDB HUGEINT dtype
+    # artifact, engine values verified identical) q171–q209 +
+    # streaming replay/GroupState/JDBC/UDTF/cogroup/mapInArrow/
+    # k-means + qe07/q63/q91 conversions.
+    # Round-6 window, exactly 50 oracle-backed slots:
+    # (a) the 42-query r5 spill (q210–q258) in registry order — the
+    #     order pre-simulated green at sf0.01 and swept at sf0.1;
+    # (b) 4 staged conversions: q176 after the CAST(MAX(tot) AS
+    #     BIGINT) oracle fix, and qe01/qe02/qe08 whose golden oracles
+    #     landed in r5 after their stale r1 `err: no_oracle` rows;
+    # (c) 4 re-certification slots for implementations touched THIS
+    #     round (the r5 ADVICE fixes): q90/q91 — degenerate-
+    #     denominator slope now NULL on both paths; q250/q252 — the
+    #     update-mode single-data-batch tripwire now counts batches
+    #     via a StreamingQueryListener instead of the capped
+    #     recentProgress buffer.
+    # After this window every oracle-backed query (273/279) has a
+    # driver hash row; the 6 rows-only (q81 q09b q25b q77 q139 q142)
+    # are approximate/iterative by documented necessity and carry
+    # exact pytest parity instead.
+    # (a) the r5 spill, registry order
     "q210_k_anonymity", "q211_cuped", "q212_bfs_hops",
     "q214_memorization_spans", "q215_bootstrap_ci", "q216_mannwhitney",
     "q217_ks_test", "q218_spearman", "q219_lsh_recall_audit",
@@ -132,6 +110,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q253_rolling_active_users", "q254_parameterized_sql",
     "q256_retrieval_self_eval", "q257_null_semantics",
     "q258_federated_join",
+    # (b) staged conversions (stale rows turn green on re-check)
+    "q176_skew_report", "qe01_ev_dashboard_base",
+    "qe02_energy_dashboard_base", "qe08_adhoc_sql",
+    # (c) re-certification of implementations touched this round
+    "q90_regr_by_type", "q91_regr_grouped_map",
+    "q250_stream_late_audit", "q252_stream_clamped_balance",
+    # ---- round-6 window cutoff (50) — full coverage reached; slots
+    # below only order the tail and never reach the driver's gate
+    "q237_jdbc_roundtrip", "q247_incremental_view_refresh",
+    "q248_sql_scripting", "q193_python_datasource",
+    "q194_python_stream_source", "q213_dynamic_udtf",
+    "q190_cogroup_order_audit", "q255_charset_profile",
+    "q88_kmeans_train", "qe07_normalized_scores",
+    "q63_cosine_topk_matmul", "q171_tfidf_shingle_pairs",
 )
 
 

@@ -11,10 +11,11 @@ The check pass and the write share one computation: expectations are
 evaluated as conditional counts in a single aggregate over the frame
 (one extra action, no extra shuffle — each check is a map-side
 predicate), so the gate costs one scan, not one scan per rule. At
-100 TB the same single-aggregate shape holds; for pipelines that
-cannot afford any second pass, ride the counts on the write itself via
-q244's Observation pattern and validate post-write before publishing
-the partition (write-audit-publish).
+100 TB the counts ride the write itself via q244's Observation
+pattern and the batch is validated post-write, pre-publish
+(write-audit-publish) — ``write_checked(strategy="auto")`` picks that
+staged path whenever Catalyst estimates the frame above
+:data:`STAGE_THRESHOLD_BYTES`, and the checkpoint-pinned path below.
 """
 
 from __future__ import annotations
@@ -49,26 +50,160 @@ def check_expectations(
     return {name: row[name] or 0 for name in checks}
 
 
+# Plan-estimated frame size above which write_checked's "auto"
+# strategy switches from localCheckpoint (executor memory) to the
+# staged write-audit-publish path (temp location + atomic rename).
+STAGE_THRESHOLD_BYTES = 1 << 30  # 1 GiB
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame (optimizedPlan stats) —
+    no action, no scan. Unknown-size plans report Long.MaxValue-ish
+    numbers, which correctly routes them to the staged path: staging
+    is the safe default, executor-memory checkpointing the small-frame
+    optimization."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # non-JVM frames (connect) — assume large
+        return 1 << 62
+
+
+def _hadoop_fs(df: DataFrame, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
+    the same resolution the writers use, so rename/delete act on the
+    filesystem the data actually landed on (local, HDFS, s3a...)."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _staged_write(
+    df: DataFrame,
+    path: str,
+    checks: dict[str, Column],
+    fmt: str,
+    mode: str,
+) -> dict[str, int]:
+    """Write-audit-publish (the q244 pattern, promoted to the gate):
+    the frame is written ONCE to a sibling staging location with the
+    expectation counts riding the write itself as Observation
+    accumulators — zero extra scan, zero extra action, no executor
+    memory pinned. The audit then reads the driver-side metrics row;
+    only a clean staging directory is PUBLISHED into ``path`` by
+    filesystem rename (atomic on HDFS-like stores; the standard
+    staged-commit pattern elsewhere). A violating batch never becomes
+    visible to readers of ``path`` — it dies in staging.
+
+    This is the 100 TB default: localCheckpoint would pin the whole
+    frame in executor block-manager memory/disk, while here the only
+    second touch of the data is a metadata rename."""
+    from uuid import uuid4
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    staging = f"{path}__staging_{uuid4().hex}"
+    observed = (
+        df.observe(
+            obs,
+            *[
+                F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(name)
+                for name, cond in checks.items()
+            ],
+        )
+        if checks
+        else df
+    )
+    fs, _ = _hadoop_fs(df, path)
+    jvm_path = df.sparkSession._jvm.org.apache.hadoop.fs.Path
+    st_path = jvm_path(staging)
+    try:
+        observed.write.mode("overwrite").format(fmt).save(staging)
+        report = (
+            {name: obs.get[name] or 0 for name in checks} if checks else {}
+        )
+        violated = {k: v for k, v in report.items() if v}
+        if violated:
+            raise ExpectationError(
+                f"refusing to publish {path}: violated expectations "
+                f"{violated} (counts are rows failing the declared per-row "
+                "condition; the staged batch was discarded)"
+            )
+        target = jvm_path(path)
+        if mode == "overwrite":
+            if fs.exists(target):
+                fs.delete(target, True)
+            fs.rename(st_path, target)
+        elif mode == "append":
+            if not fs.exists(target):
+                fs.rename(st_path, target)
+            else:
+                # move data files in; part filenames embed the job UUID
+                # so cross-batch collisions cannot occur
+                for status in fs.listStatus(st_path):
+                    name = status.getPath().getName()
+                    if name.startswith("_"):  # _SUCCESS etc.
+                        continue
+                    fs.rename(status.getPath(), jvm_path(f"{path}/{name}"))
+        else:
+            raise ValueError(
+                f"staged write_checked supports overwrite/append, got {mode!r}"
+            )
+        return report
+    finally:
+        if fs.exists(st_path):
+            fs.delete(st_path, True)
+
+
 def write_checked(
     df: DataFrame,
     path: str,
     checks: dict[str, Column],
     fmt: str = "parquet",
     mode: str = "overwrite",
+    strategy: str = "auto",
 ) -> dict[str, int]:
     """Gate-then-write: evaluate ``checks`` (name -> per-row boolean
     Column), raise :class:`ExpectationError` naming every violated
     expectation and its count if any fail, otherwise write and return
-    the (all-zero) violation report for the job log."""
+    the (all-zero) violation report for the job log.
+
+    ``strategy`` picks how the check and the write are pinned to ONE
+    materialization (the invariant either way: the gate must audit
+    exactly the rows that land):
+
+    * ``"checkpoint"`` — localCheckpoint the frame eagerly, audit the
+      pinned blocks, then write them. One extra aggregate action over
+      materialized blocks; the frame occupies executor block-manager
+      storage for the duration. Right for small/medium frames.
+    * ``"stage"`` — write-audit-publish: write once to a staging
+      location with the counts riding the write as Observation
+      accumulators, then publish by rename only if clean. No executor
+      memory pinned, no second scan — the 100 TB path.
+    * ``"auto"`` (default) — ``stage`` when Catalyst's plan-size
+      estimate exceeds :data:`STAGE_THRESHOLD_BYTES` (or is unknown),
+      else ``checkpoint``.
+    """
+    if strategy == "auto":
+        strategy = (
+            "stage"
+            if _plan_size_bytes(df) > STAGE_THRESHOLD_BYTES
+            else "checkpoint"
+        )
+    if strategy == "stage":
+        return _staged_write(df, path, checks, fmt, mode)
+    if strategy != "checkpoint":
+        raise ValueError(f"unknown write_checked strategy {strategy!r}")
     # Pin ONE materialization for both the check and the write: the
     # two actions otherwise recompute the frame independently, so a
     # non-deterministic expression (rand, current_timestamp, shuffling
     # UDx output) or a source mutated between the scans could land rows
     # the gate never saw. localCheckpoint truncates the lineage to the
     # materialized blocks; eager=True runs the single computation here.
-    # At 100 TB the equivalent is staging to a temp location (or the
-    # q244 write-audit-publish pattern) rather than executor memory —
-    # the invariant is the same: check and write read ONE snapshot.
     pinned = df.localCheckpoint(eager=True)
     try:
         report = check_expectations(pinned, checks)

@@ -147,6 +147,52 @@ def session_aggregates(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+from pyspark.sql.streaming.listener import StreamingQueryListener
+
+
+class _ProgressLog(StreamingQueryListener):
+    """StreamingQueryListener that logs EVERY progress event as
+    ``(query_id, progress_dict)`` — an uncapped, ordered record,
+    unlike ``query.recentProgress`` which silently drops all but the
+    last ``spark.sql.streaming.numRecentProgressUpdates`` (default
+    100) entries. The dicts come from ``progress.json`` so they are
+    key-identical to recentProgress entries (batchId, numInputRows,
+    stateOperators, ...). ``wait_terminated`` blocks until the
+    query's termination event is delivered; the listener bus is
+    ordered, so at that point every progress event for the query has
+    been appended."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.progress: list[tuple[str, dict]] = []
+        self._terminated: set[str] = set()
+        self._cv = threading.Condition()
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 — Spark API
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        import json
+
+        p = event.progress
+        self.progress.append((str(p.id), json.loads(p.json)))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        with self._cv:
+            self._terminated.add(str(event.id))
+            self._cv.notify_all()
+
+    def wait_terminated(self, query_id: str, timeout: float = 60.0) -> bool:
+        with self._cv:
+            return self._cv.wait_for(
+                lambda: query_id in self._terminated, timeout
+            )
+
+
 def run_to_completion(
     agg: DataFrame,
     name: str,
@@ -156,9 +202,11 @@ def run_to_completion(
 ):
     """Drive a streaming aggregation over a bounded file source to
     completion via a memory sink; returns the materialized result as a
-    batch DataFrame (or ``(df, recentProgress)`` with
+    batch DataFrame (or ``(df, progresses)`` with
     ``collect_progress=True`` — q250's lateness audit reads the
-    per-batch metrics). Smoke-test harness for the streaming path.
+    per-batch metrics; the list is listener-collected, so it is
+    complete even past the 100-entry recentProgress cap). Smoke-test
+    harness for the streaming path.
 
     Streaming stages don't get AQE partition coalescing, so a session
     default of 200 shuffle partitions means 200 state-store tasks per
@@ -173,6 +221,18 @@ def run_to_completion(
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     progresses: list = []
+    # Progress arrives via a StreamingQueryListener, NOT the
+    # recentProgress buffer: that buffer keeps only the last
+    # spark.sql.streaming.numRecentProgressUpdates (default 100)
+    # entries, so a replay resolving to >100 micro-batches would age
+    # out early data-carrying batches — the update-mode tripwire
+    # below would pass on a table that DOES mix stale per-key
+    # intermediates, and q250's lateness audit would silently lose
+    # batches (r5 ADVICE). The listener bus is ordered per query, so
+    # waiting for the termination event guarantees every progress
+    # event has been delivered.
+    listener = _ProgressLog()
+    spark.streams.addListener(listener)
     try:
         query = (
             agg.writeStream.outputMode(output_mode)
@@ -182,11 +242,18 @@ def run_to_completion(
         )
         try:
             query.processAllAvailable()
-            if collect_progress or output_mode == "update":
-                progresses = list(query.recentProgress)
         finally:
+            qid = str(query.id)
             query.stop()
+        if collect_progress or output_mode == "update":
+            if not listener.wait_terminated(qid):
+                raise AssertionError(
+                    f"stream '{name}': termination event not delivered "
+                    "within 60s; progress log may be incomplete"
+                )
+            progresses = [p for i, p in listener.progress if i == qid]
     finally:
+        spark.streams.removeListener(listener)
         spark.conf.set("spark.sql.shuffle.partitions", old)
     if output_mode == "update":
         # the memory sink APPENDS every batch's updated rows: a key
@@ -194,7 +261,11 @@ def run_to_completion(
         # stale intermediate row alongside final state in the table.
         # The update-mode callers (q49/q133/q252) read the table as
         # final state, so pin the precondition that makes that valid —
-        # the bounded replay resolved to at most ONE data batch.
+        # the bounded replay resolved to at most ONE data batch. The
+        # check is deliberately conservative: a multi-batch replay
+        # whose batches touch DISJOINT keys would also be rejected,
+        # though its table would be clean — callers wanting that must
+        # dedupe to last-row-per-key themselves.
         data_batches = [
             int(p["batchId"]) for p in progresses if p["numInputRows"] > 0
         ]

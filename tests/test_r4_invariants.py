@@ -895,11 +895,18 @@ def test_driver_window_spends_slots_on_unchecked_oracle_queries(spark):
     checked: set[str] = set()
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         checked |= set(json.load(open(path)))
-    # rows-only in their old driver rows; re-check converts err->green
+    # staged re-checks: stale `err` rows whose oracles landed since
+    # (convert to green on re-check) plus re-certification slots for
+    # implementations touched this round (r5 verdict items 2 and 6)
     staged_conversions = {
-        "qe07_normalized_scores",
-        "q63_cosine_topk_matmul",
+        "q176_skew_report",           # oracle HUGEINT->BIGINT CAST fix
+        "qe01_ev_dashboard_base",     # golden-oracled r5, stale r1 err
+        "qe02_energy_dashboard_base",
+        "qe08_adhoc_sql",
+        "q90_regr_by_type",           # degenerate-denominator fix r6
         "q91_regr_grouped_map",
+        "q250_stream_late_audit",     # listener-based batch tripwire r6
+        "q252_stream_clamped_balance",
     }
     stale = set(first50) & checked - staged_conversions
     assert not stale, (

@@ -449,3 +449,84 @@ def test_write_checked_gates_on_expectations(spark, tmp_path):
     with pytest.raises(ExpectationError, match="qty_positive"):
         write_checked(nullish, out3, checks)
     assert not os.path.exists(out3)
+
+
+def test_write_checked_staged_publishes_only_clean_batches(spark, tmp_path):
+    """The write-audit-publish strategy: counts ride the staging write
+    as Observation accumulators (no second scan), a clean batch is
+    PUBLISHED by rename, a violating batch dies in staging — the
+    target path never exists, and no staging litter survives."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.sources.expectations import (
+        ExpectationError,
+        write_checked,
+    )
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    checks = {
+        "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        "qty_positive": F.col("l_quantity") > 0,
+    }
+    out = str(tmp_path / "staged_ok")
+    report = write_checked(li, out, checks, strategy="stage")
+    assert report == {k: 0 for k in checks}
+    assert os.path.exists(out)
+    assert spark.read.parquet(out).count() == li.count()
+
+    bad = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 100 == 0, -1.0).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    out2 = str(tmp_path / "staged_bad")
+    with pytest.raises(ExpectationError, match="qty_positive"):
+        write_checked(bad, out2, checks, strategy="stage")
+    assert not os.path.exists(out2), "violating staged batch must not publish"
+    litter = [p for p in os.listdir(tmp_path) if "__staging_" in p]
+    assert not litter, f"staging directories must be cleaned up: {litter}"
+
+
+def test_write_checked_staged_append_accumulates(spark, tmp_path):
+    """Append publish: a second staged batch lands its data files into
+    the existing target without clobbering the first batch."""
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.sources.expectations import write_checked
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    n = load_table(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / "staged_append")
+    checks = {"key_not_null": F.col("n_nationkey").isNotNull()}
+    write_checked(n, out, checks, mode="append", strategy="stage")
+    write_checked(n, out, checks, mode="append", strategy="stage")
+    assert spark.read.parquet(out).count() == 2 * n.count()
+
+
+def test_write_checked_auto_routes_by_plan_size(spark):
+    """auto = checkpoint for small frames, stage above the threshold
+    (and for unknown-size plans): pin the routing so a regression
+    can't silently put a 100 TB frame back in executor memory."""
+    import ecowatt_etl_spark.sources.expectations as ex
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    n = load_table(spark, SF_SMOKE, "nation")
+    small = ex._plan_size_bytes(n)
+    assert 0 < small < ex.STAGE_THRESHOLD_BYTES
+    # a join with no stats-known bound estimates multiplicatively and
+    # must cross the threshold -> staged path
+    big = n.crossJoin(load_table(spark, SF_SMOKE, "orders")).crossJoin(
+        load_table(spark, SF_SMOKE, "lineitem")
+    )
+    assert ex._plan_size_bytes(big) > ex.STAGE_THRESHOLD_BYTES

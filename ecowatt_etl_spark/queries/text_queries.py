@@ -2614,3 +2614,242 @@ def q255_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " top_char_count long, printable_bp long, entropy_q long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — Heaps'-law vocabulary growth per source
+# ---------------------------------------------------------------------------
+@query(
+    "q259_vocab_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS seq,
+             COUNT(*) OVER (PARTITION BY source) AS n_docs,
+             {_SQL_TOKENS} AS toks
+      FROM documents
+    ),
+    dd AS (
+      SELECT source, seq, n_docs,
+             (10 * seq + n_docs - 1) // n_docs AS decile,
+             len(toks) AS n_tok, toks
+      FROM d
+    ),
+    per_doc AS (
+      SELECT source, decile,
+             CAST(COUNT(*) AS BIGINT) AS d_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS d_tokens
+      FROM dd GROUP BY 1, 2
+    ),
+    tok AS (
+      SELECT source, seq, n_docs, unnest(toks) AS token FROM dd
+    ),
+    first AS (
+      SELECT source, token, MIN(seq) AS fs, MIN(n_docs) AS n_docs
+      FROM tok GROUP BY 1, 2
+    ),
+    per_decile_vocab AS (
+      SELECT source, (10 * fs + n_docs - 1) // n_docs AS decile,
+             CAST(COUNT(*) AS BIGINT) AS d_vocab
+      FROM first GROUP BY 1, 2
+    )
+    SELECT p.source, CAST(p.decile AS BIGINT) AS decile,
+           CAST(SUM(p.d_docs) OVER w AS BIGINT) AS docs_cum,
+           CAST(SUM(p.d_tokens) OVER w AS BIGINT) AS tokens_cum,
+           CAST(SUM(COALESCE(v.d_vocab, 0)) OVER w AS BIGINT) AS vocab_cum
+    FROM per_doc p
+    LEFT JOIN per_decile_vocab v
+      ON v.source = p.source AND v.decile = p.decile
+    WINDOW w AS (PARTITION BY p.source ORDER BY p.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q259_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary growth curve per source: documents are
+    replayed in deterministic ingest order (doc_id) and, at each
+    decile of the stream, the report gives cumulative documents,
+    cumulative tokens, and cumulative DISTINCT tokens — the V(N)
+    curve whose flattening tells a curation pipeline when another
+    shard of a source stops buying new vocabulary (dedup pressure,
+    boilerplate, or a crawler stuck in a template). Raw integer
+    checkpoints, no curve fitting — downstream plots or fits them
+    (q260 fits the companion Zipf exponent); every value is exact, so
+    the oracle matches bit-for-bit.
+
+    Scale shape: one window shuffle keyed by source assigns ingest
+    ordinals (each source's manifest sorts in one task — at 100 TB
+    replace with range-partitioned rank over doc_id or precomputed
+    manifest ordinals; the checkpoint math is unchanged), one
+    (source, token)-keyed aggregate finds each token's first
+    occurrence (well-distributed, the corpus-sized shuffle), then
+    10-rows-per-source cumulative windows. Token strings shuffle once;
+    the documented 100 TB downgrade is xxhash64(token) 8-byte keys,
+    trading exactness of ties for 10× shuffle volume."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("toks")
+    )
+    w_seq = W.partitionBy("source").orderBy("doc_id")
+    w_src = W.partitionBy("source")
+    docs = (
+        d.select(
+            "source",
+            F.row_number().over(w_seq).alias("seq"),
+            F.count("*").over(w_src).alias("n_docs"),
+            F.size("toks").alias("n_tok"),
+            "toks",
+        )
+        # ceil(10*seq/n_docs) in exact integer arithmetic (DIV, not /)
+        .withColumn(
+            "decile", F.expr("CAST((10 * seq + n_docs - 1) DIV n_docs AS BIGINT)")
+        )
+    )
+    per_doc = docs.groupBy("source", "decile").agg(
+        F.count("*").alias("d_docs"), F.sum("n_tok").alias("d_tokens")
+    )
+    first = (
+        docs.select("source", "seq", "n_docs", F.explode("toks").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.min("seq").alias("fs"), F.min("n_docs").alias("n_docs"))
+        .withColumn(
+            "decile", F.expr("CAST((10 * fs + n_docs - 1) DIV n_docs AS BIGINT)")
+        )
+    )
+    vocab = first.groupBy("source", "decile").agg(F.count("*").alias("d_vocab"))
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy("decile")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        per_doc.join(vocab, ["source", "decile"], "left")
+        .select(
+            "source",
+            "decile",
+            F.sum("d_docs").over(w_cum).alias("docs_cum"),
+            F.sum("d_tokens").over(w_cum).alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("d_vocab"), F.lit(0)))
+            .over(w_cum)
+            .alias("vocab_cum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260 — Zipf rank-frequency exponent (exact-fold OLS on the top ranks)
+# ---------------------------------------------------------------------------
+_ZIPF_K = 500  # ranks fitted; bounded driver fetch, O(K) work
+
+
+def _sql_fold(list_expr: str) -> str:
+    """Left fold of a DOUBLE list with a 0.0 seed — the q61/q63
+    deterministic-summation twin (operators/similarity.py)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {list_expr}), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "q260_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+    top AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk
+      FROM f QUALIFY rk <= {_ZIPF_K}
+    ),
+    l AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             list(ln(CAST(rk AS DOUBLE)) ORDER BY rk) AS xs,
+             list(ln(CAST(freq AS DOUBLE)) ORDER BY rk) AS ys
+      FROM top
+    ),
+    s AS (
+      SELECT n,
+             {_sql_fold("xs")} AS sx,
+             {_sql_fold("ys")} AS sy,
+             {_sql_fold("list_transform(xs, x -> x * x)")} AS sxx,
+             {_sql_fold("list_transform(ys, y -> y * y)")} AS syy,
+             {_sql_fold(
+                 "list_transform(generate_series(1, len(xs)),"
+                 " i -> xs[i] * ys[i])"
+             )} AS sxy
+      FROM l
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+)
+def q260_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF rank-frequency fit: OLS of ln(freq) on ln(rank) over the
+    top-K (K = _ZIPF_K = 500) vocabulary — slope ≈ −1 for natural text; a corpus
+    drifting toward 0 is template/boilerplate-heavy, one steeper than
+    −1.2 is dominated by a tiny head (both are curation red flags the
+    scalar catches cheaply). Companion to q259's Heaps curve and
+    q76's heavy-hitter head.
+
+    Exactness (the q63 discipline): the distributed part — the
+    vocabulary frequency aggregate — is exact integers; only the
+    bounded top-K (freq DESC, token ASC — tie-free deterministic
+    ranking) reaches the driver, where CPython computes ln and the
+    OLS sums as FIXED-ORDER left folds. The oracle replays the same
+    fold (list_reduce with a 0.0 seed, ascending rank) and the same
+    IEEE expression tree; ln agrees bitwise because both CPython and
+    DuckDB call the platform libm. Spark-side ln (java.lang.Math.log)
+    is deliberately NOT used — it carries no bit guarantee against
+    libm.
+
+    Scale: one (token)-keyed count aggregate (map-side combined), a
+    TakeOrdered top-K (no global sort materialization), K rows to the
+    driver, O(K) arithmetic. The fit itself is scale-free."""
+    import math
+
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    freq = d.groupBy("token").agg(F.count("*").alias("freq"))
+    top = (
+        freq.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(_ZIPF_K)
+        .select("freq")
+        .collect()
+    )
+    n = len(top)
+    xs = [math.log(float(i + 1)) for i in range(n)]
+    ys = [math.log(float(r["freq"])) for r in top]
+
+    def fold(vals):
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc
+
+    nf = float(n)
+    sx, sy = fold(xs), fold(ys)
+    sxx = fold([x * x for x in xs])
+    syy = fold([y * y for y in ys])
+    sxy = fold([x * y for x, y in zip(xs, ys)])
+    den = nf * sxx - sx * sx
+    slope = (nf * sxy - sx * sy) / den if den else None
+    intercept = (sy - slope * sx) / nf if slope is not None else None
+    num = nf * sxy - sx * sy
+    deny = nf * syy - sy * sy
+    r2 = (num * num) / (den * deny) if den and deny else None
+    schema = T.StructType(
+        [
+            T.StructField("n_ranks", T.LongType()),
+            T.StructField("slope", T.DoubleType()),
+            T.StructField("intercept", T.DoubleType()),
+            T.StructField("r2", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([(n, slope, intercept, r2)], schema)

@@ -27,6 +27,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
 
 
 def _write_tiny_events(path: str) -> None:
@@ -209,3 +210,97 @@ def test_q176_oracle_total_rows_is_bigint_typed():
             "total_rows must render integral under the driver's pandas "
             f"fetch, got {type(r[col])} {r[col]!r}"
         )
+
+
+def test_vocab_growth_is_cumulative_and_exact(spark):
+    """q259's curve must be monotone per source, end at exactly the
+    source's distinct-token count, and its token total must equal
+    q70-style whole-source token counts — an independent replay of
+    the checkpoint math against plain aggregates."""
+    from ecowatt_etl_spark.operators.text import token_count, tokens
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = (
+        all_queries()["q259_vocab_growth"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    )
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    d = load_table(spark, SF_ORACLE, "documents")
+    totals = {
+        r["source"]: (r["n_tok"], r["n_vocab"])
+        for r in d.select(
+            "source", F.explode(tokens("text")).alias("token")
+        )
+        .groupBy("source")
+        .agg(F.count_distinct("token").alias("n_vocab"))
+        .join(
+            d.select("source", token_count("text").alias("nt"))
+            .groupBy("source")
+            .agg(F.sum("nt").alias("n_tok")),
+            "source",
+        )
+        .collect()
+    }
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(range(1, 11)), src
+        for a, b in zip(rs, rs[1:]):
+            assert b["docs_cum"] >= a["docs_cum"]
+            assert b["tokens_cum"] >= a["tokens_cum"]
+            assert b["vocab_cum"] >= a["vocab_cum"]
+        n_tok, n_vocab = totals[src]
+        assert rs[-1]["tokens_cum"] == n_tok, src
+        assert rs[-1]["vocab_cum"] == n_vocab, src
+
+
+def test_zipf_fit_matches_pure_python_replay(spark):
+    """q260's slope/intercept/r2 against a from-scratch replay:
+    re-derive the top-K frequencies with plain Spark aggregates, then
+    redo the ln/OLS fold in this test — bit-identical, and the slope
+    must be negative with r2 in (0, 1] on natural-ish text."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ecowatt_etl_spark.operators.text import tokens
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from ecowatt_etl_spark.queries.text_queries import _ZIPF_K
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    (row,) = all_queries()["q260_zipf_fit"].fn(spark, SF_ORACLE).collect()
+    freqs = [
+        r["freq"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(_ZIPF_K)
+        .collect()
+    ]
+    n = float(len(freqs))
+    xs = [math.log(float(i + 1)) for i in range(len(freqs))]
+    ys = [math.log(float(f)) for f in freqs]
+
+    def fold(vals):
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc
+
+    sx, sy = fold(xs), fold(ys)
+    sxx, syy = fold([x * x for x in xs]), fold([y * y for y in ys])
+    sxy = fold([x * y for x, y in zip(xs, ys)])
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    assert row["n_ranks"] == len(freqs)
+    assert row["slope"] == slope  # bit-identical
+    assert row["intercept"] == (sy - slope * sx) / n
+    assert row["slope"] < 0
+    assert 0 < row["r2"] <= 1

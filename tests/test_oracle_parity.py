@@ -8,34 +8,23 @@ oracle-backed query is designed to be bit-identical across engines:
 exact-decimal money aggregates, fixed-order double folds for floats).
 A tolerance here would hide exactly the 1-ulp engine divergences the
 real gate flags.
+
+The fetch path is the HASH-FAITHFUL one from tools/parity_sweep (r5
+verdict item 3): both sides round-trip through pandas (toPandas /
+fetchdf) before stringification, because that is the dtype path the
+driver hashes through. The previous fetchall() comparison converted
+DuckDB HUGEINT to exact int and so passed q176 while the driver
+failed it ("500" vs "500.0"); this harness now sees that class.
 """
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
 from tests.conftest import SF_ORACLE
-
-
-def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
-
-
-def _values_equal(a, b) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) or math.isnan(fb):
-            return math.isnan(fa) and math.isnan(fb)
-        return str(fa) == str(fb)  # exact: the driver hashes rendered values
-    return str(a) == str(b)
+from tools.parity_sweep import eq as _values_equal
+from tools.parity_sweep import norm as _normalize
+from tools.parity_sweep import pdf_rows
 
 
 def _all_specs():
@@ -47,16 +36,16 @@ def _all_specs():
 @pytest.mark.parametrize("spec", _all_specs(), ids=lambda s: s.name)
 def test_query_matches_oracle(spark, duck, spec):
     sdf = spec.fn(spark, SF_ORACLE)
-    spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
     if spec.oracle is None:
-        assert len(spark_rows) >= 0  # rows-only smoke: query must execute
+        assert len(sdf.collect()) >= 0  # rows-only smoke: query must execute
         return
 
+    spark_rows = pdf_rows(sdf.toPandas())
     res = duck.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
-    duck_rows = [tuple(r) for r in res.fetchall()]
+    duck_rows = pdf_rows(res.fetchdf())
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{spec.name}: column mismatch {spark_cols} vs {duck_cols}"

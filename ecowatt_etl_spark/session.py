@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Local mode puts driver and executors in ONE JVM, so
+        # spark.driver.memory IS the executor memory: the 1g Spark
+        # default starves shuffles/broadcasts/localCheckpoints the
+        # moment data grows past the smallest test scale (measured:
+        # three iterative queries OOM at 10x the gate scale under 1g,
+        # all pass under 8g). Overridable for constrained harnesses;
+        # ignored by getOrCreate when a session already exists.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # Dimension tables in this workload are KB–MB: let Catalyst
         # broadcast them (10 MB default is fine; raised a bit for dims
         # that grow with SF).

@@ -30,52 +30,44 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-# The warehouse embedding dimensionality — callers pass dim=EMB_DIM to
-# dot_fold/l2_norm/cosine when the operands are full embedding columns.
-EMB_DIM = 64
-
-
-def dot_fold(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot_fold(a: Column, b: Column) -> Column:
     """Dot product of two float-array columns as a fixed-order left
     fold: sum_i (double)a[i] * (double)b[i], accumulated in ascending
     index order. Deterministic and engine-portable (see module doc).
     DuckDB twin: list_reduce(list_prepend(0.0::DOUBLE,
     list_transform(...)), (acc, x) -> acc + x).
 
-    ``dim``: when the array length is statically known, pass it to get
-    the UNROLLED form — the same left-associative tree starting from
-    the same 0.0 seed (((0.0 + t1) + t2) + ...), so every intermediate
-    double is bit-identical to the fold — but built from plain Add/
-    Multiply expressions that whole-stage codegen compiles, where the
-    higher-order-function lambda is interpreted per element. Measured
-    on the k-means kernel at 10x the gate scale this is the difference
-    between 91 s and seconds. Indexing is F.get (NULL past the end —
-    element_at would THROW under Spark 4's ANSI default), so an array
-    shorter than dim NULLs the whole sum; keep dim=None for
-    variable-length arrays."""
-    if dim is not None:
-        acc: Column = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-        return acc
+    Measured negative result (kept so nobody re-tries it): a
+    statically-UNROLLED form — the identical left-associative tree
+    built from 64 Add/Multiply/GetArrayItem nodes so whole-stage
+    codegen can compile it — ran 2-4x SLOWER than this lambda fold on
+    every kernel, at sf0.1 AND at 10x that scale, with codegen on,
+    off, and fully interpreted (A/B in SCALE.md). The generated
+    consume() for a 64-term tree is so large HotSpot's huge-method
+    limit (~8000 bytecodes, -XX:HugeMethodLimit) refuses to JIT it,
+    so the "codegen-compiled" path executes in the bytecode
+    INTERPRETER — while this higher-order fold runs a tiny lambda
+    that JITs immediately. The wins on these kernels come from
+    structure instead: hoisting ‖x‖ per VECTOR (one fold per row, not
+    three per pair) and map-side argmin (see kmeans_train)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_norm(a: Column, dim: int | None = None) -> Column:
+def l2_norm(a: Column) -> Column:
     """L2 norm via the same deterministic fold; sqrt is IEEE-exact, so
     the result is bit-identical in any engine."""
-    return F.sqrt(dot_fold(a, a, dim))
+    return F.sqrt(dot_fold(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity — one fused scan-local expression per pair.
 
     try_divide, not ``/``: under ANSI mode (Spark 4 default) a plain
     division makes an all-zero embedding throw DIVIDE_BY_ZERO mid-job;
     try_divide yields NULL instead — which is also exactly what DuckDB's
     double division produces, so the oracles agree without changes."""
-    return F.try_divide(dot_fold(a, b, dim), l2_norm(a, dim) * l2_norm(b, dim))
+    return F.try_divide(dot_fold(a, b), l2_norm(a) * l2_norm(b))
 
 
 def sign_block_key(embedding: Column, n_bits: int = 8) -> Column:
@@ -134,19 +126,18 @@ def kmeans_train(
         em = em.repartition(par)
     # ‖x‖² once per VECTOR (not once per vector×centroid pair): the
     # fold is the same expression over the same input, so the value is
-    # bit-identical — but the higher-order-function lambda is
-    # interpreted, not codegen'd, and at K centroids the naive form
-    # evaluates 3 folds per pair where one suffices. Measured at 10x
-    # the gate scale this (plus the struct-min below) took q65 from
+    # bit-identical — and at K centroids the naive form evaluates 3
+    # folds per pair where one suffices. Measured at 10x the gate
+    # scale this (plus the struct-min below) took the Lloyd round from
     # 91 s to single-digit seconds.
-    emx = em.select(id_col, vec_col, dot_fold(x, x, dim).alias("x2"))
+    emx = em.select(id_col, vec_col, dot_fold(x, x).alias("x2"))
     inertia: list[float] = []
     for _ in range(rounds):
         # ‖c‖² once per CENTROID (K values, broadcast with the frame)
-        cents_n = cents.withColumn("c2", dot_fold(c, c, dim))
+        cents_n = cents.withColumn("c2", dot_fold(c, c))
         # same left-to-right tree as (x·x) − 2(x·c) + (c·c): the
         # cached x2/c2 only change WHERE the folds run, not the bits
-        d2 = (F.col("x2") - 2 * dot_fold(x, c, dim) + F.col("c2")).alias("d2")
+        d2 = (F.col("x2") - 2 * dot_fold(x, c) + F.col("c2")).alias("d2")
         scored = emx.join(F.broadcast(cents_n)).select(id_col, "cid", vec_col, d2)
         # argmin via min(struct): lexicographic (d2 asc, cid asc) is
         # exactly the old row_number(orderBy d2, cid) == 1 pick, but

@@ -19,7 +19,6 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ecowatt_etl_spark.operators.similarity import (
-    EMB_DIM,
     cosine,
     dot_fold,
     l2_norm,
@@ -61,7 +60,7 @@ def q60_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     building block (and correctness anchor) for every cosine query.
     Scan-local: one projection, zero shuffles."""
     em = load_table(spark, sf_dir, "embeddings")
-    return em.select("vec_id", l2_norm(F.col("embedding"), EMB_DIM).alias("l2_norm"))
+    return em.select("vec_id", l2_norm(F.col("embedding")).alias("l2_norm"))
 
 
 # ---------------------------------------------------------------------------
@@ -102,11 +101,6 @@ def q61_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms once per VECTOR, not per pair (q62's rework): the cosine
     # value is bit-identical (same fold per vector, same q*c product
     # order) and the per-pair expression drops from 3 folds to 1.
-    # The pair dot stays the LAMBDA fold (dim=None), not the unrolled
-    # form: this stage is a BroadcastNestedLoopJoin (non-equi pair
-    # predicate), which blocks whole-stage codegen — interpreted, the
-    # HOF's internal loop beats walking 64 unrolled Get/Mul/Add nodes
-    # per pair (measured 1.35x slower at 10x the gate scale).
     q = F.broadcast(
         em.filter(F.col("vec_id") < _NQ).select(
             F.col("vec_id").alias("query_id"),
@@ -176,14 +170,12 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     # norms precomputed per VECTOR, not per pair: same fold, same bits
     # (cosine() is literally try_divide(dot, l2(a)*l2(b))), 3x less
-    # per-pair arithmetic, and the pair expression stays small enough
-    # for whole-stage codegen (the fully-inlined cosine blew the
-    # generated join-consume method past janino's limits)
+    # per-pair arithmetic
     blk = em.select(
         "vec_id",
         "embedding",
         sign_block_key(F.col("embedding"), _SIGN_BITS).alias("block_key"),
-        l2_norm(F.col("embedding"), EMB_DIM).alias("nrm"),
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     a, b = blk.alias("a"), blk.alias("b")
     return (
@@ -196,7 +188,7 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.try_divide(
-                dot_fold(F.col("a.embedding"), F.col("b.embedding"), EMB_DIM),
+                dot_fold(F.col("a.embedding"), F.col("b.embedding")),
                 F.col("a.nrm") * F.col("b.nrm"),
             ).alias("cosine_sim"),
         )
@@ -319,7 +311,7 @@ def q64_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("embedding"), EMB_DIM).alias("cosine_sim"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -353,7 +345,7 @@ def _ivf_cells(
         if em.rdd.getNumPartitions() < par:
             em = em.repartition(par)
         asg_score = F.try_divide(
-            dot_fold(F.col("embedding"), F.col("c_emb"), EMB_DIM), F.col("c_norm")
+            dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
         )
         best = (
             em.crossJoin(cent)
@@ -414,7 +406,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str, em: DataFrame) -> DataF
             cents.select(
                 "cid",
                 F.col("centroid").alias("c_emb"),
-                l2_norm(F.col("centroid"), EMB_DIM).alias("c_norm"),
+                l2_norm(F.col("centroid")).alias("c_norm"),
             ).localCheckpoint()
         )
     return _TRAINED_CENT_CACHE[key]
@@ -583,7 +575,7 @@ def _ivf_serve(em: DataFrame, cent_df: DataFrame, cells: DataFrame) -> DataFrame
             "q_emb",
             F.col("cid").cast("long").alias("cid"),
             F.try_divide(
-                dot_fold(F.col("q_emb"), F.col("c_emb"), EMB_DIM), F.col("c_norm")
+                dot_fold(F.col("q_emb"), F.col("c_emb")), F.col("c_norm")
             ).alias("p_sim"),
         )
         .withColumn("prk", F.row_number().over(p_w))
@@ -593,12 +585,12 @@ def _ivf_serve(em: DataFrame, cent_df: DataFrame, cells: DataFrame) -> DataFrame
             "query_id",
             "q_emb",
             "cid",
-            l2_norm(F.col("q_emb"), EMB_DIM).alias("q_nrm"),
+            l2_norm(F.col("q_emb")).alias("q_nrm"),
         )
     )
     # per-vector norms before the candidate join (q61/q62's rework):
-    # bit-identical cosine, 1 unrolled fold per candidate instead of 3
-    corp = cells.withColumn("nrm", l2_norm(F.col("embedding"), EMB_DIM))
+    # bit-identical cosine, 1 fold per candidate instead of 3
+    corp = cells.withColumn("nrm", l2_norm(F.col("embedding")))
     scored = corp.join(
         probes,
         (corp["cid"] == probes["cid"]) & (F.col("vec_id") != F.col("query_id")),
@@ -606,7 +598,7 @@ def _ivf_serve(em: DataFrame, cent_df: DataFrame, cells: DataFrame) -> DataFrame
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.try_divide(
-            dot_fold(F.col("q_emb"), F.col("embedding"), EMB_DIM),
+            dot_fold(F.col("q_emb"), F.col("embedding")),
             F.col("q_nrm") * F.col("nrm"),
         ).alias("cosine_sim"),
     )
@@ -657,7 +649,7 @@ def ivf_candidate_frac(spark: SparkSession, sf_dir: str) -> float:
             "query_id",
             F.col("cid").cast("long").alias("cid"),
             F.try_divide(
-                dot_fold(F.col("q_emb"), F.col("c_emb"), EMB_DIM), F.col("c_norm")
+                dot_fold(F.col("q_emb"), F.col("c_emb")), F.col("c_norm")
             ).alias("p_sim"),
         )
         .withColumn("prk", F.row_number().over(p_w))
@@ -793,7 +785,7 @@ def q63_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_emb"), F.col("c_emb"), EMB_DIM).alias("cosine_sim"),
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine_sim"),
         )
     )
     return exact.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
@@ -1029,9 +1021,9 @@ def q87_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x, c = F.col("embedding"), F.col("c_emb")
     d2 = (
-        dot_fold(x, x, EMB_DIM)
-        - 2 * dot_fold(x, c, EMB_DIM)
-        + dot_fold(c, c, EMB_DIM)
+        dot_fold(x, x)
+        - 2 * dot_fold(x, c)
+        + dot_fold(c, c)
     ).alias("d2")
     scored = em.join(cents).select("vec_id", "cid", "embedding", d2)
     w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
@@ -1262,7 +1254,7 @@ def q123_diversity_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_df = em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding"), EMB_DIM).alias("c_norm"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     cent = F.broadcast(cent_df)
     cells = _ivf_cells(spark, sf_dir, em, cent)
@@ -1273,8 +1265,8 @@ def q123_diversity_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         "vec_id",
         F.try_divide(
-            dot_fold(F.col("embedding"), F.col("c_emb"), EMB_DIM),
-            l2_norm(F.col("embedding"), EMB_DIM) * F.col("c_norm"),
+            dot_fold(F.col("embedding"), F.col("c_emb")),
+            l2_norm(F.col("embedding")) * F.col("c_norm"),
         ).alias("center_sim"),
     )
     w = W.partitionBy("cid").orderBy(F.desc("center_sim"), F.asc("vec_id"))
@@ -1388,9 +1380,9 @@ def _pq_codes(spark: SparkSession, sf_dir: str, em: DataFrame) -> DataFrame:
         sub_em = em.select("vec_id", sub.alias("embedding"))
         x, c = F.col("embedding"), F.col("c_emb")
         d2 = (
-            dot_fold(x, x, _PQ_SUBDIM)
-            - 2 * dot_fold(x, c, _PQ_SUBDIM)
-            + dot_fold(c, c, _PQ_SUBDIM)
+            dot_fold(x, x)
+            - 2 * dot_fold(x, c)
+            + dot_fold(c, c)
         ).alias("d2")
         scored = sub_em.join(F.broadcast(books[m])).select("vec_id", "cid", d2)
         outs.append(
@@ -1524,10 +1516,10 @@ def q155_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking only bounds recall."""
     em = load_table(spark, sf_dir, "embeddings")
     cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
-    # per-vector norms on top of the shared cell cache (q62's rework,
-    # same rationale: bit-identical cosine, codegen-sized pair expr)
+    # per-vector norms on top of the shared cell cache (q62's rework:
+    # bit-identical cosine, 1 fold per candidate pair instead of 3)
     cells = _ivf_cells(spark, sf_dir, em, cent, "trained").withColumn(
-        "nrm", l2_norm(F.col("embedding"), EMB_DIM)
+        "nrm", l2_norm(F.col("embedding"))
     )
     a, b = cells.alias("a"), cells.alias("b")
     return (
@@ -1540,7 +1532,7 @@ def q155_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.try_divide(
-                dot_fold(F.col("a.embedding"), F.col("b.embedding"), EMB_DIM),
+                dot_fold(F.col("a.embedding"), F.col("b.embedding")),
                 F.col("a.nrm") * F.col("b.nrm"),
             ).alias("cosine_sim"),
         )
@@ -1711,7 +1703,6 @@ def q156_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_PQ_SUBDIM),
             ),
             F.col("c_emb"),
-            _PQ_SUBDIM,
         ).alias("p"),
     )
 
@@ -1725,7 +1716,7 @@ def q156_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("cid").cast("long").alias("cid"),
             F.try_divide(
-                dot_fold(F.col("embedding"), F.col("c_emb"), EMB_DIM), F.col("c_norm")
+                dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
             ).alias("p_sim"),
         )
         .withColumn("prk", F.row_number().over(p_w))
@@ -1766,12 +1757,12 @@ def q156_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = em.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding"), EMB_DIM).alias("q_nrm"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
     )
     x_emb = em.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("x_emb"),
-        l2_norm(F.col("embedding"), EMB_DIM).alias("x_nrm"),
+        l2_norm(F.col("embedding")).alias("x_nrm"),
     )
     rerank = (
         shortlist.join(F.broadcast(q_emb.filter(F.col("query_id") < _NQ)), "query_id")
@@ -1780,7 +1771,7 @@ def q156_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.try_divide(
-                dot_fold(F.col("q_emb"), F.col("x_emb"), EMB_DIM),
+                dot_fold(F.col("q_emb"), F.col("x_emb")),
                 F.col("q_nrm") * F.col("x_nrm"),
             ).alias("cosine_sim"),
         )
@@ -1874,7 +1865,7 @@ def q158_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_emb",
             F.col("cid").cast("long").alias("cid"),
             F.try_divide(
-                dot_fold(F.col("q_emb"), F.col("c_emb"), EMB_DIM), F.col("c_norm")
+                dot_fold(F.col("q_emb"), F.col("c_emb")), F.col("c_norm")
             ).alias("p_sim"),
         )
         .withColumn("prk", F.row_number().over(p_w))
@@ -1882,14 +1873,13 @@ def q158_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prk") <= F.ceil(F.lit(1.5) * F.sqrt(F.col("n_cells"))))
         .select("eval_id", "q_emb", "cid")
     )
-    corp = cells.withColumn("nrm", l2_norm(F.col("embedding"), EMB_DIM))
+    corp = cells.withColumn("nrm", l2_norm(F.col("embedding")))
     prob = F.broadcast(
-        probes.withColumn("q_nrm", l2_norm(F.col("q_emb"), EMB_DIM))
+        probes.withColumn("q_nrm", l2_norm(F.col("q_emb")))
     )
     hits = (
         # corpus norms per VECTOR before the join (q62's rework):
-        # bit-identical cosine, and the join-consume expression stays
-        # within janino's method limits under the unrolled fold
+        # bit-identical cosine, 1 fold per candidate pair instead of 3
         corp.join(
             prob,
             (corp["cid"] == prob["cid"]) & (F.col("vec_id") >= _NQ),
@@ -1898,7 +1888,7 @@ def q158_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             "eval_id",
             F.try_divide(
-                dot_fold(F.col("q_emb"), F.col("embedding"), EMB_DIM),
+                dot_fold(F.col("q_emb"), F.col("embedding")),
                 F.col("q_nrm") * F.col("nrm"),
             ).alias("cosine_sim"),
         )
@@ -1965,7 +1955,7 @@ def q129_semantic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("c_emb"),
-            l2_norm(F.col("embedding"), EMB_DIM).alias("c_norm"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
         )
     )
     best = _ivf_cells(spark, sf_dir, em, cent).select("vec_id", "cid")
@@ -2108,7 +2098,7 @@ def q197_ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_df = cents.select(
         "cid",
         F.col("centroid").alias("c_emb"),
-        l2_norm(F.col("centroid"), EMB_DIM).alias("c_norm"),
+        l2_norm(F.col("centroid")).alias("c_norm"),
     )
     cent = F.broadcast(cent_df)
 
@@ -2120,7 +2110,7 @@ def q197_ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "cid",
                 F.try_divide(
-                    dot_fold(F.col("embedding"), F.col("c_emb"), EMB_DIM), F.col("c_norm")
+                    dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
                 ).alias("a_sim"),
             )
             .withColumn("ark", F.row_number().over(w))
@@ -2390,11 +2380,9 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         perturb.alias("q_emb"),
         l2_norm(perturb).alias("q_nrm"),
     )
-    # per-vector norms + lambda-fold pair dot (q61's rework): the
-    # crossJoin is a BNLJ stage, so nothing here is codegen'd — the
-    # HOF loop beats the unrolled node walk, and each corpus vector
-    # scores against N/25 eval queries, so hoisting its norm out of
-    # the pair expression cuts per-pair arithmetic 3x. Bit-identical:
+    # per-vector norms (q61's rework): each corpus vector scores
+    # against N/25 eval queries, so hoisting its norm out of the pair
+    # expression cuts per-pair arithmetic 3x. Bit-identical:
     # cosine() IS try_divide(dot, l2(a)*l2(b)) in this order.
     vec_scored = em.withColumn("c_nrm", l2_norm(F.col("embedding"))).crossJoin(
         F.broadcast(qv)

@@ -1871,11 +1871,8 @@ def q202_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(qv)
         .select(
             F.col("vec_id").alias("doc_id"),
-            # lambda-fold cosine: the 1-row crossJoin is a BNLJ stage,
-            # which blocks codegen — interpreted, the HOF loop beats
-            # the unrolled node walk (q61's finding), and each vector
-            # appears in exactly one pair so norm precompute buys
-            # nothing here
+            # each vector appears in exactly one pair, so norm
+            # precompute buys nothing here — the fused cosine is right
             cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
         )
         .withColumn("sem_rank", F.row_number().over(w_sem))

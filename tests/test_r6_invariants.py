@@ -304,63 +304,3 @@ def test_zipf_fit_matches_pure_python_replay(spark):
     assert row["intercept"] == (sy - slope * sx) / n
     assert row["slope"] < 0
     assert 0 < row["r2"] <= 1
-
-
-def test_unrolled_fold_bit_identical_to_lambda_fold(spark):
-    """dot_fold/l2_norm/cosine with a static ``dim`` build the SAME
-    left-associative IEEE tree as the higher-order-function fold
-    (((0.0 + t1) + t2) + ...), just as codegen-compilable Add/Multiply
-    expressions instead of an interpreted lambda — so every value must
-    be bit-identical on real embeddings. This is the invariant that
-    lets the ANN kernels (k-means, IVF, PQ, near-dup) switch to the
-    unrolled form without touching a single oracle."""
-    from pyspark.sql import functions as F
-
-    from ecowatt_etl_spark.operators.similarity import (
-        EMB_DIM,
-        cosine,
-        dot_fold,
-        l2_norm,
-    )
-    from ecowatt_etl_spark.sources.tables import load_table
-
-    em = load_table(spark, SF_SMOKE, "embeddings")
-    a = em.select("vec_id", F.col("embedding").alias("ea"))
-    b = em.select(
-        (F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("eb")
-    )
-    pairs = a.join(b, "vec_id")
-    assert pairs.count() > 0
-    diff = pairs.filter(
-        ~(
-            (
-                dot_fold(F.col("ea"), F.col("eb"))
-                == dot_fold(F.col("ea"), F.col("eb"), EMB_DIM)
-            )
-            & (l2_norm(F.col("ea")) == l2_norm(F.col("ea"), EMB_DIM))
-            & (
-                cosine(F.col("ea"), F.col("eb"))
-                == cosine(F.col("ea"), F.col("eb"), EMB_DIM)
-            )
-        )
-    ).count()
-    assert diff == 0
-
-
-def test_unrolled_fold_nulls_short_arrays(spark):
-    """The unrolled form indexes with F.get, which yields NULL past the
-    end of the array — so an array shorter than ``dim`` NULLs the whole
-    sum rather than silently truncating (and, unlike element_at, never
-    THROWS under Spark 4's ANSI default). Callers with variable-length
-    arrays must keep dim=None; this pins the documented contract."""
-    from pyspark.sql import functions as F
-
-    from ecowatt_etl_spark.operators.similarity import dot_fold
-
-    df = spark.range(1).select(
-        F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("v")
-    )
-    short = df.select(dot_fold(F.col("v"), F.col("v"), 4).alias("d")).collect()
-    assert short[0]["d"] is None
-    exact = df.select(dot_fold(F.col("v"), F.col("v"), 3).alias("d")).collect()
-    assert exact[0]["d"] == 14.0

@@ -38,6 +38,21 @@ N_HASHES = len(MINHASH_A)
 BAND_ROWS = 2  # 8 hashes → 4 bands of 2: ~(s^2) band-collision curve
 SIMHASH_BITS = 32
 
+# Band buckets larger than this are dropped from the LSH index (the
+# documented cap, mirrored in every oracle via _SQL_BANDS' QUALIFY).
+# Rationale, measured on the synthetic 100x warehouse: oversized
+# buckets hold a constant FRACTION of the corpus (degenerate band
+# keys from short/low-entropy docs — top bucket 70 docs at 10x, 694
+# at 100x), so their pair count grows QUADRATICALLY with corpus size
+# (91k bucket-pairs at 10x -> 9.2M at 100x, a 101x blowup for 10x
+# the data) — the one shape that kills a banded join at 100 TB. A
+# bucket that collects 0.1% of a 100 TB corpus carries no
+# discriminative signal; genuinely similar pairs still co-bucket in
+# their other N_HASHES/BAND_ROWS-1 bands, and q219's recall audit
+# MEASURES the cap's cost per similarity decile rather than assuming
+# it. Standard practice in production LSH dedup.
+LSH_BUCKET_CAP = 64
+
 
 def normalized_text(col: str | Column) -> Column:
     """Canonical form for exact-hash dedup: lowercase, trim, collapse
@@ -117,7 +132,16 @@ def minhash_signatures(
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Explode a signature frame into (id, band, k1, k2) band keys —
     the LSH bucketing: docs agreeing on ALL rows of any band become
-    candidates. Join on the short band key is the only wide shuffle."""
+    candidates. Join on the short band key is the only wide shuffle.
+
+    Buckets larger than :data:`LSH_BUCKET_CAP` are dropped here, at
+    the index, so every consumer (q53 pairs, q127 incremental probe,
+    q219 recall audit) inherits the skew-safe artifact — see the
+    constant's docstring for the measured quadratic blowup this
+    prevents. The count-over-bucket window shuffles only the 4
+    short-key rows per doc, paid once at index build."""
+    from pyspark.sql import Window as W
+
     n_bands = N_HASHES // BAND_ROWS
     bands = F.array(
         *[
@@ -129,8 +153,14 @@ def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    return sig_df.select(id_col, F.explode(bands).alias("b")).select(
+    exploded = sig_df.select(id_col, F.explode(bands).alias("b")).select(
         id_col, "b.band", "b.k1", "b.k2"
+    )
+    bucket = W.partitionBy("band", "k1", "k2")
+    return (
+        exploded.withColumn("_bsz", F.count("*").over(bucket))
+        .filter(F.col("_bsz") <= LSH_BUCKET_CAP)
+        .drop("_bsz")
     )
 
 

@@ -26,8 +26,28 @@ Three physical strategies for cosine similarity over an
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin a byte-compact frame to full parallelism.
+
+    Parquet split counts follow BYTES (maxPartitionBytes), but the
+    vector kernels are FLOP-bound: a 200k×64-float corpus is ~50 MB —
+    ONE scan split — and every downstream per-pair fold (brute-force
+    scoring, k-means assignment, BNLJ pair joins, mapInPandas matmul)
+    serializes on a single core (measured: q61 went from >420 s to
+    ~60 s at 100x the gate scale on local[32]; the k-means kernel from
+    81 s single-task to seconds at 10x). One repartition moves the raw
+    rows once; when the scan already has ≥ defaultParallelism splits
+    (any real at-scale corpus) the condition is false and this is a
+    structural no-op. Identical to fan_out in operators/dedup.py,
+    which plays the same role for compressed text corpora."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def dot_fold(a: Column, b: Column) -> Column:
@@ -114,16 +134,10 @@ def kmeans_train(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb"))
         .localCheckpoint()
     )
-    # Parquet partitioning follows BYTES (maxPartitionBytes), but this
-    # kernel is FLOP-bound: K folds per vector per round. A compact
-    # vector file easily lands in one input split, serializing the
-    # whole training on one core (measured: 81 s single-task at 10x
-    # the gate scale, seconds once spread). One explicit spread of the
-    # vector frame fixes every round; when the input already has
-    # enough splits (any real at-scale corpus) this is a no-op.
-    par = em.sparkSession.sparkContext.defaultParallelism
-    if em.rdd.getNumPartitions() < par:
-        em = em.repartition(par)
+    # FLOP-bound kernel (K folds per vector per round): spread a
+    # byte-compact vector scan across cores once, for every round —
+    # see spread_to_parallelism for the measurement.
+    em = spread_to_parallelism(em)
     # ‖x‖² once per VECTOR (not once per vector×centroid pair): the
     # fold is the same expression over the same input, so the value is
     # bit-identical — and at K centroids the naive form evaluates 3

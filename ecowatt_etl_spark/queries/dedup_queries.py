@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ecowatt_etl_spark.operators.dedup import (
     BAND_ROWS,
+    LSH_BUCKET_CAP,
     MINHASH_A,
     MINHASH_B,
     N_HASHES,
@@ -139,10 +140,15 @@ def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q53 — MinHash LSH candidate pairs + exact-Jaccard verification
 # ---------------------------------------------------------------------------
-_SQL_BANDS = " UNION ALL ".join(
+# Band index with the skew cap (operators/dedup.py::LSH_BUCKET_CAP):
+# the QUALIFY mirrors lsh_bands' count-over-bucket filter exactly, so
+# every oracle that embeds this CTE replays the capped index.
+_SQL_BANDS_RAW = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, sig_{BAND_ROWS * b} AS k1, sig_{BAND_ROWS * b + 1} AS k2 FROM sig"
     for b in range(N_HASHES // BAND_ROWS)
 )
+_SQL_BANDS = f"""SELECT * FROM ({_SQL_BANDS_RAW}) _raw_bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, k1, k2) <= {LSH_BUCKET_CAP}"""
 
 
 _Q53_ORACLE = f"""
@@ -206,10 +212,18 @@ def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # The verify arms join the CORPUS-sized exploded (doc, h) frame.
+    # Its Catalyst size estimate is garbage — explode fan-out is not
+    # modeled, and localCheckpoint PRESERVES the pre-checkpoint
+    # estimate — so the optimizer happily broadcasts a frame that is
+    # really corpus-sized (measured: driver OOM building e's
+    # HashedRelation at 100x the gate scale). Pin spill-safe
+    # sort-merge joins on both e arms: strategy only, values
+    # unchanged.
     inter = (
-        cand.join(e.alias("ea"), F.col("id_a") == F.col("ea.doc_id"))
+        cand.join(e.alias("ea").hint("merge"), F.col("id_a") == F.col("ea.doc_id"))
         .join(
-            e.alias("eb"),
+            e.alias("eb").hint("merge"),
             (F.col("id_b") == F.col("eb.doc_id")) & (F.col("ea.h") == F.col("eb.h")),
         )
         .groupBy("id_a", "id_b")
@@ -853,29 +867,34 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually runs every batch: find near-dups OF THE NEW BATCH (vs the
     existing corpus and within itself) without re-pairing the corpus
     against itself. Docs with doc_id % 10 == 0 play the arriving
-    batch. Candidates come from joining the batch's band keys (ingest-
-    sized, broadcast) against the full band index; pairs internal to
-    the standing corpus can never form, so candidate volume scales
-    with the BATCH, not the corpus. Verification is the same
+    batch. Candidates come from equi-joining the batch's band keys
+    against the full band index; pairs internal to the standing
+    corpus can never form, so candidate volume scales with the BATCH,
+    not the corpus. Verification is the same
     candidate-only exact-Jaccard join as q53, and `pair_type` splits
     new-vs-new from new-vs-old so the ingest decision (drop the new
     copy) is directly actionable.
 
     At 100 TB the band index is the precomputed, band-key-bucketed
     artifact the corpus maintains at write time (q32's pay-the-shuffle-
-    once-at-ingest economics); each batch broadcasts its bands, probes
-    the index, and appends its own — no standing-corpus recompute
-    anywhere. Here both sides derive from the same table so the oracle
+    once-at-ingest economics); each batch probes the index by band key
+    (AQE broadcasts a genuinely bounded batch on its own) and appends
+    its own bands — no standing-corpus recompute anywhere. Here both sides derive from the same table so the oracle
     can replay the identical arithmetic."""
     e, bands = shingle_index(spark, sf_dir)
     batch_bands = bands.filter(F.col("doc_id") % _INC_MOD == 0)
-    nb = F.broadcast(
-        batch_bands.select(
-            F.col("doc_id").alias("nb_id"),
-            F.col("band").alias("nb_band"),
-            F.col("k1").alias("nb_k1"),
-            F.col("k2").alias("nb_k2"),
-        )
+    # No broadcast HINT on the batch side: here the "batch" is a fixed
+    # FRACTION of the corpus (doc_id % 10), so forcing a broadcast
+    # makes the build side grow with corpus size — measured OOM at
+    # 100x the gate scale. The equi-keyed shuffle join is the safe
+    # default; AQE broadcasts automatically whenever a real ingest
+    # batch is genuinely bounded, which is the production case the
+    # docstring describes.
+    nb = batch_bands.select(
+        F.col("doc_id").alias("nb_id"),
+        F.col("band").alias("nb_band"),
+        F.col("k1").alias("nb_k1"),
+        F.col("k2").alias("nb_k2"),
     )
     cand = (
         bands.join(
@@ -892,10 +911,12 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # merge-hinted e arms: q53's fix verbatim (explode fan-out makes
+    # e's size estimate garbage; never let it broadcast)
     inter = (
-        cand.join(e.alias("ea"), F.col("id_a") == F.col("ea.doc_id"))
+        cand.join(e.alias("ea").hint("merge"), F.col("id_a") == F.col("ea.doc_id"))
         .join(
-            e.alias("eb"),
+            e.alias("eb").hint("merge"),
             (F.col("id_b") == F.col("eb.doc_id")) & (F.col("ea.h") == F.col("eb.h")),
         )
         .groupBy("id_a", "id_b")
@@ -1123,18 +1144,30 @@ def q169_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("block").orderBy("sort_key", "doc_id"))
         .alias("rn"),
     )
-    a, b = rr.alias("a"), rr.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.block") == F.col("b.block"))
-        & (F.col("b.rn") > F.col("a.rn"))
-        & (F.col("b.rn") <= F.col("a.rn") + _SNM_W),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # Candidate pairs via an EXPLODED-OFFSET equi-join, not a range
+    # residual: joining on block alone with `rn BETWEEN rn+1 AND rn+W`
+    # as a filter materializes Σ n_block² pairs per block BEFORE the
+    # filter — quadratic in corpus size at a fixed block-prefix length
+    # (measured: 6 s at 10x the gate scale -> 99 s at 100x). Exploding
+    # the W offsets makes (block, rn+δ) = (block, rn) a pure equi key:
+    # exactly the same pair set, W rows per doc, linear at any scale.
+    probe = rr.select(
+        F.col("doc_id").alias("doc_a"),
+        "block",
+        F.explode(
+            F.array(*[(F.col("rn") + F.lit(i)) for i in range(1, _SNM_W + 1)])
+        ).alias("rn"),
+    )
+    cand = probe.join(rr, ["block", "rn"]).select(
+        "doc_a", F.col("doc_id").alias("doc_b")
+    )
 
     e, _ = shingle_index(spark, sf_dir)
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ea = e.select(F.col("doc_id").alias("doc_a"), "h")
-    eb = e.select(F.col("doc_id").alias("doc_b"), "h")
+    # merge-hinted e arms (q53's fix: explode fan-out wrecks e's size
+    # estimate; a corpus-sized frame must never broadcast)
+    ea = e.select(F.col("doc_id").alias("doc_a"), "h").hint("merge")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "h").hint("merge")
     inter = (
         cand.join(ea, "doc_a")
         .join(eb, ["doc_b", "h"])
@@ -1490,10 +1523,12 @@ def q212_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
        AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+    keep AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= {_DF_CAP}),
+    e2 AS (SELECT e.doc_id, e.h FROM e JOIN keep USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e2 GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     truth AS (
@@ -1520,20 +1555,23 @@ def q219_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL AUDIT of the q53 MinHash-LSH banding against EXACT
     all-pairs ground truth — the dedup twin of the ANN recall frontier
     the similarity family publishes (SCALE.md): for every true
-    near-dup pair (raw shingle Jaccard ≥ 0.5, uncapped
-    inverted-index self-join), did the band bucketing ever co-bucket
-    it? Reported per similarity decile, because banding recall is a
-    steep function of similarity (the S-curve: at 4 bands × 2 rows a
-    0.9-Jaccard pair is near-certain, a 0.5 pair is a coin flip) —
-    the per-decile table IS the measured S-curve, and the basis-point
-    integer recall keeps the report hash-exact cross-engine.
+    near-dup pair (shingle Jaccard ≥ 0.5 over the df-capped sets —
+    q54's economics, since boilerplate shingles shared by > _DF_CAP
+    docs carry no near-dup signal but Σdf² join cost), did the band
+    bucketing ever co-bucket it? Reported per similarity decile,
+    because banding recall is a steep function of similarity (the
+    S-curve: at 4 bands × 2 rows a 0.9-Jaccard pair is near-certain,
+    a 0.5 pair is a coin flip) — the per-decile table IS the measured
+    S-curve, and the basis-point integer recall keeps the report
+    hash-exact cross-engine.
 
-    This is the validation job a dedup deployment runs on a SAMPLE
-    (the uncapped self-join's Σdf² cost is the price of ground truth
-    — at 100 TB it runs on a stratified q93-style slice, never the
-    full corpus; the banded pipeline it audits stays linear). Shares
-    the session shingle/band index, so the audit adds one self-join
-    and one anti-joinable left probe, not a re-tokenize."""
+    The df cap also bounds the audit itself: the truth self-join is
+    ≤ _DF_CAP rows per posting, so ground truth stays linear in the
+    corpus (measured: the uncapped form timed out at 100x the gate
+    scale; capped it completes in line with q53). A deployment can
+    still tighten truth on a stratified q93-style slice. Shares the
+    session shingle/band index, so the audit adds one capped
+    self-join and one left probe, not a re-tokenize."""
     e, bands = shingle_index(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1547,8 +1585,24 @@ def q219_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ea, eb = e.alias("ea"), e.alias("eb")
+    # Ground truth over the DF-CAPPED shingle sets (q54's economics,
+    # mirrored in the oracle's keep/e2 CTEs): a shingle in > _DF_CAP
+    # docs is boilerplate — it contributes ~nothing to a >= 0.5
+    # Jaccard verdict but df² rows to the self-join, and that Σdf²
+    # term is what timed the uncapped audit out at 100x the gate
+    # scale. Capped, the self-join is <= _DF_CAP · |e2| — linear.
+    keep = (
+        e.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("h")
+    )
+    e2 = e.join(keep, "h").localCheckpoint()
+    sizes = e2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # merge-hinted: e2's explode-fanned size estimate is garbage
+    # (q53's fix), and a broadcast self-join of a corpus-sized frame
+    # is the one shape this audit must never plan
+    ea, eb = e2.alias("ea").hint("merge"), e2.alias("eb").hint("merge")
     inter = (
         ea.join(
             eb,

@@ -23,6 +23,7 @@ from ecowatt_etl_spark.operators.similarity import (
     dot_fold,
     l2_norm,
     sign_block_key,
+    spread_to_parallelism,
 )
 from ecowatt_etl_spark.queries.registry import query
 from ecowatt_etl_spark.sources.tables import load_table
@@ -167,7 +168,7 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification on intra-bucket candidates only. The N² pair space is
     reduced to Σ per-bucket n²; the shuffle key is the 4-byte block
     key, and each surviving pair costs one scan-local fold."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread_to_parallelism(load_table(spark, sf_dir, "embeddings"))
     # norms precomputed per VECTOR, not per pair: same fold, same bits
     # (cosine() is literally try_divide(dot, l2(a)*l2(b))), 3x less
     # per-pair arithmetic
@@ -338,12 +339,8 @@ def _ivf_cells(
     key = (id(spark), sf_dir, variant)
     if key not in _IVF_INDEX_CACHE:
         # FLOP-bound assignment (K folds per vector): spread a
-        # byte-compact vector scan across cores first — the kmeans
-        # kernel's rationale (operators/similarity.py), same no-op
-        # at real scale
-        par = spark.sparkContext.defaultParallelism
-        if em.rdd.getNumPartitions() < par:
-            em = em.repartition(par)
+        # byte-compact vector scan across cores first
+        em = spread_to_parallelism(em)
         asg_score = F.try_divide(
             dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
         )
@@ -714,7 +711,10 @@ def q63_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    em = load_table(spark, sf_dir, "embeddings")
+    # spread: the matmul UDF parallelizes per ARROW BATCH, but batches
+    # come from scan partitions — one split = one core (see
+    # spread_to_parallelism)
+    em = spread_to_parallelism(load_table(spark, sf_dir, "embeddings"))
     # Query side: bounded by _NQ (a handful of probe vectors), so a
     # driver round-trip is O(_NQ·dim), independent of corpus size.
     qrows = em.filter(F.col("vec_id") < _NQ).select("vec_id", "embedding").collect()
@@ -909,7 +909,7 @@ def q67_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation for the scan when the query set itself is large. Vote
     ties break on the smaller label id (deterministic cross-engine).
     """
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread_to_parallelism(load_table(spark, sf_dir, "embeddings"))
     # per-vector norms before the pair join — q61's rework verbatim
     # (bit-identical cosine; lambda fold for the pair dot because the
     # non-equi BNLJ stage runs interpreted — see q61)
@@ -2368,7 +2368,7 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.lit(1) + F.sum(better)).alias("rk"))
     )
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread_to_parallelism(load_table(spark, sf_dir, "embeddings"))
     perturb = F.transform(
         F.col("embedding"),
         lambda x, i: x.cast("double")

@@ -857,10 +857,17 @@ def q157_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c12 = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = bigr.groupBy("w1").agg(F.count("*").alias("c1"))
-    qt = c12.join(c1, "w1").select(
+    # The model frames are VOCABULARY-sized, and vocabulary grows with
+    # the corpus (Heaps' law — q259 measures it on this very corpus),
+    # so neither side of the model joins is broadcast-safe: the
+    # optimizer's post-aggregate size guesses under-estimate at scale
+    # (measured: driver OOM building the qt broadcast at 100x the
+    # gate scale). Pin spill-safe sort-merge joins — strategy hints
+    # change the physical plan only, never the values.
+    qt = c12.join(c1.hint("merge"), "w1").select(
         "w1", "w2", F.expr(f"(c12 * {_LM_SCALE}) div c1").alias("q")
     )
-    scored = bigr.join(qt, ["w1", "w2"]).groupBy("doc_id").agg(
+    scored = bigr.join(qt.hint("merge"), ["w1", "w2"]).groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"), F.sum("q").alias("q_sum")
     )
     return scored.select(
@@ -1859,7 +1866,11 @@ def q202_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= _FUSE_DEPTH)
         .select("doc_id", "lex_rank")
     )
-    em = load_table(spark, sf_dir, "embeddings")
+    from ecowatt_etl_spark.operators.similarity import (
+        spread_to_parallelism,
+    )
+
+    em = spread_to_parallelism(load_table(spark, sf_dir, "embeddings"))
     qv = F.broadcast(
         em.filter(F.col("vec_id") == _QVEC_ID).select(
             F.col("embedding").alias("q_emb")

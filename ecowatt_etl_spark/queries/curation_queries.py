@@ -712,10 +712,10 @@ def q121_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     triplets); the two document joins build a broadcast from the
     SMALL triplet side, so the corpus is probed, never shuffled. The
     corpus count is a one-row broadcast, not a driver round-trip."""
-    from ecowatt_etl_spark.queries.dedup_queries import q53_minhash_lsh_pairs
+    from ecowatt_etl_spark.queries.dedup_queries import neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    pairs = q53_minhash_lsh_pairs(spark, sf_dir)
+    pairs = neardup_pairs(spark, sf_dir)
     n = load_table(spark, sf_dir, "documents").agg(
         F.count("*").alias("n_docs")
     )

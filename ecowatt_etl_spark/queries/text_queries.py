@@ -2002,8 +2002,17 @@ def q214_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
-    dup_h = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    dp = sh.join(dup_h.select("h"), "h", "left_semi").select("doc_id", "pos")
+    # duplicated positions in ONE pass over the shingle stream: a
+    # count window keyed on the digest replaces the agg + semi-join
+    # pair, which evaluated the scan+tokenize+md5 subtree TWICE (the
+    # two consumers shuffle different payloads, so Catalyst cannot
+    # reuse the exchange). Same rows out; one 8-byte-keyed shuffle.
+    wh = W.partitionBy("h")
+    dp = (
+        sh.withColumn("c", F.count("*").over(wh))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
     w = W.partitionBy("doc_id").orderBy("pos")
     isl = dp.withColumn(
         "brk",

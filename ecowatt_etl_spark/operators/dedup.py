@@ -87,9 +87,12 @@ def fan_out(df: DataFrame) -> DataFrame:
     moves only the raw rows once and buys scan-count× parallelism. At
     real scale the scan already has ≥ defaultParallelism file splits
     and this is a structural no-op (condition false → no exchange)."""
-    spark = df.sparkSession
-    p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    try:  # JVM-only probes (no sparkContext/.rdd on Spark Connect)
+        p = df.sparkSession.sparkContext.defaultParallelism
+        under_split = df.rdd.getNumPartitions() < p
+    except Exception:
+        return df  # connect-safe: skip the optimization, never fail
+    if under_split:
         return df.repartition(p)
     return df
 
@@ -142,6 +145,18 @@ def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     short-key rows per doc, paid once at index build."""
     from pyspark.sql import Window as W
 
+    exploded = _exploded_bands(sig_df, id_col)
+    bucket = W.partitionBy("band", "k1", "k2")
+    return (
+        exploded.withColumn("_bsz", F.count("*").over(bucket))
+        .filter(F.col("_bsz") <= LSH_BUCKET_CAP)
+        .drop("_bsz")
+    )
+
+
+def _exploded_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, k1, k2) rows — the UNCAPPED band-key explosion shared
+    by the index build and the cap-drop observability aggregate."""
     n_bands = N_HASHES // BAND_ROWS
     bands = F.array(
         *[
@@ -153,15 +168,39 @@ def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    exploded = sig_df.select(id_col, F.explode(bands).alias("b")).select(
+    return sig_df.select(id_col, F.explode(bands).alias("b")).select(
         id_col, "b.band", "b.k1", "b.k2"
     )
-    bucket = W.partitionBy("band", "k1", "k2")
-    return (
-        exploded.withColumn("_bsz", F.count("*").over(bucket))
-        .filter(F.col("_bsz") <= LSH_BUCKET_CAP)
-        .drop("_bsz")
+
+
+def lsh_cap_drop_stats(
+    sig_df: DataFrame, id_col: str = "doc_id"
+) -> dict[str, float]:
+    """Observability for :data:`LSH_BUCKET_CAP` (r6 ADVICE): the cap is
+    a fixed threshold, so at growing corpus size a growing share of
+    buckets can exceed it and recall would drift DOWN silently. This
+    one aggregate over the band-key explosion reports the dropped
+    share of index rows and of distinct buckets; bench.py publishes it
+    per round (and the scale sweep per decade) next to q219's measured
+    per-decile recall, so drift shows up in artifacts instead of being
+    assumed away."""
+    sizes = (
+        _exploded_bands(sig_df, id_col)
+        .groupBy("band", "k1", "k2")
+        .agg(F.count("*").alias("n"))
     )
+    over = F.col("n") > LSH_BUCKET_CAP
+    row = sizes.agg(
+        F.sum("n").alias("rows"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).alias("dropped_rows"),
+        F.count("*").alias("buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+    ).collect()[0]
+    return {
+        "dropped_row_frac": (row["dropped_rows"] or 0) / max(row["rows"], 1),
+        "dropped_bucket_frac": (row["dropped_buckets"] or 0)
+        / max(row["buckets"], 1),
+    }
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:

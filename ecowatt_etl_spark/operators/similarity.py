@@ -44,8 +44,12 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
     (any real at-scale corpus) the condition is false and this is a
     structural no-op. Identical to fan_out in operators/dedup.py,
     which plays the same role for compressed text corpora."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:  # JVM-only probes (no sparkContext/.rdd on Spark Connect)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        under_split = df.rdd.getNumPartitions() < par
+    except Exception:
+        return df  # connect-safe: skip the optimization, never fail
+    if under_split:
         return df.repartition(par)
     return df
 

@@ -19,6 +19,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _default_driver_mem() -> str:
+    """Driver-memory default clamped to the host (r6 ADVICE): 8g is
+    right for the dev box (local mode puts executors in the driver
+    JVM; measured OOMs under Spark's 1g default at 10x the gate
+    scale), but a blind 8g can refuse to start — or thrash — on a
+    smaller host. Clamp to half of detected physical RAM, floor 1g
+    (Spark's own default), cap 8g; SPARK_GRAFT_DRIVER_MEM overrides."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        return f"{max(1, min(8, total // (2 * 1024**3)))}g"
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "ecowatt-etl-spark",
     master: str | None = None,
@@ -54,11 +68,12 @@ def get_spark(
         # default starves shuffles/broadcasts/localCheckpoints the
         # moment data grows past the smallest test scale (measured:
         # three iterative queries OOM at 10x the gate scale under 1g,
-        # all pass under 8g). Overridable for constrained harnesses;
+        # all pass under 8g). Clamped to half the host's RAM so the
+        # JVM always starts; overridable for constrained harnesses;
         # ignored by getOrCreate when a session already exists.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
         )
         # Dimension tables in this workload are KB–MB: let Catalyst
         # broadcast them (10 MB default is fine; raised a bit for dims

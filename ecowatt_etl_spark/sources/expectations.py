@@ -105,6 +105,10 @@ def _staged_write(
 
     from pyspark.sql import Observation
 
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"staged write_checked supports overwrite/append, got {mode!r}"
+        )
     obs = Observation()
     staging = f"{path}__staging_{uuid4().hex}"
     observed = (
@@ -121,6 +125,24 @@ def _staged_write(
     fs, _ = _hadoop_fs(df, path)
     jvm_path = df.sparkSession._jvm.org.apache.hadoop.fs.Path
     st_path = jvm_path(staging)
+
+    # Hadoop FileSystem.rename reports most failures (permissions,
+    # object-store quirks, races) by returning FALSE, not by raising —
+    # an unchecked rename would let the cleanup below destroy the only
+    # good copy of the batch while write_checked returns a clean report.
+    def _publish_rename(src, dst) -> None:
+        if not fs.rename(src, dst):
+            raise OSError(
+                f"FileSystem.rename({src}, {dst}) returned false during "
+                f"publish of {path}; the verified batch is preserved at "
+                f"{staging} for manual recovery"
+            )
+
+    # keep_staging: set once the batch is audited clean, so a failed
+    # PUBLISH preserves the data; cleanup still removes staging for
+    # write failures and expectation violations (a bad batch dies in
+    # staging by design) and after a confirmed publish (leftovers).
+    keep_staging = False
     try:
         observed.write.mode("overwrite").format(fmt).save(staging)
         report = (
@@ -133,14 +155,29 @@ def _staged_write(
                 f"{violated} (counts are rows failing the declared per-row "
                 "condition; the staged batch was discarded)"
             )
+        keep_staging = True
         target = jvm_path(path)
         if mode == "overwrite":
-            if fs.exists(target):
-                fs.delete(target, True)
-            fs.rename(st_path, target)
+            # Rename the old target ASIDE (never delete-then-rename):
+            # if the publish rename fails mid-way, the previous good
+            # batch still exists under the retired name and is restored.
+            retired = jvm_path(f"{path}__retired_{uuid4().hex}")
+            had_old = fs.exists(target)
+            if had_old:
+                _publish_rename(target, retired)
+            try:
+                _publish_rename(st_path, target)
+            except BaseException:
+                if had_old:
+                    fs.rename(retired, target)  # best-effort restore
+                raise
+            keep_staging = False
+            if had_old:
+                fs.delete(retired, True)
         elif mode == "append":
             if not fs.exists(target):
-                fs.rename(st_path, target)
+                _publish_rename(st_path, target)
+                keep_staging = False
             else:
                 # move data files in; part filenames embed the job UUID
                 # so cross-batch collisions cannot occur
@@ -148,14 +185,13 @@ def _staged_write(
                     name = status.getPath().getName()
                     if name.startswith("_"):  # _SUCCESS etc.
                         continue
-                    fs.rename(status.getPath(), jvm_path(f"{path}/{name}"))
-        else:
-            raise ValueError(
-                f"staged write_checked supports overwrite/append, got {mode!r}"
-            )
+                    _publish_rename(
+                        status.getPath(), jvm_path(f"{path}/{name}")
+                    )
+                keep_staging = False  # only _SUCCESS-style markers remain
         return report
     finally:
-        if fs.exists(st_path):
+        if not keep_staging and fs.exists(st_path):
             fs.delete(st_path, True)
 
 

@@ -382,14 +382,21 @@ def test_q127_batch_bands_broadcast(spark):
     batch is genuinely large."""
     plan = _plan(spark, "q127_incremental_neardup")
     assert "BroadcastHashJoin" in plan
+    # Pin the PLAN property (no forced build side), not the source
+    # text (r6 ADVICE — a comment mentioning the API or a hint moved
+    # into a helper defeated the old inspect.getsource check): a
+    # broadcast() hint anywhere in q127's tree would survive analysis
+    # as ResolvedHint (strategy=broadcast). The e-arm's deliberate
+    # MERGE hints stay legal.
     from ecowatt_etl_spark.queries.registry import all_queries
 
-    import inspect
+    from tests.conftest import SF_ORACLE
 
-    src = inspect.getsource(
-        all_queries()["q127_incremental_neardup"].fn
+    df = all_queries()["q127_incremental_neardup"].fn(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" not in analyzed, (
+        "q127 must not hint-force a broadcast build side"
     )
-    assert "F.broadcast" not in src, "batch side must not be hint-forced"
 
 
 def test_no_query_plan_recomputes_sources_excessively(spark):

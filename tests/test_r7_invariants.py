@@ -1,0 +1,98 @@
+"""Round-7 invariants: LSH cap observability, session memory clamp,
+connect-safe parallelism probes, and the PLANS.md freshness guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_lsh_cap_drop_stats_sees_degenerate_buckets(spark):
+    """lsh_cap_drop_stats (r6 ADVICE) must report the share of index
+    rows/buckets the fixed LSH_BUCKET_CAP drops. On a corpus where one
+    band bucket collects every doc (identical text -> identical
+    signature), the dropped fractions are exactly the degenerate
+    bucket's share — and lsh_bands itself must drop those rows."""
+    from ecowatt_etl_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        N_HASHES,
+        BAND_ROWS,
+        lsh_bands,
+        lsh_cap_drop_stats,
+        minhash_from_hashes,
+        shingle_hashes,
+    )
+
+    n_dup = LSH_BUCKET_CAP + 36  # every band bucket oversized
+    n_uniq = 20
+    rows = [(i, "the same degenerate boilerplate text here") for i in range(n_dup)]
+    rows += [
+        (n_dup + i, f"unique document number {i} with words {i * 7} {i * 13}")
+        for i in range(n_uniq)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_from_hashes(shingle_hashes(docs))
+
+    stats = lsh_cap_drop_stats(sig)
+    n_bands = N_HASHES // BAND_ROWS
+    total_rows = (n_dup + n_uniq) * n_bands
+    assert abs(stats["dropped_row_frac"] - n_dup * n_bands / total_rows) < 1e-9
+    assert stats["dropped_bucket_frac"] > 0
+
+    surviving = lsh_bands(sig)
+    assert surviving.filter(F.col("doc_id") < n_dup).count() == 0
+    assert surviving.filter(F.col("doc_id") >= n_dup).count() == n_uniq * n_bands
+
+    # and a clean corpus reports zero drop
+    clean = minhash_from_hashes(
+        shingle_hashes(docs.filter(F.col("doc_id") >= n_dup))
+    )
+    assert lsh_cap_drop_stats(clean) == {
+        "dropped_row_frac": 0.0,
+        "dropped_bucket_frac": 0.0,
+    }
+
+
+def test_driver_memory_default_is_host_clamped():
+    """The 8g local-mode driver default must clamp to half of host RAM
+    (r6 ADVICE: a blind 8g can refuse to start on small hosts)."""
+    import os
+
+    from ecowatt_etl_spark.session import _default_driver_mem
+
+    got = _default_driver_mem()
+    assert got.endswith("g")
+    gb = int(got[:-1])
+    host_gb = (
+        os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (2 * 1024**3)
+    )
+    assert gb == max(1, min(8, host_gb))
+
+
+def test_parallelism_probes_survive_rddless_frames(spark):
+    """spread_to_parallelism / fan_out probe .rdd, which Spark Connect
+    frames don't expose (r6 ADVICE). The probes must degrade to a
+    no-op on ANY frame whose JVM accessors raise, never fail."""
+    from ecowatt_etl_spark.operators.dedup import fan_out
+    from ecowatt_etl_spark.operators.similarity import spread_to_parallelism
+
+    df = spark.range(10)
+
+    class RddlessFrame:
+        """Proxy that mimics a connect frame: .rdd raises."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def rdd(self):
+            raise Exception("rdd is not supported in Spark Connect")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    proxy = RddlessFrame(df)
+    assert spread_to_parallelism(proxy) is proxy
+    assert fan_out(proxy) is proxy
+    # and the JVM path still spreads a single-split frame
+    spread = spread_to_parallelism(df.coalesce(1))
+    assert spread.rdd.getNumPartitions() > 1

@@ -530,3 +530,108 @@ def test_write_checked_auto_routes_by_plan_size(spark):
         load_table(spark, SF_SMOKE, "lineitem")
     )
     assert ex._plan_size_bytes(big) > ex.STAGE_THRESHOLD_BYTES
+
+
+def test_write_checked_staged_publish_failure_preserves_batch(
+    spark, tmp_path, monkeypatch
+):
+    """Hadoop FileSystem.rename signals most failures by returning
+    FALSE, not raising (r6 ADVICE). A false rename during PUBLISH of a
+    verified-clean batch must (a) raise instead of returning a clean
+    report, and (b) leave the staged data on disk for recovery rather
+    than deleting the only good copy — and in overwrite mode the
+    previous good batch must be restored, not lost. Forced here by
+    wrapping the Hadoop fs so renames INTO the target return false
+    (the object-store behavior local fs won't reproduce)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import ecowatt_etl_spark.sources.expectations as ex
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    real_hadoop_fs = ex._hadoop_fs
+    out = str(tmp_path / "staged_fail")
+
+    class FalseRenameIntoTarget:
+        """Delegate everything; report false for publish renames OUT
+        of staging (the retire/restore renames still succeed, modeling
+        a store that rejects the new objects specifically)."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            if "__staging_" in str(src.toString()):
+                return False
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def wrapped(df, path):
+        fs, jpath = real_hadoop_fs(df, path)
+        return FalseRenameIntoTarget(fs), jpath
+
+    n = load_table(spark, SF_SMOKE, "nation")
+    checks = {"key_not_null": F.col("n_nationkey").isNotNull()}
+
+    # seed a good batch BEFORE the failure injection
+    ex.write_checked(n, out, checks, strategy="stage")
+    assert spark.read.parquet(out).count() == n.count()
+
+    monkeypatch.setattr(ex, "_hadoop_fs", wrapped)
+    with pytest.raises(OSError, match="returned false"):
+        ex.write_checked(
+            n.limit(3), out, checks, mode="overwrite", strategy="stage"
+        )
+    # previous good batch restored from the retired name, not lost
+    assert spark.read.parquet(out).count() == n.count()
+    litter = [p for p in os.listdir(tmp_path) if "__staging_" in p]
+    assert litter, "verified batch must survive a failed publish"
+    staged = spark.read.parquet(str(tmp_path / litter[0]))
+    assert staged.count() == 3
+
+    # append publish: per-file renames into the target also flagged
+    with pytest.raises(OSError, match="returned false"):
+        ex.write_checked(
+            n.limit(5), out, checks, mode="append", strategy="stage"
+        )
+    assert spark.read.parquet(out).count() == n.count()
+
+
+def test_write_checked_staged_overwrite_retires_old_target(spark, tmp_path):
+    """Overwrite publish must never delete-then-rename: the previous
+    batch is renamed aside and only removed after the new batch is
+    confirmed in place. Observable contract: a clean overwrite replaces
+    the data, leaves no retired/staging litter, and an unknown mode is
+    rejected before anything is written."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.sources.expectations import write_checked
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    n = load_table(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / "staged_overwrite")
+    checks = {"key_not_null": F.col("n_nationkey").isNotNull()}
+    write_checked(n, out, checks, strategy="stage")
+    write_checked(
+        n.limit(7), out, checks, mode="overwrite", strategy="stage"
+    )
+    assert spark.read.parquet(out).count() == 7
+    litter = [
+        p
+        for p in os.listdir(tmp_path)
+        if "__staging_" in p or "__retired_" in p
+    ]
+    assert not litter, f"clean publish must leave no litter: {litter}"
+    with pytest.raises(ValueError, match="overwrite/append"):
+        write_checked(n, out, checks, mode="error", strategy="stage")

@@ -93,7 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     replay-state work), then the oldest-green r1 rows.
     # (a) never driver-rowed — MUST lead the window (pinned by
     #     tests/test_r4_invariants.py tripwire)
-    "q259_vocab_growth", "q260_zipf_fit",
+    "q259_vocab_growth", "q260_zipf_fit", "q261_avro_roundtrip",
     "q25b_percentile_approx", "q77_heavy_hitters_sketch",
     "q139_bpe_train", "q142_bpe_encode",
     # (b) rows-only refresh (latest rows are r1 `err:no_oracle`)
@@ -119,7 +119,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q05_multiagg_conditional", "q07_global_kpis",
     "q08_distinct_sorted", "q09_distinct_count",
     "q12_star_join", "q13_semi_join", "q17_top10_revenue",
-    "q50_exact_dedup", "q51_hash_dedup", "q52_minhash_signatures",
+    "q50_exact_dedup", "q51_hash_dedup",
     # ---- round-7 window cutoff (50) — slots below only order the
     # tail and never reach the driver's gate
     "q237_jdbc_roundtrip", "q247_incremental_view_refresh",

@@ -3186,3 +3186,68 @@ def q258_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — LIVE Avro round-trip (connector-or-pure-Python container codec)
+# ---------------------------------------------------------------------------
+@query(
+    "q261_avro_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE event_id % 7 = 0) AS BIGINT)
+             AS n_masked,
+           {sql_exact_sum("value", "value_sum")},
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(MAX(CAST(ts AS DATE)) AS VARCHAR) AS last_day
+    FROM events GROUP BY event_type
+    """,
+)
+def q261_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Avro round-trip (r6 verdict item 6): events → write_avro →
+    read_avro → aggregate, value-hashed against the same aggregate
+    over the parquet original, proving the container encode/decode
+    lossless for the ingest-edge type set in one driver row: long,
+    string (with a union-encoded nullable branch), double, timestamp
+    (timestamp-micros logical), and date. On this classpath the sink
+    is the pure-Python object-container fallback (sources/avro_py.py);
+    with spark-avro deployed the identical query exercises the JVM
+    connector — the embedded writer schema makes the files mutually
+    readable, which is what the format is for.
+
+    Scale: file-per-write-task with a commit protocol, one read
+    partition per container file — the same layout parquet uses; Avro
+    is the lake's ROW-oriented interchange edge (Kafka/CDC payloads),
+    analytics storage stays columnar."""
+    from ecowatt_etl_spark.operators.bucketing import bucket_token
+    from ecowatt_etl_spark.sources.formats import (
+        SCRATCH_ROOT,
+        read_avro,
+        write_avro,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # a genuinely-null union branch so the roundtrip covers it
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("masked_type"),
+        "event_type",
+        "value",
+        "ts",
+        F.col("ts").cast("date").alias("day"),
+    )
+    path = f"{SCRATCH_ROOT}/{bucket_token(sf_dir)}/avro_rt"
+    write_avro(ev, path)
+    back = read_avro(spark, path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("masked_type").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        exact_sum("value", "value_sum"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.max("day").cast("string").alias("last_day"),
+    )

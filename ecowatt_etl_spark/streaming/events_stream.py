@@ -170,7 +170,7 @@ class _ProgressLog(StreamingQueryListener):
         self._cv = threading.Condition()
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 — Spark API
-        pass
+        pass  # mandatory abstract override; nothing to record at start
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         import json
@@ -179,7 +179,8 @@ class _ProgressLog(StreamingQueryListener):
         self.progress.append((str(p.id), json.loads(p.json)))
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
-        pass
+        pass  # idle ticks carry no progress; the tripwires count
+        # batches from onQueryProgress, which the bus delivers fully
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         with self._cv:
@@ -492,7 +493,7 @@ def stateful_totals_tws(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
-            pass
+            pass  # no external resources; Spark owns the state handle
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningTotals(),

@@ -372,29 +372,79 @@ def test_range_sorted_files_have_disjoint_key_ranges(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
 
 
-def test_avro_gate(spark, tmp_path):
-    """Avro is built-in-but-external: core jars ship, the DataSource
-    connector does not, and there is no network to fetch it here. Pin
-    the gate so the day the environment gains spark-avro the test
-    fails loudly and the sink flips to live (the transformWithState
-    gating pattern)."""
-    import pytest
+def test_avro_roundtrip_live(spark, tmp_path):
+    """Avro is LIVE (r6 verdict item 6): the JVM connector when
+    present, else the pure-Python object-container fallback
+    (sources/avro_py.py). Either way the round-trip must be lossless
+    across the full supported type set — including the union-encoded
+    nullables, logical date/timestamp, binary, and float arrays."""
+    from pyspark.sql import functions as F
 
     from ecowatt_etl_spark.sources.formats import read_avro, write_avro
 
-    df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s")
-    try:
-        write_avro(df, str(tmp_path / "avro_out"))
-    except RuntimeError as e:
-        assert "spark-avro_2.13" in str(e)
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            read_avro(spark, str(tmp_path / "avro_out"))
-        return
-    # connector present: the round-trip must be lossless
-    got = read_avro(spark, str(tmp_path / "avro_out"))
-    assert sorted(tuple(r) for r in got.collect()) == sorted(
-        tuple(r) for r in df.collect()
+    df = spark.range(200).select(
+        F.col("id").cast("long").alias("k"),
+        F.col("id").cast("int").alias("i"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("row-"), F.col("id")))
+        .alias("s"),
+        (F.col("id") * 0.25).cast("double").alias("d"),
+        (F.col("id") * 0.5).cast("float").alias("f"),
+        F.to_date(F.lit("2024-01-01")).alias("dt"),
+        F.to_timestamp(F.lit("2024-06-15 12:34:56.789012")).alias("ts"),
+        F.encode(F.concat(F.lit("b"), F.col("id")), "utf-8").alias("bin"),
+        F.array(
+            F.col("id").cast("float"), (F.col("id") + 1).cast("float")
+        ).alias("vec"),
     )
+    out = str(tmp_path / "avro_out")
+    write_avro(df, out)
+    got = read_avro(spark, out)
+    # nullability may be TIGHTENED by the optimizer at write time
+    # (constant-foldable columns prove non-null); names/types must
+    # roundtrip exactly and a genuinely-null column stays nullable.
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert got.schema["s"].nullable
+    key = lambda rows: sorted(  # noqa: E731
+        (tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r))
+        for r in rows
+    )
+    assert key(got.collect()) == key(df.collect())
+
+
+def test_avro_python_container_is_spec_shaped(spark, tmp_path):
+    """The pure-Python container must carry the spec framing any Avro
+    reader checks: magic Obj\\x01, avro.schema metadata, repeated sync
+    markers — so files interchange with the JVM connector."""
+    import json
+
+    from ecowatt_etl_spark.sources import avro_py
+
+    rows = [(i, f"s{i}" if i % 3 else None) for i in range(2500)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = str(tmp_path / "py_avro")
+    avro_py.register_avro(spark)
+    df.repartition(3).write.format("ecowatt-avro").mode("overwrite").save(out)
+
+    import os
+
+    parts = [p for p in os.listdir(out) if p.endswith(".avro")]
+    assert len(parts) == 3
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    raw = open(os.path.join(out, parts[0]), "rb").read()
+    assert raw[:4] == avro_py.MAGIC
+    meta = avro_py.read_header(os.path.join(out, parts[0]))
+    schema = json.loads(meta["avro.schema"])
+    assert schema["type"] == "record"
+    assert [f["name"] for f in schema["fields"]] == ["k", "s"]
+    assert meta["avro.codec"] == b"null"
+    assert raw.count(meta["_sync"]) >= 2  # header + >=1 block
+
+    back = spark.read.format("ecowatt-avro").load(out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
 
 
 def test_write_checked_gates_on_expectations(spark, tmp_path):

@@ -804,3 +804,51 @@ def test_parquet_aggregate_pushdown_is_metadata_only(spark):
         .collect()[0]
     )
     assert tuple(got) == tuple(want)
+
+
+def test_plans_md_freshness(spark):
+    """PLANS.md is regenerated manually (tools/dump_plans.py), so it
+    could silently go stale after an operator change (r6 verdict item
+    8). Re-derive one pinned plan per audited family under the same
+    session shape the generator uses (local[4], sf0.001) and diff the
+    tree against the checked-in text — a shape change without a
+    PLANS.md regen fails here."""
+    import re
+
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    from tools.dump_plans import AUDITED
+
+    text = open("PLANS.md").read()
+    audited_names = [n for n, _ in AUDITED]
+    # every audited query must still have a section, and vice versa
+    sections = re.findall(r"^## (\S+)$", text, re.M)
+    assert sections == audited_names, "PLANS.md sections drifted from AUDITED"
+
+    specs = all_queries()
+    # one representative per family — cheap plans with no build-time
+    # side computation: relational agg, dedup explode, similarity
+    # zero-exchange, timeseries agg, layout fan-out
+    probes = (
+        "q01_pricing_summary",
+        "q52_minhash_signatures",
+        "q117_random_projection",
+        "q164_ohlc_bars",
+        "q253_rolling_active_users",
+    )
+    for name in probes:
+        df = specs[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("\n\n")[0].rstrip()
+        m = re.search(
+            rf"^## {name}\n\n_[^\n]*_\n\n```\n(.*?)\n```", text, re.S | re.M
+        )
+        assert m, f"PLANS.md lost its {name} section"
+        assert tree == m.group(1).rstrip(), (
+            f"PLANS.md is stale for {name} — the derived plan shape "
+            "changed; regenerate with `python tools/dump_plans.py`"
+        )

@@ -1313,13 +1313,21 @@ _PQ_SUBDIM = 64 // _PQ_M
 _PQ_K = 16  # centroids per subspace → 4-bit codes, 4 bytes/vector total
 _PQ_ROUNDS = 2
 # ADC shortlist depth re-ranked exactly (q156). 256 is the measured
-# recall-1.00 operating point on this isotropic corpus — the ADC still
-# prunes ~77% of the ~1.1k routed candidates per query, and the exact
-# re-rank is 256 scan-local folds per query, so the refine cost stays
-# negligible next to the routing scan. On clustered real-world
-# embeddings a far shallower shortlist hits 1.00; this constant prices
-# the worst case.
+# recall-1.00 operating point at the GATE corpus (the ADC still prunes
+# ~77% of the ~1.1k routed candidates per query). But a FIXED depth is
+# a shrinking fraction of the routed candidates as the corpus grows —
+# PQ distortion outranks the true neighbor at a roughly constant RATE
+# per candidate, so recall drifts down silently with scale (measured
+# by tools/ann_decompose.py before the fix: 1.00 at sf0.1, 0.958 at
+# 10x, 0.708 at 100x). The depth therefore scales as
+# max(256, N / _PQ_REFINE_DIV): N/20 of the corpus is ~27% of the
+# ~18.6% routed candidates — the same depth/candidate ratio as the
+# measured gate-scale operating point, so the expected recall is
+# scale-invariant while the exact re-rank stays O(depth) scan-local
+# folds per query (trivial next to the routing scan). Mirrored in the
+# oracle via the same GREATEST/COUNT expression.
 _PQ_REFINE = 256
+_PQ_REFINE_DIV = 20
 
 
 _PQ_CODEBOOK_CACHE: dict[tuple[int, str], list[DataFrame]] = {}
@@ -1644,7 +1652,9 @@ def _q156_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY adc_score DESC, neighbor_id) AS sr
         FROM adc)
-      WHERE sr <= {_PQ_REFINE}
+      WHERE sr <= GREATEST({_PQ_REFINE},
+                           CEIL((SELECT COUNT(*) FROM embeddings)
+                                / {_PQ_REFINE_DIV}.0))
     ),
     rerank AS (
       SELECT s.query_id, s.neighbor_id,
@@ -1764,9 +1774,18 @@ def q156_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_w = W.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id")
     )
+    refine_n = F.broadcast(
+        em.agg(
+            F.greatest(
+                F.lit(_PQ_REFINE).cast("long"),
+                F.ceil(F.count("*") / _PQ_REFINE_DIV),
+            ).alias("refine_n")
+        )
+    )
     shortlist = (
         adc.withColumn("sr", F.row_number().over(s_w))
-        .filter(F.col("sr") <= _PQ_REFINE)
+        .crossJoin(refine_n)
+        .filter(F.col("sr") <= F.col("refine_n"))
         .select("query_id", "neighbor_id")
     )
     q_emb = em.select(

@@ -96,3 +96,41 @@ def test_parallelism_probes_survive_rddless_frames(spark):
     # and the JVM path still spreads a single-split frame
     spread = spread_to_parallelism(df.coalesce(1))
     assert spread.rdd.getNumPartitions() > 1
+
+
+def test_evict_session_artifacts_drains_blocks(spark):
+    """evict_session_artifacts must clear every artifact cache AND let
+    the ContextCleaner free the pinned localCheckpoint blocks — the
+    cross-query memory pressure that slowed q42 at 100x (r6 verdict
+    item 4) comes exactly from these blocks surviving family changes."""
+    import time
+
+    from ecowatt_etl_spark.queries.dedup_queries import shingle_index
+    from ecowatt_etl_spark.session import evict_session_artifacts
+
+    from tests.conftest import SF_SMOKE
+
+    evict_session_artifacts(spark)  # start clean (other tests cache too)
+
+    def n_blocks() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_blocks()
+    e, bands = shingle_index(spark, SF_SMOKE)
+    assert e.count() > 0 and bands.count() > 0
+    assert n_blocks() > base, "artifact build must pin checkpoint blocks"
+    del e, bands  # eviction frees blocks once consumers drop their refs
+
+    evicted = evict_session_artifacts(spark)
+    assert evicted >= 1
+    deadline = time.monotonic() + 30
+    while n_blocks() > base and time.monotonic() < deadline:
+        import gc
+
+        gc.collect()  # release the py4j handles...
+        spark._jvm.System.gc()  # ...then let ContextCleaner's weak refs fire
+        time.sleep(0.5)
+    assert n_blocks() <= base, (
+        "pinned artifact blocks survived eviction: "
+        f"{n_blocks()} > baseline {base}"
+    )

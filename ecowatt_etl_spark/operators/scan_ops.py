@@ -1,0 +1,61 @@
+"""Distributed prefix sum (the scalable form of a global cumsum).
+
+``Window.orderBy(...)`` with no partition key collapses to ONE task —
+Spark even warns about it — so a global running total over a 100 TB
+key range is the textbook scale-killer. The classic fix is the
+two-phase scan every parallel-prefix algorithm uses:
+
+  1. bucket rows by fixed-width ranges of the order key and cumsum
+     WITHIN each bucket (distributed: Window partitioned by bucket);
+  2. cumsum the per-bucket totals (a frame with one row per bucket —
+     bounded, the only global window, over thousands of rows not
+     billions) and broadcast the bucket base offsets back.
+
+The result is bit-identical to the single-task global window for any
+associative integer sum, shuffles the (key, value) pairs once, and
+keeps every task's window state bounded by the bucket width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix",
+    bucket_width: int = 1_000_000,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Running total of ``value_col`` in ``order_col`` order, computed
+    as a two-phase distributed scan. ``exclusive=True`` yields the sum
+    of all STRICTLY EARLIER rows (0 for the first row) — the offset
+    form sequence-packing needs; ``False`` includes the current row.
+
+    ``order_col`` must be unique non-negative integers (ids); ties
+    would make "earlier" ambiguous. ``bucket_width`` bounds per-task
+    window state; the bucket-totals frame has one row per OCCUPIED
+    bucket, so sparse id spaces cost nothing."""
+    bucket = F.expr(f"{order_col} DIV {bucket_width}").alias("__bucket")
+    b = df.withColumn("__bucket", bucket)
+    in_w = (
+        W.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1 if exclusive else 0)
+    )
+    local = b.withColumn(
+        "__local", F.coalesce(F.sum(value_col).over(in_w), F.lit(0))
+    )
+    totals = b.groupBy("__bucket").agg(F.sum(value_col).alias("__btot"))
+    base_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
+    bases = totals.withColumn(
+        "__base", F.coalesce(F.sum("__btot").over(base_w), F.lit(0))
+    ).select("__bucket", "__base")
+    return (
+        local.join(F.broadcast(bases), "__bucket")
+        .withColumn(out_col, F.col("__local") + F.col("__base"))
+        .drop("__bucket", "__local")
+    )

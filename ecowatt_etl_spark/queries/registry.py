@@ -94,6 +94,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-rowed — MUST lead the window (pinned by
     #     tests/test_r4_invariants.py tripwire)
     "q259_vocab_growth", "q260_zipf_fit", "q261_avro_roundtrip",
+    "q262_sequence_packing", "q263_repetition_ratio",
+    "q264_mixture_weights",
     "q25b_percentile_approx", "q77_heavy_hitters_sketch",
     "q139_bpe_train", "q142_bpe_encode",
     # (b) rows-only refresh (latest rows are r1 `err:no_oracle`)
@@ -114,10 +116,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q202_hybrid_rrf", "q256_retrieval_self_eval",
     # (d) touched by r7 work + oldest-green r1 rows
     "q28_salted_agg", "q42_session_window",
-    "q01_pricing_summary", "q02_filter_in_projection",
-    "q03_recode_map", "q04_groupby_count",
-    "q05_multiagg_conditional", "q07_global_kpis",
-    "q08_distinct_sorted", "q09_distinct_count",
+    "q01_pricing_summary", "q05_multiagg_conditional",
+    "q07_global_kpis", "q09_distinct_count",
     "q12_star_join", "q13_semi_join", "q17_top10_revenue",
     "q50_exact_dedup", "q51_hash_dedup",
     # ---- round-7 window cutoff (50) — slots below only order the

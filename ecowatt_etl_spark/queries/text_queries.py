@@ -2886,3 +2886,250 @@ def q260_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame([(n, slope, intercept, r2)], schema)
+
+
+# ---------------------------------------------------------------------------
+# q262 — sequence packing: cut the concatenated token stream into
+# fixed-capacity training sequences (the GPT/Megatron packing layout)
+# ---------------------------------------------------------------------------
+_PACK_C = 2048  # tokens per packed training sequence
+
+
+@query(
+    "q262_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_off
+      FROM toks WHERE n_tok > 0
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(start_off // {_PACK_C} AS BIGINT) AS first_bin,
+             CAST((start_off + n_tok - 1) // {_PACK_C} AS BIGINT) AS last_bin
+      FROM offs
+    ),
+    hits AS (
+      SELECT doc_id, first_bin, last_bin,
+             UNNEST(generate_series(first_bin, last_bin)) AS bin
+      FROM spans
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE first_bin <> last_bin) AS BIGINT)
+             AS n_straddlers,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM hits GROUP BY bin
+    """,
+)
+def q262_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — the training-data layout step that turns a
+    document corpus into fixed-length model inputs: concatenate the
+    token stream in doc_id order and cut every _PACK_C tokens (the
+    GPT-2/Megatron "packed" dataset shape, where documents straddle
+    sequence boundaries and per-bin doc membership drives attention
+    masking). Emits, per packed sequence: how many documents
+    contribute, how many straddle a boundary, and the first/last
+    doc_id — the exact manifest a packed-dataset writer needs.
+
+    Spark-first shape: one token-count projection (scan-local), then
+    start offsets via operators/scan_ops.prefix_sum — the TWO-PHASE
+    distributed scan (per-bucket window cumsum + broadcast bucket base
+    offsets), because a bare Window.orderBy cumsum collapses to one
+    task and is exactly the shape that dies at 10B docs. Then the bins
+    each doc touches via sequence()+explode — fan-out equal to the
+    straddle count, not the token count — and a hash aggregate per
+    bin. The token payload itself never shuffles.
+
+    Exactness: pure integer arithmetic (counts, offsets, integer
+    division) — hash-identical cross-engine by construction."""
+    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(tokens("text")).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    offs = prefix_sum(toks, "doc_id", "n_tok", out_col="start_off")
+    # integer DIV, not double division: offsets exceed 2^53 long before
+    # 100 TB and a double quotient would mis-bin silently
+    spans = offs.select(
+        "doc_id",
+        F.expr(f"start_off DIV {_PACK_C}").alias("first_bin"),
+        F.expr(f"(start_off + n_tok - 1) DIV {_PACK_C}").alias("last_bin"),
+    )
+    hits = spans.select(
+        "doc_id",
+        "first_bin",
+        "last_bin",
+        F.explode(F.sequence("first_bin", "last_bin")).alias("bin"),
+    )
+    return hits.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("first_bin") != F.col("last_bin"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddlers"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263 — intra-document repetition ratio (trainability signal)
+# ---------------------------------------------------------------------------
+_REP_N = 3  # n-gram order for the repetition measure
+_REP_BP_T = 2000  # flag threshold: >= 20% repeated n-gram occurrences
+
+
+@query(
+    "q263_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             len(t) - {_REP_N} + 1 AS n_grams,
+             CASE WHEN len(t) >= {_REP_N}
+               THEN len(list_distinct(list_transform(
+                      generate_series(1, len(t) - {_REP_N} + 1),
+                      i -> list_aggregate(t[i:i+{_REP_N}-1], 'string_agg', ' '))))
+               ELSE NULL END AS n_distinct
+      FROM toks WHERE len(t) >= {_REP_N}
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             (n_grams - n_distinct) * 10000 // n_grams AS rep_bp
+      FROM grams
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE rep_bp >= {_REP_BP_T}) AS BIGINT)
+             AS n_flagged,
+           CAST(MAX(rep_bp) AS BIGINT) AS max_rep_bp,
+           CAST(SUM(rep_bp) AS BIGINT) AS sum_rep_bp
+    FROM scored GROUP BY source
+    """,
+)
+def q263_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-DOCUMENT REPETITION — the "repeated n-gram" trainability
+    signal (excessively self-repeating documents degrade LM training;
+    the Gopher/MassiveText rules filter on exactly this): per doc, the
+    fraction of 3-gram OCCURRENCES that are repeats of an earlier
+    3-gram in the same doc, in integer basis points; aggregated per
+    source with a >= 20% flag count, so a crawl slice full of
+    boilerplate loops is visible as a source-level signal.
+
+    Spark-first shape: the n-gram list and its distinct count are
+    array expressions inside the projection (scan-local, codegen) —
+    zero explode, zero shuffle for the per-doc score; the only
+    exchange is the final per-source hash aggregate. At 100 TB the
+    repetition score streams with the scan exactly like q71's quality
+    features.
+
+    Exactness: integer basis points (10000-scaled integer division),
+    integer sums — hash-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_grams = F.size(t) - _REP_N + 1
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - _REP_N),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, _REP_N)),
+    )
+    rep_bp = (
+        ((n_grams - F.size(F.array_distinct(grams))) * 10000).cast("long")
+        / n_grams
+    ).cast("long")
+    scored = d.filter(F.size(t) >= _REP_N).select(
+        "source", rep_bp.alias("rep_bp")
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rep_bp") >= _REP_BP_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.max("rep_bp").alias("max_rep_bp"),
+        F.sum("rep_bp").alias("sum_rep_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q264 — temperature-rebalanced source mixture weights
+# ---------------------------------------------------------------------------
+@query(
+    "q264_mixture_weights",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM src),
+    raw AS (
+      SELECT source, n_tokens, total,
+             CAST(SQRT(CAST(n_tokens AS DOUBLE) / total) * 1000000 AS BIGINT)
+               AS w_units
+      FROM src, tot
+    ),
+    norm AS (SELECT SUM(w_units) AS units_total FROM raw)
+    SELECT source, n_tokens,
+           CAST(w_units * 10000 // units_total AS BIGINT) AS weight_bp,
+           CAST((w_units * 10000 // units_total) * total
+                  // (n_tokens * 10) AS BIGINT) AS epochs_permille
+    FROM raw, norm
+    """,
+)
+def q264_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIXTURE REWEIGHTING — the sampling-weight computation a
+    multi-source training run does before drawing batches: per-source
+    token shares are rebalanced with a temperature (τ = 0.5, i.e.
+    w ∝ share^τ — the multilingual-sampling form that upweights
+    small sources without flattening to uniform), normalized to basis
+    points, plus the implied per-source epoch count (how many times a
+    source's tokens are seen when sampling by these weights), in
+    permille. Everything a mixture manifest needs, per source.
+
+    Exactness discipline: share^0.5 is IEEE sqrt of an IEEE division
+    (bit-identical cross-engine); weights are then quantized to
+    integer micro-units BEFORE normalization, so the normalizing sum
+    is an order-free integer sum and the published basis points are
+    integer division — no order-dependent double accumulation
+    anywhere (the repo's standard cross-engine float rule).
+
+    Scale shape: one scan-local token count, one per-source hash
+    aggregate (20 rows), then driver-free integer arithmetic on the
+    tiny source frame with the 1-row totals broadcast via crossJoin."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens")
+    )
+    tot = src.agg(F.sum("n_tokens").alias("total"))
+    raw = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "total",
+        (
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("total")) * 1000000
+        )
+        .cast("long")
+        .alias("w_units"),
+    )
+    norm = raw.agg(F.sum("w_units").alias("units_total"))
+    return raw.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        ((F.col("w_units") * 10000) / F.col("units_total"))
+        .cast("long")
+        .alias("weight_bp"),
+        (
+            ((F.col("w_units") * 10000) / F.col("units_total")).cast("long")
+            * F.col("total")
+            / (F.col("n_tokens") * 10)
+        )
+        .cast("long")
+        .alias("epochs_permille"),
+    )

@@ -134,3 +134,38 @@ def test_evict_session_artifacts_drains_blocks(spark):
         "pinned artifact blocks survived eviction: "
         f"{n_blocks()} > baseline {base}"
     )
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """operators/scan_ops.prefix_sum (two-phase distributed scan) must
+    be bit-identical to the single-task global-window cumsum it
+    replaces, across bucket boundaries, sparse ids, and both
+    exclusive/inclusive forms — while actually distributing (the
+    in-bucket window is partitioned, so >1 task at width < range)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+
+    # sparse, shuffled ids; values with nulls absent (counts)
+    rows = [(i * 37 % 1009 + (1_000_000 if i % 5 == 0 else 0), i % 97 + 1)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    for exclusive in (True, False):
+        got = {
+            r["id"]: r["p"]
+            for r in prefix_sum(
+                df, "id", "v", out_col="p", bucket_width=64,
+                exclusive=exclusive,
+            ).collect()
+        }
+        w = W.orderBy("id").rowsBetween(
+            W.unboundedPreceding, -1 if exclusive else 0
+        )
+        want = {
+            r["id"]: r["p"]
+            for r in df.withColumn(
+                "p", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == want

@@ -685,3 +685,36 @@ def test_write_checked_staged_overwrite_retires_old_target(spark, tmp_path):
     assert not litter, f"clean publish must leave no litter: {litter}"
     with pytest.raises(ValueError, match="overwrite/append"):
         write_checked(n, out, checks, mode="error", strategy="stage")
+
+
+def test_avro_python_edge_cases(spark, tmp_path):
+    """Container-codec edges: an empty write partition produces a
+    header-only file the reader must skip cleanly; arrays may carry
+    null ELEMENTS (union-encoded items); and unsupported nested types
+    fail fast at the driver, not row-by-row on executors."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.sources import avro_py
+
+    avro_py.register_avro(spark)
+
+    # empty partitions: 8-way repartition of 3 rows leaves >=5 empty
+    df = spark.range(3).select(
+        "id",
+        F.when(F.col("id") == 1, None)
+        .otherwise(F.array(F.col("id").cast("float"), F.lit(None)))
+        .alias("vec"),
+    )
+    out = str(tmp_path / "edges")
+    df.repartition(8).write.format("ecowatt-avro").mode("overwrite").save(out)
+    back = spark.read.format("ecowatt-avro").load(out)
+    got = {r["id"]: r["vec"] for r in back.collect()}
+    assert got[1] is None
+    assert list(got[0]) == [0.0, None] and list(got[2]) == [2.0, None]
+
+    nested = spark.range(2).select(F.struct("id").alias("s"))
+    with pytest.raises(Exception, match="ingest-edge type set"):
+        nested.write.format("ecowatt-avro").mode("overwrite").save(
+            str(tmp_path / "nested")
+        )

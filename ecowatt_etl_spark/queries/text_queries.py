@@ -2989,23 +2989,23 @@ _REP_BP_T = 2000  # flag threshold: >= 20% repeated n-gram occurrences
 @query(
     "q263_repetition_ratio",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents
+    WITH base AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS toks,
+             len({_SQL_TOKENS}) AS n_tok
+      FROM documents
     ),
-    grams AS (
+    sh AS (
       SELECT doc_id, source,
-             len(t) - {_REP_N} + 1 AS n_grams,
-             CASE WHEN len(t) >= {_REP_N}
-               THEN len(list_distinct(list_transform(
-                      generate_series(1, len(t) - {_REP_N} + 1),
-                      i -> list_aggregate(t[i:i+{_REP_N}-1], 'string_agg', ' '))))
-               ELSE NULL END AS n_distinct
-      FROM toks WHERE len(t) >= {_REP_N}
+             CAST(concat('0x', substring(md5(
+               array_to_string(toks[i:i+{_REP_N - 1}], chr(31))
+             ), 1, 15)) AS BIGINT) AS h
+      FROM base, UNNEST(generate_series(1, n_tok - {_REP_N} + 1)) AS g(i)
+      WHERE n_tok >= {_REP_N}
     ),
-    scored AS (
+    perdoc AS (
       SELECT doc_id, source,
-             (n_grams - n_distinct) * 10000 // n_grams AS rep_bp
-      FROM grams
+             (COUNT(*) - COUNT(DISTINCT h)) * 10000 // COUNT(*) AS rep_bp
+      FROM sh GROUP BY doc_id, source
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3013,7 +3013,7 @@ _REP_BP_T = 2000  # flag threshold: >= 20% repeated n-gram occurrences
              AS n_flagged,
            CAST(MAX(rep_bp) AS BIGINT) AS max_rep_bp,
            CAST(SUM(rep_bp) AS BIGINT) AS sum_rep_bp
-    FROM scored GROUP BY source
+    FROM perdoc GROUP BY source
     """,
 )
 def q263_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3025,30 +3025,56 @@ def q263_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     source with a >= 20% flag count, so a crawl slice full of
     boilerplate loops is visible as a source-level signal.
 
-    Spark-first shape: the n-gram list and its distinct count are
-    array expressions inside the projection (scan-local, codegen) —
-    zero explode, zero shuffle for the per-doc score; the only
-    exchange is the final per-source hash aggregate. At 100 TB the
-    repetition score streams with the scan exactly like q71's quality
-    features.
+    Spark-first shape — the dedup family's measured lesson
+    (operators/dedup.py module doc), re-confirmed here: the first cut
+    built the n-gram strings and their distinct count as array HOF
+    expressions "scan-local, zero shuffle" — and ran 284 s at 100x,
+    because HOF lambdas evaluate INTERPRETED and the distinct pass
+    re-walks full n-gram STRINGS per element. This form explodes
+    positional shingles once, md5-hashes each in whole-stage codegen
+    (q214's exact shingle digest, chr(31)-joined), and reduces with
+    one (doc_id, source) hash aggregate whose distinct-count input is
+    an 8-byte digest, not a string. Measured 284 s -> ~24 s at 100x.
 
-    Exactness: integer basis points (10000-scaled integer division),
-    integer sums — hash-identical cross-engine."""
+    Exactness: the distinct count is over 60-bit md5 digests computed
+    IDENTICALLY in both engines (q214's machinery), so any collision
+    collides identically; scores are integer basis points, sums are
+    integer — hash-identical cross-engine."""
+    from ecowatt_etl_spark.operators.dedup import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    n_grams = F.size(t) - _REP_N + 1
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - _REP_N),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, _REP_N)),
+    base = fan_out(d).select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).withColumn("n_tok", F.size("toks"))
+    sh = (
+        base.filter(F.col("n_tok") >= _REP_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_REP_N} + 1),"
+                    f" i -> concat_ws(chr(31), slice(toks, i, {_REP_N})))"
+                )
+            ).alias("sh_text"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5("sh_text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
     )
-    rep_bp = (
-        ((n_grams - F.size(F.array_distinct(grams))) * 10000).cast("long")
-        / n_grams
-    ).cast("long")
-    scored = d.filter(F.size(t) >= _REP_N).select(
-        "source", rep_bp.alias("rep_bp")
+    perdoc = sh.groupBy("doc_id", "source").agg(
+        (
+            ((F.count("*") - F.countDistinct("h")) * 10000).cast("long")
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("rep_bp")
     )
-    return scored.groupBy("source").agg(
+    return perdoc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("rep_bp") >= _REP_BP_T, 1).otherwise(0))
         .cast("long")

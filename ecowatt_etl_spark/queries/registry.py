@@ -95,7 +95,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     tests/test_r4_invariants.py tripwire)
     "q259_vocab_growth", "q260_zipf_fit", "q261_avro_roundtrip",
     "q262_sequence_packing", "q263_repetition_ratio",
-    "q264_mixture_weights",
+    "q264_mixture_weights", "q265_incremental_packing",
     "q25b_percentile_approx", "q77_heavy_hitters_sketch",
     "q139_bpe_train", "q142_bpe_encode",
     # (b) rows-only refresh (latest rows are r1 `err:no_oracle`)
@@ -119,7 +119,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q01_pricing_summary", "q05_multiagg_conditional",
     "q07_global_kpis", "q09_distinct_count",
     "q12_star_join", "q13_semi_join", "q17_top10_revenue",
-    "q50_exact_dedup", "q51_hash_dedup",
+    "q50_exact_dedup",
     # ---- round-7 window cutoff (50) — slots below only order the
     # tail and never reach the driver's gate
     "q237_jdbc_roundtrip", "q247_incremental_view_refresh",

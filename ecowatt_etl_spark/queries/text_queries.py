@@ -3159,3 +3159,179 @@ def q264_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epochs_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — incremental sequence packing (delta-append with audit arm)
+# ---------------------------------------------------------------------------
+@query(
+    "q265_incremental_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ),
+    nz AS (SELECT doc_id, n_tok FROM toks WHERE n_tok > 0),
+    split AS (SELECT MAX(doc_id) * 4 // 5 AS b FROM nz),
+    prev AS (
+      SELECT COALESCE(SUM(n_tok), 0) AS t_prev,
+             CAST(COALESCE(SUM(n_tok), 0) // {_PACK_C} AS BIGINT)
+               AS boundary_bin
+      FROM nz, split WHERE doc_id < b
+    ),
+    committed_touch AS (
+      SELECT COUNT(*) AS n_committed FROM (
+        SELECT doc_id,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS s,
+               n_tok
+        FROM nz, split WHERE doc_id < b
+      ), prev
+      WHERE (s + n_tok - 1) // {_PACK_C} = boundary_bin
+    ),
+    batch AS (
+      SELECT doc_id, n_tok,
+             t_prev + COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM nz, split, prev WHERE doc_id >= b
+    ),
+    incr AS (
+      SELECT CAST(UNNEST(generate_series(
+               CAST(start_off // {_PACK_C} AS BIGINT),
+               CAST((start_off + n_tok - 1) // {_PACK_C} AS BIGINT)))
+             AS BIGINT) AS bin
+      FROM batch
+    ),
+    incr_bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs_incr
+      FROM incr GROUP BY bin
+    ),
+    full_offs AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM nz
+    ),
+    full_bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs_full FROM (
+        SELECT CAST(UNNEST(generate_series(
+                 CAST(start_off // {_PACK_C} AS BIGINT),
+                 CAST((start_off + n_tok - 1) // {_PACK_C} AS BIGINT)))
+               AS BIGINT) AS bin
+        FROM full_offs
+      ) GROUP BY bin
+    )
+    SELECT i.bin, i.n_docs_incr, f.n_docs_full,
+           (i.bin = p.boundary_bin) AS is_boundary,
+           CASE WHEN i.bin = p.boundary_bin
+                THEN f.n_docs_full = i.n_docs_incr + c.n_committed
+                ELSE f.n_docs_full = i.n_docs_incr END AS reconciled
+    FROM incr_bins i
+    JOIN full_bins f USING (bin)
+    CROSS JOIN prev p CROSS JOIN committed_touch c
+    """,
+)
+def q265_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sequence packing — the delta-append a daily shard
+    pipeline runs: a new batch of documents (here the top fifth of the
+    id range, the bootstrap stand-in for "today's crawl") is packed
+    into bins CONTINUING at the committed token offset, without
+    re-touching the committed corpus. Per new bin: incremental doc
+    count, the full-recompute count, a boundary marker for the one bin
+    straddling the commit point, and a `reconciled` audit bit — the
+    oracle pins every bit TRUE, proving delta-append ≡ full repack
+    (q247's incremental-view discipline applied to training layout).
+
+    Production cost model: the incremental arm tokenizes and
+    prefix-sums ONLY the batch (the committed total arrives from the
+    stored manifest — one scalar; recomputed here as bootstrap,
+    exactly like q247 runs both arms by design); the audit arm is the
+    full q262 repack and exists to be compared against. At 100 TB the
+    daily path is O(batch), and the boundary-bin reconciliation is
+    what makes appends safe to trust without the full repack."""
+    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    nz = d.select("doc_id", F.size(tokens("text")).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    split = F.broadcast(
+        nz.agg(F.expr("MAX(doc_id) * 4 DIV 5").alias("b"))
+    )
+    nzs = nz.crossJoin(split)
+    committed = nzs.filter(F.col("doc_id") < F.col("b")).select(
+        "doc_id", "n_tok"
+    )
+    prev = F.broadcast(
+        committed.agg(
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("t_prev"),
+            F.expr(f"COALESCE(SUM(n_tok), 0) DIV {_PACK_C}").alias(
+                "boundary_bin"
+            ),
+        )
+    )
+    committed_touch = F.broadcast(
+        prefix_sum(committed, "doc_id", "n_tok", out_col="s")
+        .crossJoin(prev)
+        .filter(
+            F.expr(f"(s + n_tok - 1) DIV {_PACK_C}") == F.col("boundary_bin")
+        )
+        .agg(F.count("*").alias("n_committed"))
+    )
+    batch = (
+        prefix_sum(
+            nzs.filter(F.col("doc_id") >= F.col("b")).select(
+                "doc_id", "n_tok"
+            ),
+            "doc_id",
+            "n_tok",
+            out_col="rel_off",
+        )
+        .crossJoin(prev)
+        .withColumn("start_off", F.col("rel_off") + F.col("t_prev"))
+    )
+    incr_bins = (
+        batch.select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_off DIV {_PACK_C}"),
+                    F.expr(f"(start_off + n_tok - 1) DIV {_PACK_C}"),
+                )
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs_incr"))
+    )
+    full_bins = (
+        prefix_sum(nz, "doc_id", "n_tok", out_col="start_off")
+        .select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_off DIV {_PACK_C}"),
+                    F.expr(f"(start_off + n_tok - 1) DIV {_PACK_C}"),
+                )
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs_full"))
+    )
+    return (
+        incr_bins.join(full_bins, "bin")
+        .crossJoin(prev)
+        .crossJoin(committed_touch)
+        .select(
+            "bin",
+            "n_docs_incr",
+            "n_docs_full",
+            (F.col("bin") == F.col("boundary_bin")).alias("is_boundary"),
+            F.when(
+                F.col("bin") == F.col("boundary_bin"),
+                F.col("n_docs_full")
+                == F.col("n_docs_incr") + F.col("n_committed"),
+            )
+            .otherwise(F.col("n_docs_full") == F.col("n_docs_incr"))
+            .alias("reconciled"),
+        )
+    )

@@ -382,7 +382,13 @@ def read_header(path: str) -> dict:
 
 
 def read_container(path: str):
-    """Yield rows (tuples) from an Avro object-container file."""
+    """Yield rows (tuples) from an Avro object-container file.
+
+    Streams BLOCK by BLOCK (the spec frames every block with its byte
+    size exactly so readers need not slurp the file): peak memory is
+    one block (~_BATCH_ROWS rows), not the container — a read task's
+    footprint stays bounded however large the writing task's partition
+    was."""
     meta = read_header(path)
     codec = meta.get("avro.codec", b"null")
     if codec not in (b"null", b""):
@@ -394,20 +400,38 @@ def read_container(path: str):
     decs = [_decoder(f["type"]) for f in avro_schema["fields"]]
     sync = meta["_sync"]
     with open(path, "rb") as f:
-        data = f.read()
-    pos = meta["_header_end"]
-    while pos < len(data):
-        n, pos = _dec_long(data, pos)
-        _, pos = _dec_long(data, pos)  # block byte size (unused: no codec)
-        for _ in range(n):
-            row = []
-            for dec in decs:
-                v, pos = dec(data, pos)
-                row.append(v)
-            yield tuple(row)
-        if data[pos : pos + 16] != sync:
-            raise ValueError(f"corrupt Avro container {path}: bad sync")
-        pos += 16
+        f.seek(meta["_header_end"])
+
+        def read_varint_long() -> int | None:
+            acc = shift = 0
+            first = f.read(1)
+            if not first:
+                return None  # clean EOF at a block boundary
+            b = first[0]
+            while True:
+                acc |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    return (acc >> 1) ^ -(acc & 1)
+                shift += 7
+                b = f.read(1)[0]
+
+        while True:
+            n = read_varint_long()
+            if n is None:
+                return
+            size = read_varint_long()
+            block = f.read(size)
+            if len(block) != size:
+                raise ValueError(f"corrupt Avro container {path}: short block")
+            pos = 0
+            for _ in range(n):
+                row = []
+                for dec in decs:
+                    v, pos = dec(block, pos)
+                    row.append(v)
+                yield tuple(row)
+            if f.read(16) != sync:
+                raise ValueError(f"corrupt Avro container {path}: bad sync")
 
 
 # ---------------------------------------------------------------------------

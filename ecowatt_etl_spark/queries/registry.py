@@ -75,11 +75,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # qe01/qe02/qe08/q90/q91/q250/q252.
     # With that, 273/275 oracle-backed queries have a green hash row.
     # The r7 window spends its 50 slots on:
-    # (a) the 6 registry entries with NO driver row of any kind —
-    #     q259/q260 (oracles landed after the r6 freeze) and the four
-    #     rows-only q25b/q77/q139/q142 (a rows-only driver pass is
-    #     still evidence; their exactness is pytest-pinned vs
-    #     pure-Python references);
+    # (a) the 12 registry entries with NO driver row of any kind —
+    #     q259/q260 (oracles landed after the r6 freeze), the six
+    #     NEW r7 queries (q261 Avro round-trip, q262/q265 packing,
+    #     q263 repetition, q264 mixture weights, q266 covariance —
+    #     each parity-swept at sf0.01 AND sf0.1 before windowing),
+    #     and the four rows-only q25b/q77/q139/q142 (a rows-only
+    #     driver pass is still evidence; their exactness is
+    #     pytest-pinned vs pure-Python references);
     # (b) rows-only refresh for q81/q09b whose only rows are r1-era;
     # (c) re-certification of every implementation rewritten in r6
     #     AFTER its latest green row: the dedup family (LSH bucket
@@ -96,6 +99,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q259_vocab_growth", "q260_zipf_fit", "q261_avro_roundtrip",
     "q262_sequence_packing", "q263_repetition_ratio",
     "q264_mixture_weights", "q265_incremental_packing",
+    "q266_embedding_covariance",
     "q25b_percentile_approx", "q77_heavy_hitters_sketch",
     "q139_bpe_train", "q142_bpe_encode",
     # (b) rows-only refresh (latest rows are r1 `err:no_oracle`)
@@ -119,7 +123,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q01_pricing_summary", "q05_multiagg_conditional",
     "q07_global_kpis", "q09_distinct_count",
     "q12_star_join", "q13_semi_join", "q17_top10_revenue",
-    "q50_exact_dedup",
     # ---- round-7 window cutoff (50) — slots below only order the
     # tail and never reach the driver's gate
     "q237_jdbc_roundtrip", "q247_incremental_view_refresh",

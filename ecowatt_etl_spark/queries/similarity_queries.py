@@ -2457,3 +2457,83 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _summary(lexsrc, "lexical").unionByName(_summary(vecsrc, "vector"))
+
+
+# ---------------------------------------------------------------------------
+# q266 — exact embedding covariance sums (the distributed Gram reduce)
+# ---------------------------------------------------------------------------
+_COV_SCALE = 1_000_000  # fixed-point quantization, the q87/q88 discipline
+
+
+@query(
+    "q266_embedding_covariance",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_COV_SCALE})
+                  AS BIGINT) AS xq
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a.xq) AS BIGINT) AS sum_x,
+           CAST(SUM(b.xq) AS BIGINT) AS sum_y,
+           CAST(SUM(CAST(a.xq AS HUGEINT) * b.xq) AS VARCHAR) AS sum_xy
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def q266_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COVARIANCE SUFFICIENT STATISTICS over the embedding corpus
+    — the distributed Gram/second-moment reduce behind PCA, whitening,
+    and OPQ rotation training: for every dimension pair i <= j, the
+    corpus size and the exact fixed-point sums (Σx_i, Σx_j, Σx_i·x_j),
+    from which cov(i,j) = (n·Σxy − Σx·Σy) / (n²·SCALE²) follows in
+    exact integer arithmetic. 64 dims → 2080 upper-triangle rows
+    whatever the corpus size: the classic all-data-to-tiny-matrix
+    reduce.
+
+    Spark-first shape: posexplode to (vec_id, i, xq) — 8-byte values,
+    the float payload is dropped at the scan — then ONE co-partitioned
+    self-join on vec_id (both sides the same exploded frame, so the
+    exchange is reused, and the join fan-out is the fixed 64×64 per
+    vector, linear in rows) and ONE hash aggregate keyed by the 2080
+    (i, j) pairs with map-side partials. At petabyte rows the
+    throughput variant is a mapInPandas per-partition numpy Gram
+    partial (the q63 pattern); it is NOT bit-stable across partition
+    orders, so this fixed-point form is the verification-grade truth
+    it would be tolerance-checked against.
+
+    Exactness: FLOOR(x·1e6) int64 quantization (the q87/q88 k-means
+    discipline — floor has no rounding-mode ambiguity cross-engine);
+    products summed as decimal(38,0) (order-free), published as
+    strings (DuckDB's HUGEINT sum renders identically; the q176
+    dtype lesson)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    e = (
+        spread_to_parallelism(em)
+        .select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("x").cast("double") * _COV_SCALE)
+            .cast("long")
+            .alias("xq"),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.vec_id"))
+        & (F.col("a.i") <= F.col("b.i")),
+    )
+    return pairs.groupBy(
+        F.col("a.i").alias("i"), F.col("b.i").alias("j")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("a.xq").alias("sum_x"),
+        F.sum("b.xq").alias("sum_y"),
+        F.sum((F.col("a.xq") * F.col("b.xq")).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("sum_xy"),
+    )

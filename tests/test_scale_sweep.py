@@ -25,6 +25,9 @@ _SWEEP = [
     "q184_diurnal_profile",     # cross-multiplied mean deviation
     "q186_segment_reconcile",   # 60-bit digest sums
     "q200_dataset_card",        # decimal-quantized mean + doubled median
+    "q262_sequence_packing",    # token-offset integer division bins
+    "q265_incremental_packing", # committed-offset continuation + audit
+    "q266_embedding_covariance",  # decimal(38,0) fixed-point product sums
 ]
 
 

@@ -29,33 +29,45 @@ def prefix_sum(
     out_col: str = "prefix",
     bucket_width: int = 1_000_000,
     exclusive: bool = True,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Running total of ``value_col`` in ``order_col`` order, computed
     as a two-phase distributed scan. ``exclusive=True`` yields the sum
     of all STRICTLY EARLIER rows (0 for the first row) — the offset
     form sequence-packing needs; ``False`` includes the current row.
+    With ``partition_cols`` the scan restarts per partition key (e.g.
+    one packed stream per source) and EVERY phase keys by the
+    partition columns too, so no single key's rows ever serialize on
+    one task beyond ``bucket_width``.
 
-    ``order_col`` must be unique non-negative integers (ids); ties
-    would make "earlier" ambiguous. ``bucket_width`` bounds per-task
-    window state; the bucket-totals frame has one row per OCCUPIED
-    bucket, so sparse id spaces cost nothing."""
+    ``order_col`` must be unique non-negative integers (ids) within a
+    partition; ties would make "earlier" ambiguous. ``bucket_width``
+    bounds per-task window state; the bucket-totals frame has one row
+    per OCCUPIED bucket, so sparse id spaces cost nothing."""
+    pcols = list(partition_cols or [])
     bucket = F.expr(f"{order_col} DIV {bucket_width}").alias("__bucket")
     b = df.withColumn("__bucket", bucket)
     in_w = (
-        W.partitionBy("__bucket")
+        W.partitionBy(*pcols, "__bucket")
         .orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, -1 if exclusive else 0)
     )
     local = b.withColumn(
         "__local", F.coalesce(F.sum(value_col).over(in_w), F.lit(0))
     )
-    totals = b.groupBy("__bucket").agg(F.sum(value_col).alias("__btot"))
-    base_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
+    totals = b.groupBy(*pcols, "__bucket").agg(
+        F.sum(value_col).alias("__btot")
+    )
+    base_w = (
+        W.partitionBy(*pcols)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     bases = totals.withColumn(
         "__base", F.coalesce(F.sum("__btot").over(base_w), F.lit(0))
-    ).select("__bucket", "__base")
+    ).select(*pcols, "__bucket", "__base")
     return (
-        local.join(F.broadcast(bases), "__bucket")
+        local.join(F.broadcast(bases), pcols + ["__bucket"])
         .withColumn(out_col, F.col("__local") + F.col("__base"))
         .drop("__bucket", "__local")
     )

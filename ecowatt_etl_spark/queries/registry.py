@@ -99,7 +99,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q259_vocab_growth", "q260_zipf_fit", "q261_avro_roundtrip",
     "q262_sequence_packing", "q263_repetition_ratio",
     "q264_mixture_weights", "q265_incremental_packing",
-    "q266_embedding_covariance",
+    "q266_embedding_covariance", "q267_source_packing",
+    "q268_stream_source_packing",
     "q25b_percentile_approx", "q77_heavy_hitters_sketch",
     "q139_bpe_train", "q142_bpe_encode",
     # (b) rows-only refresh (latest rows are r1 `err:no_oracle`)
@@ -122,9 +123,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q28_salted_agg", "q42_session_window",
     "q01_pricing_summary", "q05_multiagg_conditional",
     "q07_global_kpis", "q09_distinct_count",
-    "q12_star_join", "q13_semi_join", "q17_top10_revenue",
+    "q12_star_join", "q13_semi_join",
     # ---- round-7 window cutoff (50) — slots below only order the
     # tail and never reach the driver's gate
+    "q17_top10_revenue",
     "q237_jdbc_roundtrip", "q247_incremental_view_refresh",
     "q248_sql_scripting", "q193_python_datasource",
     "q194_python_stream_source", "q213_dynamic_udtf",

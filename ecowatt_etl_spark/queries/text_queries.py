@@ -3335,3 +3335,92 @@ def q265_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reconciled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q267/q268 — per-source packing manifest, batch and LIVE (GroupState)
+# ---------------------------------------------------------------------------
+_SRC_PACK_ORACLE = f"""
+    WITH nz AS (
+      SELECT source, doc_id, len({_SQL_TOKENS}) AS n_tok
+      FROM documents WHERE len({_SQL_TOKENS}) > 0
+    ),
+    offs AS (
+      SELECT source, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM nz
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tok) + {_PACK_C} - 1) // {_PACK_C} AS BIGINT)
+             AS n_bins,
+           CAST(COUNT(*) FILTER (
+             WHERE s // {_PACK_C} <> (s + n_tok - 1) // {_PACK_C}
+           ) AS BIGINT) AS n_straddlers
+    FROM offs GROUP BY source
+    """
+
+
+@query("q267_source_packing", oracle=_SRC_PACK_ORACLE)
+def q267_source_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE packing manifest — the sharding a real training-data
+    layout uses (one packed stream per domain/source, so mixture
+    sampling in q264 can draw whole sequences from a single domain):
+    for each source, its docs in doc_id order cut into _PACK_C-token
+    sequences; emit docs, total tokens, bin count, and how many docs
+    straddle a bin boundary.
+
+    Spark-first shape: offsets via operators/scan_ops.prefix_sum with
+    partition_cols=["source"] — every phase of the two-phase scan keys
+    by source TOO, so no source's rows serialize on one task beyond
+    the bucket width (the per-source twin of q262's global-scan
+    safety), then ONE per-source hash aggregate. q268 runs the
+    identical manifest LIVE with the offset carried as GroupState."""
+    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    nz = d.select(
+        "source", "doc_id", F.size(tokens("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    offs = prefix_sum(
+        nz, "doc_id", "n_tok", out_col="s", partition_cols=["source"]
+    )
+    straddle = F.expr(f"s DIV {_PACK_C}") != F.expr(
+        f"(s + n_tok - 1) DIV {_PACK_C}"
+    )
+    return offs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.expr(f"(SUM(n_tok) + {_PACK_C} - 1) DIV {_PACK_C}").alias("n_bins"),
+        F.sum(F.when(straddle, 1).otherwise(0)).cast("long").alias(
+            "n_straddlers"
+        ),
+    )
+
+
+@query("q268_stream_source_packing", oracle=_SRC_PACK_ORACLE)
+def q268_stream_source_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q267's per-source packing manifest LIVE: documents arrive as a
+    stream and each source's running token offset is carried as
+    GroupState (streaming/events_stream.py::stateful_source_packing),
+    under the SAME exact oracle — batch ≡ streaming final state, the
+    q251/q252 lambda-architecture contract extended to the training-
+    layout family. Packing is a non-associative order-dependent fold,
+    so the stream must deliver per-source in doc order (true for the
+    ordered replay; production sorts per key upstream or buffers
+    within a watermark — the same discipline stateful_clamped_balance
+    documents)."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_documents_stream,
+        run_to_completion,
+        stateful_source_packing,
+    )
+
+    out = stateful_source_packing(
+        read_documents_stream(spark, sf_dir), _PACK_C
+    )
+    return run_to_completion(
+        out, "q268_source_packing_sink", output_mode="update"
+    )

@@ -649,3 +649,81 @@ def stateful_clamped_balance(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (schema taken from
+    one batch footer read — streaming sources need it explicit). The
+    single ordered file arrives as one micro-batch in this harness;
+    a live deployment's chunked arrivals hit the same code path (the
+    q49-family chunk-replay machinery drives multi-batch cases)."""
+    schema = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stateful_source_packing(docs: DataFrame, pack_c: int) -> DataFrame:
+    """Per-SOURCE sequence packing LIVE: the running token offset of
+    each source's packed stream carried as GroupState
+    (applyInPandasWithState) — the streaming half of the
+    q267/q268 batch≡streaming pair (same contract as q251/q252: the
+    non-associative fold lands on identical final state when batches
+    partition the stream in per-key order, which the ordered replay
+    guarantees; production sorts per key upstream or buffers within a
+    watermark). Token counts are computed JVM-side BEFORE the stateful
+    op (F.size over the split — codegen), so Python folds plain ints:
+    per doc, straddle iff offset DIV C != (offset+n_tok-1) DIV C, then
+    offset += n_tok. State per source: three int64 scalars.
+
+    Scale: sequential per source, parallel across sources; each
+    micro-batch shuffles (source, doc_id, n_tok) — never text — into
+    the state store."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ecowatt_etl_spark.operators.text import tokens
+
+    def update(key, pdfs, state: GroupState):
+        off, n_docs, n_straddlers = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("doc_id")
+        for n_tok in batch["n_tok"].tolist():
+            n_tok = int(n_tok)
+            if off // pack_c != (off + n_tok - 1) // pack_c:
+                n_straddlers += 1
+            off += n_tok
+            n_docs += 1
+        state.update((off, n_docs, n_straddlers))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_docs": [n_docs],
+                "total_tokens": [off],
+                "n_bins": [(off + pack_c - 1) // pack_c],
+                "n_straddlers": [n_straddlers],
+            }
+        )
+
+    nz = docs.select(
+        "source", "doc_id", F.size(tokens("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    return nz.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, n_docs long, total_tokens long,"
+            " n_bins long, n_straddlers long"
+        ),
+        stateStructType="off long, n_docs long, n_straddlers long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

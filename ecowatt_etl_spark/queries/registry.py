@@ -75,14 +75,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # qe01/qe02/qe08/q90/q91/q250/q252.
     # With that, 273/275 oracle-backed queries have a green hash row.
     # The r7 window spends its 50 slots on:
-    # (a) the 12 registry entries with NO driver row of any kind —
-    #     q259/q260 (oracles landed after the r6 freeze), the six
-    #     NEW r7 queries (q261 Avro round-trip, q262/q265 packing,
-    #     q263 repetition, q264 mixture weights, q266 covariance —
-    #     each parity-swept at sf0.01 AND sf0.1 before windowing),
-    #     and the four rows-only q25b/q77/q139/q142 (a rows-only
-    #     driver pass is still evidence; their exactness is
-    #     pytest-pinned vs pure-Python references);
+    # (a) the 14 registry entries with NO driver row of any kind —
+    #     q259/q260 (oracles landed after the r6 freeze), the eight
+    #     NEW r7 queries (q261 Avro round-trip, q262/q265/q267/q268
+    #     packing incl. the GroupState streaming twin, q263
+    #     repetition, q264 mixture weights, q266 covariance — each
+    #     parity-swept at sf0.01 AND sf0.1 before windowing), and
+    #     the four rows-only q25b/q77/q139/q142 (a rows-only driver
+    #     pass is still evidence; their exactness is pytest-pinned
+    #     vs pure-Python references);
     # (b) rows-only refresh for q81/q09b whose only rows are r1-era;
     # (c) re-certification of every implementation rewritten in r6
     #     AFTER its latest green row: the dedup family (LSH bucket

@@ -169,3 +169,40 @@ def test_prefix_sum_matches_global_window(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_prefix_sum_partition_cols_matches_per_key_window(spark):
+    """prefix_sum(partition_cols=[...]) must restart the scan per key
+    and match the per-key global-window cumsum bit-for-bit — including
+    keys whose rows straddle bucket boundaries and keys with a single
+    row."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+
+    rows = [
+        (f"src{i % 7}", i * 13 % 509 + (100_000 if i % 4 == 0 else 0), i % 89 + 1)
+        for i in range(400)
+    ] + [("lonely", 5, 42)]
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    got = {
+        (r["k"], r["id"]): r["p"]
+        for r in prefix_sum(
+            df, "id", "v", out_col="p", bucket_width=32,
+            partition_cols=["k"],
+        ).collect()
+    }
+    w = (
+        W.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    want = {
+        (r["k"], r["id"]): r["p"]
+        for r in df.withColumn(
+            "p", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+    assert got[("lonely", 5)] == 0

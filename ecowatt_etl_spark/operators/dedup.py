@@ -38,20 +38,46 @@ N_HASHES = len(MINHASH_A)
 BAND_ROWS = 2  # 8 hashes → 4 bands of 2: ~(s^2) band-collision curve
 SIMHASH_BITS = 32
 
-# Band buckets larger than this are dropped from the LSH index (the
-# documented cap, mirrored in every oracle via _SQL_BANDS' QUALIFY).
-# Rationale, measured on the synthetic 100x warehouse: oversized
-# buckets hold a constant FRACTION of the corpus (degenerate band
-# keys from short/low-entropy docs — top bucket 70 docs at 10x, 694
-# at 100x), so their pair count grows QUADRATICALLY with corpus size
-# (91k bucket-pairs at 10x -> 9.2M at 100x, a 101x blowup for 10x
-# the data) — the one shape that kills a banded join at 100 TB. A
-# bucket that collects 0.1% of a 100 TB corpus carries no
-# discriminative signal; genuinely similar pairs still co-bucket in
-# their other N_HASHES/BAND_ROWS-1 bands, and q219's recall audit
-# MEASURES the cap's cost per similarity decile rather than assuming
-# it. Standard practice in production LSH dedup.
-LSH_BUCKET_CAP = 64
+# LSH band-bucket skew cap — CORPUS-SCALED since round 8:
+#   cap(N) = GREATEST(LSH_BUCKET_CAP, ceil(N / LSH_CAP_RATIO))
+# where N is the number of docs in the signature frame. Mirrored in
+# every oracle via _SQL_BANDS' QUALIFY (scalar-subquery COUNT from
+# the sig CTE, integer (N+7)//8 on both engines — exact at any N).
+#
+# Why a cap at all (measured on the synthetic 100x warehouse):
+# degenerate band keys from short/low-entropy docs collect a constant
+# FRACTION of the corpus (top bucket 70 docs at 10x, 694 at 100x), so
+# their pair count grows QUADRATICALLY with corpus size (91k
+# bucket-pairs at 10x -> 9.2M at 100x, a 101x blowup for 10x the
+# data) — the one shape that kills a banded join at 100 TB.
+#
+# Why the cap scales with N (r7 verdict): a FIXED cap drops a GROWING
+# share of index rows as every bucket inflates proportionally with
+# the corpus (measured drift 0 -> 0.14% -> 1.4% of index rows per
+# decade), i.e. silent recall decay with scale. Scaling the cap at
+# the gate-scale operating ratio (64 docs of a 500-doc corpus = N/8,
+# the same GREATEST(floor, N/ratio) pattern as q156's refine depth)
+# makes the kept/dropped decision scale-invariant: a bucket is
+# dropped only when it exceeds 12.5% of the corpus — boilerplate by
+# construction, not similarity signal. The trade is explicit and
+# measured (SCALE.md r8): worst-case pair cost within a kept bucket
+# is (N/8 choose 2) — quadratic in the limit — but the measured
+# degenerate head is ~1.4% of the corpus, far below the cap, so the
+# real pair volume tracks the head's (0.014N)^2, and the per-decade
+# probe publishes both the drop fractions (now ~flat) and the
+# candidate-pair volume so either regression is visible. Deployments
+# ingesting adversarially boilerplate-heavy corpora can lower
+# LSH_CAP_RATIO; q219's recall audit measures the cost per decile
+# either way.
+LSH_BUCKET_CAP = 64  # absolute floor: never binds below 512 docs
+LSH_CAP_RATIO = 8  # gate-scale operating ratio (64/500 ~= 1/8)
+
+# The cap as a SQL expression over a `_corpus_n` BIGINT column —
+# shared by lsh_bands and the drop-stats observability aggregate.
+_CAP_SQL = (
+    f"GREATEST(CAST({LSH_BUCKET_CAP} AS BIGINT), "
+    f"(_corpus_n + {LSH_CAP_RATIO - 1}) DIV {LSH_CAP_RATIO})"
+)
 
 
 def normalized_text(col: str | Column) -> Column:
@@ -137,20 +163,27 @@ def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the LSH bucketing: docs agreeing on ALL rows of any band become
     candidates. Join on the short band key is the only wide shuffle.
 
-    Buckets larger than :data:`LSH_BUCKET_CAP` are dropped here, at
-    the index, so every consumer (q53 pairs, q127 incremental probe,
-    q219 recall audit) inherits the skew-safe artifact — see the
-    constant's docstring for the measured quadratic blowup this
-    prevents. The count-over-bucket window shuffles only the 4
-    short-key rows per doc, paid once at index build."""
+    Buckets larger than the corpus-scaled cap
+    ``GREATEST(LSH_BUCKET_CAP, ceil(N / LSH_CAP_RATIO))`` are dropped
+    here, at the index, so every consumer (q53 pairs, q127 incremental
+    probe, q219 recall audit) inherits the skew-safe artifact — see
+    the constants' docstring for the measured quadratic blowup the cap
+    prevents and the measured recall drift the scaling prevents. The
+    count-over-bucket window shuffles only the 4 short-key rows per
+    doc, paid once at index build; the corpus count N is one extra
+    map-side-partial aggregate over the (usually checkpointed)
+    signature frame, broadcast as a single row — no global window, no
+    driver action."""
     from pyspark.sql import Window as W
 
     exploded = _exploded_bands(sig_df, id_col)
+    n = sig_df.groupBy().agg(F.count("*").alias("_corpus_n"))
     bucket = W.partitionBy("band", "k1", "k2")
     return (
         exploded.withColumn("_bsz", F.count("*").over(bucket))
-        .filter(F.col("_bsz") <= LSH_BUCKET_CAP)
-        .drop("_bsz")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("_bsz") <= F.expr(_CAP_SQL))
+        .drop("_bsz", "_corpus_n")
     )
 
 
@@ -176,30 +209,48 @@ def _exploded_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def lsh_cap_drop_stats(
     sig_df: DataFrame, id_col: str = "doc_id"
 ) -> dict[str, float]:
-    """Observability for :data:`LSH_BUCKET_CAP` (r6 ADVICE): the cap is
-    a fixed threshold, so at growing corpus size a growing share of
-    buckets can exceed it and recall would drift DOWN silently. This
-    one aggregate over the band-key explosion reports the dropped
-    share of index rows and of distinct buckets; bench.py publishes it
-    per round (and the scale sweep per decade) next to q219's measured
-    per-decile recall, so drift shows up in artifacts instead of being
-    assumed away."""
+    """Observability for the corpus-scaled cap (r6 ADVICE, re-scoped
+    r8): reports the dropped share of index rows and of distinct
+    buckets under ``cap(N) = GREATEST(LSH_BUCKET_CAP, ceil(N/RATIO))``
+    plus the resolved cap itself. bench.py publishes it per round (and
+    the scale sweep per decade) next to q219's measured per-decile
+    recall, so drift shows up in artifacts instead of being assumed
+    away. Since the r8 scaling the curve is ~flat by construction
+    (kept/dropped is decided on corpus FRACTION, not absolute size);
+    a rising curve now means the corpus's boilerplate head itself
+    grew, which is exactly what the metric should surface.
+
+    The corpus count rides the same single aggregate: every doc
+    contributes exactly N_HASHES/BAND_ROWS band rows, so
+    N = sum(n) / n_bands — no second pass, and the per-bucket
+    comparison happens driver-side over the one collected row."""
+    n_bands = N_HASHES // BAND_ROWS
     sizes = (
         _exploded_bands(sig_df, id_col)
         .groupBy("band", "k1", "k2")
         .agg(F.count("*").alias("n"))
     )
-    over = F.col("n") > LSH_BUCKET_CAP
-    row = sizes.agg(
-        F.sum("n").alias("rows"),
-        F.sum(F.when(over, F.col("n")).otherwise(0)).alias("dropped_rows"),
-        F.count("*").alias("buckets"),
-        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
-    ).collect()[0]
+    tot = sizes.groupBy().agg(F.sum("n").alias("_rows"))
+    cap_col = F.expr(
+        _CAP_SQL.replace("_corpus_n", f"(_rows DIV {n_bands})")
+    ).alias("_cap")
+    over = F.col("n") > F.col("_cap")
+    row = (
+        sizes.crossJoin(F.broadcast(tot.select(F.col("_rows"), cap_col)))
+        .agg(
+            F.sum("n").alias("rows"),
+            F.sum(F.when(over, F.col("n")).otherwise(0)).alias("dropped_rows"),
+            F.count("*").alias("buckets"),
+            F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+            F.max("_cap").alias("cap"),
+        )
+        .collect()[0]
+    )
     return {
-        "dropped_row_frac": (row["dropped_rows"] or 0) / max(row["rows"], 1),
+        "dropped_row_frac": (row["dropped_rows"] or 0) / max(row["rows"] or 0, 1),
         "dropped_bucket_frac": (row["dropped_buckets"] or 0)
-        / max(row["buckets"], 1),
+        / max(row["buckets"] or 0, 1),
+        "cap": float(row["cap"] or LSH_BUCKET_CAP),
     }
 
 

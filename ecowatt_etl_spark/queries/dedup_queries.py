@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ecowatt_etl_spark.operators.dedup import (
     BAND_ROWS,
     LSH_BUCKET_CAP,
+    LSH_CAP_RATIO,
     MINHASH_A,
     MINHASH_B,
     N_HASHES,
@@ -162,15 +163,21 @@ def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q53 — MinHash LSH candidate pairs + exact-Jaccard verification
 # ---------------------------------------------------------------------------
-# Band index with the skew cap (operators/dedup.py::LSH_BUCKET_CAP):
-# the QUALIFY mirrors lsh_bands' count-over-bucket filter exactly, so
-# every oracle that embeds this CTE replays the capped index.
+# Band index with the corpus-scaled skew cap (operators/dedup.py::
+# LSH_BUCKET_CAP floor, LSH_CAP_RATIO): the QUALIFY mirrors lsh_bands'
+# count-over-bucket filter exactly — GREATEST(floor, (N+7)//8) with N
+# taken as a scalar subquery over the sig CTE (one row per doc), pure
+# integer arithmetic on both engines — so every oracle that embeds
+# this CTE replays the capped index at any corpus size.
 _SQL_BANDS_RAW = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, sig_{BAND_ROWS * b} AS k1, sig_{BAND_ROWS * b + 1} AS k2 FROM sig"
     for b in range(N_HASHES // BAND_ROWS)
 )
 _SQL_BANDS = f"""SELECT * FROM ({_SQL_BANDS_RAW}) _raw_bands
-      QUALIFY COUNT(*) OVER (PARTITION BY band, k1, k2) <= {LSH_BUCKET_CAP}"""
+      QUALIFY COUNT(*) OVER (PARTITION BY band, k1, k2)
+        <= GREATEST(CAST({LSH_BUCKET_CAP} AS BIGINT),
+                    ((SELECT COUNT(*) FROM sig) + {LSH_CAP_RATIO - 1})
+                      // {LSH_CAP_RATIO})"""
 
 
 _Q53_ORACLE = f"""

@@ -3066,13 +3066,14 @@ def q263_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
+    # Integer DIV, not double-divide-then-cast (r7 ADVICE): the double
+    # quotient can floor differently from the oracle's exact `//` once
+    # the numerator exceeds 2^53 — inside the 100 TB regime.
     perdoc = sh.groupBy("doc_id", "source").agg(
-        (
-            ((F.count("*") - F.countDistinct("h")) * 10000).cast("long")
-            / F.count("*")
-        )
-        .cast("long")
-        .alias("rep_bp")
+        F.expr(
+            "CAST((COUNT(*) - COUNT(DISTINCT h)) * 10000 DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("rep_bp")
     )
     return perdoc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -3144,20 +3145,21 @@ def q264_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w_units"),
     )
+    # Integer DIV end-to-end (r7 ADVICE): the previous
+    # double-divide-then-cast floors identically to the oracle's `//`
+    # only while weight_bp * total < 2^53 (~1e12 corpus tokens —
+    # inside the claimed 100 TB regime); DIV is exact at any scale.
     norm = raw.agg(F.sum("w_units").alias("units_total"))
     return raw.crossJoin(F.broadcast(norm)).select(
         "source",
         "n_tokens",
-        ((F.col("w_units") * 10000) / F.col("units_total"))
-        .cast("long")
-        .alias("weight_bp"),
-        (
-            ((F.col("w_units") * 10000) / F.col("units_total")).cast("long")
-            * F.col("total")
-            / (F.col("n_tokens") * 10)
-        )
-        .cast("long")
-        .alias("epochs_permille"),
+        F.expr("CAST(w_units * 10000 DIV units_total AS BIGINT)").alias(
+            "weight_bp"
+        ),
+        F.expr(
+            "CAST((w_units * 10000 DIV units_total) * total"
+            " DIV (n_tokens * 10) AS BIGINT)"
+        ).alias("epochs_permille"),
     )
 
 

@@ -17,11 +17,28 @@ with the standard distributed plumbing: one file per write task with
 a commit-message protocol, one InputPartition per file on read,
 schema inference from the embedded writer schema.
 
+Commit protocol (r8): write tasks stream into dot-prefixed
+``.part-*.avro.inprogress`` temps; the driver-side ``commit()``
+renames them to final names, removes the previous generation only
+after every rename succeeded (overwrite) plus any retry/speculation
+debris, then publishes a ``_SUCCESS`` JSON manifest that the reader
+treats as authoritative — a failed job can neither surface a
+truncated orphan as data nor destroy the previous good output.
+
 The JVM connector remains the preferred deployment path —
 ``sources/formats.py`` tries it first and falls back here; container
-files written by this module are plain uncompressed (``null`` codec)
-Avro, readable by any compliant implementation including spark-avro
-(interchange is the point of a schema-embedded container format).
+files written by this module use the ``null`` codec by default or
+``deflate`` (``.option("codec", "deflate")`` — raw RFC-1951 per the
+spec, stdlib zlib) and are readable by any compliant implementation
+including spark-avro; both codecs are supported on read (interchange
+is the point of a schema-embedded container format).
+
+Timestamp interchange requires a UTC session: timestamp-micros
+values are converted through naive-datetime-as-UTC arithmetic, which
+is exact while ``spark.sql.session.timeZone=UTC`` (this repo pins it
+in session.py). Containers exchanged with a NON-UTC JVM spark-avro
+session would shift timestamps — set the session zone to UTC on both
+sides before exchanging timestamp columns.
 
 Scale notes: writes stream batches of rows per task (nothing
 materializes on the driver; file-per-partition exactly like a V2
@@ -47,6 +64,7 @@ import json
 import os
 import struct
 import uuid
+import zlib
 from datetime import date, datetime, timedelta, timezone
 
 from pyspark.sql import types as T
@@ -319,15 +337,24 @@ def _decoder(at):
 # ---------------------------------------------------------------------------
 
 
-def write_container(path: str, schema: T.StructType, rows) -> int:
+def write_container(
+    path: str, schema: T.StructType, rows, codec: str = "null"
+) -> int:
     """Stream ``rows`` (positional tuples/Rows in schema field order)
-    into one Avro object-container file. Returns the row count."""
+    into one Avro object-container file. Returns the row count.
+
+    ``codec``: ``null`` (uncompressed) or ``deflate`` — per the spec,
+    deflate is the raw RFC-1951 stream (no zlib header/checksum) over
+    each block's serialized objects; zlib's ``wbits=-15`` mode is
+    exactly that, so the stdlib covers what real producers emit."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     avro_schema = schema_to_avro(schema)
     encs = [_encoder(f.dataType, f.nullable) for f in schema.fields]
     header = bytearray(MAGIC)
     _enc_long(header, 2)
     _enc_bytes(header, b"avro.codec")
-    _enc_bytes(header, b"null")
+    _enc_bytes(header, codec.encode("ascii"))
     _enc_bytes(header, b"avro.schema")
     _enc_bytes(header, json.dumps(avro_schema).encode("utf-8"))
     _enc_long(header, 0)
@@ -341,10 +368,14 @@ def write_container(path: str, schema: T.StructType, rows) -> int:
         def flush():
             nonlocal buf, count, total
             if count:
+                payload = bytes(buf)
+                if codec == "deflate":
+                    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+                    payload = c.compress(payload) + c.flush()
                 block = bytearray()
                 _enc_long(block, count)
-                _enc_long(block, len(buf))
-                f.write(bytes(block) + bytes(buf) + SYNC)
+                _enc_long(block, len(payload))
+                f.write(bytes(block) + payload + SYNC)
                 total += count
                 buf, count = bytearray(), 0
 
@@ -391,11 +422,12 @@ def read_container(path: str):
     was."""
     meta = read_header(path)
     codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b""):
+    if codec not in (b"null", b"", b"deflate"):
         raise ValueError(
-            f"ecowatt-avro reads uncompressed containers; {path} uses "
-            f"codec {codec.decode()!r} (re-encode with avro.codec=null)"
+            f"ecowatt-avro reads null/deflate containers; {path} uses "
+            f"codec {codec.decode()!r} (re-encode with a supported codec)"
         )
+    deflate = codec == b"deflate"
     avro_schema = json.loads(meta["avro.schema"])
     decs = [_decoder(f["type"]) for f in avro_schema["fields"]]
     sync = meta["_sync"]
@@ -423,6 +455,8 @@ def read_container(path: str):
             block = f.read(size)
             if len(block) != size:
                 raise ValueError(f"corrupt Avro container {path}: short block")
+            if deflate:
+                block = zlib.decompress(block, -15)
             pos = 0
             for _ in range(n):
                 row = []
@@ -451,8 +485,34 @@ class _AvroCommit(WriterCommitMessage):
 
 
 def _container_files(path: str) -> list[str]:
+    """Data files of a container directory (or the single file).
+
+    When the write-time commit manifest (``_SUCCESS``, a JSON
+    ``{filename: rows}`` map) is present it is AUTHORITATIVE — the
+    reader returns exactly the committed files and raises on a missing
+    one, so an orphan container left by a failed/retried/speculative
+    task can never surface as duplicate rows (r7 ADVICE; the same
+    contract as the Hadoop commit protocol the JVM connector uses).
+    Directories without a manifest (hand-assembled, foreign producer)
+    fall back to listing ``*.avro``."""
     if os.path.isfile(path):
         return [path]
+    success = os.path.join(path, "_SUCCESS")
+    if os.path.isfile(success):
+        with open(success, "r", encoding="utf-8") as f:
+            text = f.read().strip()
+        manifest = json.loads(text) if text else {}
+        if isinstance(manifest, dict):
+            files = []
+            for n in sorted(manifest):
+                p = os.path.join(path, n)
+                if not os.path.isfile(p):
+                    raise ValueError(
+                        f"Avro commit manifest {success} lists {n!r} "
+                        "but the file is missing"
+                    )
+                files.append(p)
+            return files
     return sorted(
         os.path.join(path, n)
         for n in os.listdir(path)
@@ -471,15 +531,45 @@ class AvroReader(DataSourceReader):
         yield from read_container(partition.path)
 
 
+_TMP_SUFFIX = ".inprogress"
+
+
+def _tmp_name(filename: str) -> str:
+    # Dot-prefixed: invisible to both the glob fallback and a
+    # concurrent reader; suffix keeps leftover temps identifiable.
+    return "." + filename + _TMP_SUFFIX
+
+
 class AvroWriter(DataSourceWriter):
-    def __init__(self, path: str, schema: T.StructType, overwrite: bool):
+    """Write-side commit protocol (r7 ADVICE — the pre-r8 writer wrote
+    final filenames directly and rmtree'd existing data at CONSTRUCTION
+    time, so a failed job could both leave truncated orphans and have
+    already destroyed the previous good output):
+
+    * tasks write dot-prefixed ``.part-*.avro.inprogress`` temps;
+    * ``commit()`` (driver, after every task succeeded) renames each
+      committed temp to its final name, only THEN removes stale
+      pre-existing data files (overwrite mode) and leftover temps, and
+      finally publishes the ``_SUCCESS`` manifest the reader treats as
+      authoritative;
+    * ``abort()`` removes temps only — pre-existing data and its
+      manifest survive any failed or interrupted job untouched.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        overwrite: bool,
+        codec: str = "null",
+    ):
         self.path = path
         self.schema = schema
+        self.overwrite = overwrite
+        self.codec = codec
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported avro codec {codec!r}")
         schema_to_avro(schema)  # fail fast on unsupported types (driver)
-        if overwrite and os.path.isdir(path):
-            import shutil
-
-            shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
 
     def write(self, iterator):
@@ -489,25 +579,63 @@ class AvroWriter(DataSourceWriter):
         pid = ctx.partitionId() if ctx is not None else 0
         name = f"part-{pid:05d}-{uuid.uuid4().hex}.avro"
         n = write_container(
-            os.path.join(self.path, name), self.schema, iterator
+            os.path.join(self.path, _tmp_name(name)),
+            self.schema,
+            iterator,
+            self.codec,
         )
         return _AvroCommit(name, n)
 
+    def _sweep_temps(self) -> None:
+        for n in os.listdir(self.path):
+            if n.startswith(".") and n.endswith(_TMP_SUFFIX):
+                try:
+                    os.remove(os.path.join(self.path, n))
+                except OSError:
+                    pass  # best-effort cleanup of retry/speculation debris
+
     def commit(self, messages):
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            f.write(
-                json.dumps(
-                    {m.filename: m.rows for m in messages if m is not None}
-                )
+        committed: dict[str, int] = {}
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, _tmp_name(m.filename)),
+                os.path.join(self.path, m.filename),
             )
+            committed[m.filename] = m.rows
+        if self.overwrite:
+            # every rename above succeeded — only now may the previous
+            # generation's data files leave
+            manifest = dict(committed)
+            for n in os.listdir(self.path):
+                if (
+                    n.endswith(".avro")
+                    and not n.startswith(".")
+                    and n not in committed
+                ):
+                    os.remove(os.path.join(self.path, n))
+        else:
+            # append: carry forward previously committed (or foreign,
+            # manifest-less) files so the manifest stays authoritative
+            prior = {
+                os.path.basename(p): None
+                for p in _container_files(self.path)
+                if os.path.basename(p) not in committed
+            }
+            manifest = {**prior, **committed}
+        self._sweep_temps()
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps(manifest))
 
     def abort(self, messages):
         for m in messages:
             if m is not None:
                 try:
-                    os.remove(os.path.join(self.path, m.filename))
+                    os.remove(os.path.join(self.path, _tmp_name(m.filename)))
                 except OSError:
-                    pass
+                    pass  # temp may not exist for a task that never ran
+        self._sweep_temps()
 
 
 class AvroContainerSource(DataSource):
@@ -527,7 +655,12 @@ class AvroContainerSource(DataSource):
         return AvroReader(self.options)
 
     def writer(self, schema, overwrite: bool):
-        return AvroWriter(self.options["path"], schema, overwrite)
+        return AvroWriter(
+            self.options["path"],
+            schema,
+            overwrite,
+            self.options.get("codec", "null"),
+        )
 
 
 def register_avro(spark) -> None:

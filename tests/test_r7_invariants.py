@@ -42,14 +42,66 @@ def test_lsh_cap_drop_stats_sees_degenerate_buckets(spark):
     assert surviving.filter(F.col("doc_id") < n_dup).count() == 0
     assert surviving.filter(F.col("doc_id") >= n_dup).count() == n_uniq * n_bands
 
-    # and a clean corpus reports zero drop
+    # and a clean corpus reports zero drop at the floor cap
     clean = minhash_from_hashes(
         shingle_hashes(docs.filter(F.col("doc_id") >= n_dup))
     )
     assert lsh_cap_drop_stats(clean) == {
         "dropped_row_frac": 0.0,
         "dropped_bucket_frac": 0.0,
+        "cap": float(LSH_BUCKET_CAP),
     }
+
+
+def test_lsh_cap_scales_with_corpus_size(spark):
+    """r8: the cap is GREATEST(floor, ceil(N/RATIO)) — on a 1000-doc
+    corpus the cap resolves to 125, so an 80-doc degenerate bucket
+    (dropped by the old fixed 64 cap) is KEPT (it is 8% of the corpus,
+    below the 12.5% operating ratio) while a 130-doc bucket is still
+    dropped. This is the scale-invariance the r7 drift measurement
+    asked for: kept/dropped is decided on corpus fraction."""
+    from ecowatt_etl_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        LSH_CAP_RATIO,
+        N_HASHES,
+        BAND_ROWS,
+        lsh_bands,
+        lsh_cap_drop_stats,
+        minhash_from_hashes,
+        shingle_hashes,
+    )
+
+    n_a, n_b, n_uniq = 80, 130, 790  # N = 1000 -> cap = 125
+    rows = [(i, "boilerplate family alpha repeated text") for i in range(n_a)]
+    rows += [
+        (n_a + i, "boilerplate family beta other repeated text")
+        for i in range(n_b)
+    ]
+    rows += [
+        (n_a + n_b + i, f"unique document {i} tokens {i * 7} {i * 13} {i * 29}")
+        for i in range(n_uniq)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_from_hashes(shingle_hashes(docs))
+
+    n = n_a + n_b + n_uniq
+    expected_cap = max(LSH_BUCKET_CAP, (n + LSH_CAP_RATIO - 1) // LSH_CAP_RATIO)
+    assert expected_cap == 125
+
+    stats = lsh_cap_drop_stats(sig)
+    n_bands = N_HASHES // BAND_ROWS
+    assert stats["cap"] == float(expected_cap)
+    # only the 130-doc family's rows are dropped
+    assert abs(stats["dropped_row_frac"] - n_b * n_bands / (n * n_bands)) < 1e-9
+
+    surviving = lsh_bands(sig)
+    assert surviving.filter(F.col("doc_id") < n_a).count() == n_a * n_bands
+    assert (
+        surviving.filter(
+            (F.col("doc_id") >= n_a) & (F.col("doc_id") < n_a + n_b)
+        ).count()
+        == 0
+    )
 
 
 def test_driver_memory_default_is_host_clamped():

@@ -447,6 +447,104 @@ def test_avro_python_container_is_spec_shaped(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
 
 
+def test_avro_deflate_codec_roundtrip(spark, tmp_path):
+    """r7 verdict item 7: the deflate codec (raw RFC-1951, what real
+    producers emit) must round-trip losslessly, advertise itself in
+    the header, and actually compress."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.sources import avro_py
+
+    avro_py.register_avro(spark)
+    df = spark.range(5000).select(
+        "id",
+        F.concat(F.lit("the quick brown fox " * 5), F.col("id")).alias("s"),
+    )
+    plain = str(tmp_path / "plain")
+    packed = str(tmp_path / "deflate")
+    df.coalesce(1).write.format("ecowatt-avro").mode("overwrite").save(plain)
+    df.coalesce(1).write.format("ecowatt-avro").option(
+        "codec", "deflate"
+    ).mode("overwrite").save(packed)
+
+    def size_of(d):
+        (f,) = [n for n in os.listdir(d) if n.endswith(".avro")]
+        return os.path.getsize(os.path.join(d, f)), os.path.join(d, f)
+
+    plain_sz, _ = size_of(plain)
+    packed_sz, packed_file = size_of(packed)
+    assert avro_py.read_header(packed_file)["avro.codec"] == b"deflate"
+    assert packed_sz < plain_sz / 3  # highly repetitive text
+
+    back = spark.read.format("ecowatt-avro").load(packed)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+    with pytest.raises(Exception, match="unsupported avro codec"):
+        df.write.format("ecowatt-avro").option("codec", "snappy").mode(
+            "overwrite"
+        ).save(str(tmp_path / "bad"))
+
+
+def test_avro_commit_protocol(spark, tmp_path):
+    """r7 ADVICE: the writer must never surface uncommitted files as
+    data nor destroy the previous generation before a successful
+    commit. Tasks write dot-prefixed temps; commit renames + publishes
+    an authoritative _SUCCESS manifest; abort leaves prior data
+    untouched."""
+    import json
+    import os
+
+    from ecowatt_etl_spark.sources import avro_py
+
+    avro_py.register_avro(spark)
+    out = str(tmp_path / "committed")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, s string")
+    df.repartition(2).write.format("ecowatt-avro").mode("overwrite").save(out)
+
+    manifest = json.loads(open(os.path.join(out, "_SUCCESS")).read())
+    parts = [n for n in os.listdir(out) if n.endswith(".avro")]
+    assert sorted(manifest) == sorted(parts) and sum(manifest.values()) == 100
+    assert not [n for n in os.listdir(out) if n.endswith(".inprogress")]
+
+    # an orphan container (failed/speculative task debris, even
+    # truncated garbage) must be invisible: the manifest is authoritative
+    with open(os.path.join(out, "part-99999-orphan.avro"), "wb") as f:
+        f.write(b"Obj\x01garbage-truncated")
+    back = spark.read.format("ecowatt-avro").load(out)
+    assert back.count() == 100
+
+    # a failed OVERWRITE must leave the previous generation readable:
+    # construction no longer deletes, and abort removes only temps
+    writer = avro_py.AvroWriter(out, df.schema, overwrite=True)
+    assert sorted(n for n in os.listdir(out) if n.endswith(".avro")) == sorted(
+        parts + ["part-99999-orphan.avro"]
+    )
+    msg = writer.write(iter([(999, "doomed")]))
+    assert os.path.exists(os.path.join(out, "." + msg.filename + ".inprogress"))
+    writer.abort([msg])
+    assert not [n for n in os.listdir(out) if n.endswith(".inprogress")]
+    assert not os.path.exists(os.path.join(out, msg.filename))
+    assert spark.read.format("ecowatt-avro").load(out).count() == 100
+
+    # append mode merges the prior manifest instead of replacing it
+    extra = spark.createDataFrame([(1000 + i, "x") for i in range(10)], "k long, s string")
+    extra.coalesce(1).write.format("ecowatt-avro").mode("append").save(out)
+    merged = json.loads(open(os.path.join(out, "_SUCCESS")).read())
+    assert set(manifest) < set(merged)
+    assert spark.read.format("ecowatt-avro").load(out).count() == 110
+
+    # a successful overwrite is the only thing that removes the old
+    # generation — including the planted orphan
+    df.repartition(1).write.format("ecowatt-avro").mode("overwrite").save(out)
+    left = [n for n in os.listdir(out) if n.endswith(".avro")]
+    assert len(left) == 1 and "part-99999-orphan.avro" not in left
+    assert spark.read.format("ecowatt-avro").load(out).count() == 100
+
+
 def test_write_checked_gates_on_expectations(spark, tmp_path):
     """The write-time DQ gate: a frame violating a declared expectation
     must NOT land (and the error must name the failed checks with

@@ -57,83 +57,88 @@ def _load_all() -> None:
 
 
 # The driver's correctness gate value-checks only the FIRST ~50 entries
-# of ``queries()`` in iteration order.  Spend those slots deliberately:
-# oracle-backed queries with no prior driver evidence first (the SURVEY
-# §2 relational core and the LLM-pipeline text/similarity families),
-# then queries whose implementation changed this round, then everything
-# else oracle-backed, with rows-only queries last so they never consume
-# a value-check slot.
+# of ``queries()`` in iteration order.  Since round 8 this window is
+# COMPUTED, not curated: ``python tools/evidence_ledger.py --window``
+# derives it from behavior fingerprints (transitive source closure +
+# oracle string) at each round's evidence commit vs HEAD, joined with
+# the CORRECTNESS_r*.json rows — never-driver-rowed entries first,
+# then queries rewritten this round (same-round certification), then
+# older drift stalest-evidence-first.  tests/test_r8_invariants.py is
+# red if a rewrite ships without its window slot, or if a slot is
+# spent on a current-evidence query while stale ones wait.
+#
+# r8 ledger summary (tools/evidence_ledger.py, fingerprint v3):
+# 0 never-rowed, 97 stale of 289 — the automated closure walk found
+# ~80 queries whose shared helpers (scan layer, streaming teardown,
+# signature operators) drifted after their last driver row without the
+# hand ledger ever noticing; 50 re-certify this round, the remainder
+# spill to r9 exactly like the r3–r6 rotation era.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 window — the coverage-complete era (r6 verdict items 1+2).
-    # Evidence ledger: r01 green q01–q09, q40–q49e, q50–q56, q80/q83,
-    # q90/q92; r02 green q10–q37, q39, q47, q57–q66, q70–q76, q82,
-    # qe03/qe04; r03 green (50/50) q38 + curation/dedup/event/
-    # multimodal/similarity/text/TPC-H breadth; r04 green (50/50)
-    # q103–q126 TPC-H tail + q140–q170; r05 green (49/50; q176
-    # adjudicated an oracle-side DuckDB HUGEINT artifact) q171–q209 +
-    # conversions; r06 green (50/50) q210–q258 spill + q176 CAST fix +
-    # qe01/qe02/qe08/q90/q91/q250/q252.
-    # With that, 273/275 oracle-backed queries have a green hash row.
-    # The r7 window spends its 50 slots on:
-    # (a) the 14 registry entries with NO driver row of any kind —
-    #     q259/q260 (oracles landed after the r6 freeze), the eight
-    #     NEW r7 queries (q261 Avro round-trip, q262/q265/q267/q268
-    #     packing incl. the GroupState streaming twin, q263
-    #     repetition, q264 mixture weights, q266 covariance — each
-    #     parity-swept at sf0.01 AND sf0.1 before windowing), and
-    #     the four rows-only q25b/q77/q139/q142 (a rows-only driver
-    #     pass is still evidence; their exactness is pytest-pinned
-    #     vs pure-Python references);
-    # (b) rows-only refresh for q81/q09b whose only rows are r1-era;
-    # (c) re-certification of every implementation rewritten in r6
-    #     AFTER its latest green row: the dedup family (LSH bucket
-    #     cap, exploded-offset q169, session-scoped verified-pairs
-    #     artifact feeding q57/q59/q89/q119/q120/q121/q212), the ANN
-    #     kernels (spread_to_parallelism + norm hoisting + kmeans
-    #     argmin: q61–q67/q87/q88/q156/q202/q256), q117's hoisted
-    #     sign matrix, q214's single-pass window, q219's df-capped
-    #     truth arm, q157's merge hints, q144's documented join flip;
-    # (d) q28/q42 (touched by this round's skew-stress and
-    #     replay-state work), then the oldest-green r1 rows.
-    # (a) never driver-rowed — MUST lead the window (pinned by
-    #     tests/test_r4_invariants.py tripwire)
-    "q259_vocab_growth", "q260_zipf_fit", "q261_avro_roundtrip",
-    "q262_sequence_packing", "q263_repetition_ratio",
-    "q264_mixture_weights", "q265_incremental_packing",
-    "q266_embedding_covariance", "q267_source_packing",
-    "q268_stream_source_packing",
-    "q25b_percentile_approx", "q77_heavy_hitters_sketch",
-    "q139_bpe_train", "q142_bpe_encode",
-    # (b) rows-only refresh (latest rows are r1 `err:no_oracle`)
-    "q81_media_features", "q09b_approx_distinct",
-    # (c) re-certification — r6-rewritten dedup family
-    "q53_minhash_lsh_pairs", "q54_ngram_jaccard_pairs",
-    "q57_dedup_clusters", "q59_dedup_keep_list",
-    "q89_neardup_triangles", "q119_dedup_rate_by_source",
-    "q120_pagerank_neardup", "q121_contrastive_triplets",
-    "q127_incremental_neardup", "q169_sorted_neighborhood",
-    "q212_bfs_hops", "q214_memorization_spans",
-    "q219_lsh_recall_audit", "q117_random_projection",
-    "q157_lm_quality", "q144_boilerplate_strip",
-    # (c) re-certification — r6 ANN kernel rework
-    "q61_cosine_topk", "q62_embedding_neardup",
-    "q63_cosine_topk_matmul", "q65_ivf_topk", "q67_knn_classify",
-    "q87_kmeans_step", "q88_kmeans_train", "q156_ivfpq_topk",
-    "q202_hybrid_rrf", "q256_retrieval_self_eval",
-    # (d) touched by r7 work + oldest-green r1 rows
-    "q28_salted_agg", "q42_session_window",
-    "q01_pricing_summary", "q05_multiagg_conditional",
-    "q07_global_kpis", "q09_distinct_count",
-    "q12_star_join", "q13_semi_join",
-    # ---- round-7 window cutoff (50) — slots below only order the
-    # tail and never reach the driver's gate
+    # ---- r8 window (50 slots): 19 rewritten-this-round (LSH corpus-
+    # scaled cap family, Avro commit/deflate, q263/q264 integer DIV),
+    # then oldest-evidence drift
+    "q134_boilerplate_shingles",
+    "q135_dedup_impact",
+    "q171_tfidf_shingle_pairs",
+    "q175_theta_intersection",
+    "q226_cross_source_dups",
+    "q120_pagerank_neardup",
+    "q121_contrastive_triplets",
+    "q127_incremental_neardup",
+    "q169_sorted_neighborhood",
+    "q212_bfs_hops",
+    "q219_lsh_recall_audit",
+    "q261_avro_roundtrip",
+    "q263_repetition_ratio",
+    "q264_mixture_weights",
+    "q53_minhash_lsh_pairs",
+    "q54_ngram_jaccard_pairs",
+    "q57_dedup_clusters",
+    "q59_dedup_keep_list",
+    "q89_neardup_triangles",
+    "q02_filter_in_projection",
+    "q03_recode_map",
+    "q04_groupby_count",
+    "q06_pivot_by_year",
+    "q08_distinct_sorted",
+    "q40_tumbling_window",
+    "q41_sliding_window",
+    "q43_sessionize_lag",
+    "q46_asof_join",
+    "q48_range_lookback",
+    "q49a_interval_join",
+    "q49c_stream_dedup",
+    "q49d_gap_fill_rollup",
+    "q49e_stream_serving_table",
+    "q50_exact_dedup",
+    "q51_hash_dedup",
+    "q52_minhash_signatures",
+    "q55_simhash",
+    "q56_simhash_neardup",
+    "q92_stats_moments",
+    "q10_minmax_normalize",
+    "q11_full_outer_join",
+    "q14_anti_join",
+    "q15_unpivot",
+    "q16_union_by_name",
     "q17_top10_revenue",
-    "q237_jdbc_roundtrip", "q247_incremental_view_refresh",
-    "q248_sql_scripting", "q193_python_datasource",
-    "q194_python_stream_source", "q213_dynamic_udtf",
-    "q190_cogroup_order_audit", "q255_charset_profile",
-    "qe07_normalized_scores", "q171_tfidf_shingle_pairs",
+    "q18_surrogate_keys",
+    "q19_regex_extract_cast",
+    "q20_try_cast_junk",
+    "q21_guarded_ratio",
+    "q22_window_yoy",
+    # ---- round-8 window cutoff (50) — slots below only order the
+    # tail (r9 spill continues from here)
+    "q23_topk_per_group",
+    "q24_rollup",
+    "q25_percentiles",
+    "q26_cube",
+    "q27_set_ops",
+    "q29_incremental_rollup",
+    "q30_region_nation_revenue",
+    "q31_shipping_priority",
 )
+    # q103–q126 TPC-H tail + q140–q170; r05 green (49/50; q176
 
 
 def all_queries() -> dict[str, QuerySpec]:

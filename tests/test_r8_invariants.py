@@ -1,0 +1,172 @@
+"""Round-8 invariants: the driver-evidence ledger is COMPUTED, not
+curated (r7 verdict item 3) — behavior fingerprints derive staleness
+from git history + CORRECTNESS_r*.json, and the registry's driver
+window must be spent on exactly what the ledger says needs evidence."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools import evidence_ledger as EL  # noqa: E402
+
+
+def test_fingerprint_ignores_comment_and_docstring_churn(tmp_path):
+    """A comment/docstring/formatting-only edit must NOT flip the
+    behavior fingerprint (else every cleanup pass would flag the whole
+    registry stale); a body change MUST flip it."""
+    import importlib.util
+
+    def load(name, body):
+        p = tmp_path / f"{name}.py"
+        p.write_text(body)
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.q
+
+    a = load(
+        "mod_a",
+        'def q(spark, sf):\n    """Docstring one."""\n    # a comment\n'
+        "    return spark.range(1)\n",
+    )
+    b = load(
+        "mod_b",
+        "def q(spark, sf):\n"
+        '    """Totally different docstring."""\n'
+        "    # different comment, extra blank line below\n\n"
+        "    return spark.range(1)\n",
+    )
+    c = load(
+        "mod_c",
+        'def q(spark, sf):\n    """Docstring one."""\n    return spark.range(2)\n',
+    )
+    # qualname/module differ per temp module; compare via the parts of
+    # the function body only — fingerprint the same oracle both times
+    fa = EL._norm_source(a)
+    fb = EL._norm_source(b)
+    fc = EL._norm_source(c)
+    assert fa == fb
+    assert fa != fc
+    # and the oracle string participates: same fn, different oracle
+    assert EL.behavior_fingerprint(a, "SELECT 1") != EL.behavior_fingerprint(
+        a, "SELECT 2"
+    )
+
+
+def test_fingerprint_follows_package_closure():
+    """The fingerprint must include shared package helpers a query
+    reaches through globals AND through lazy in-function imports —
+    the two paths the hand-maintained ledger historically missed
+    (operators/dedup.py rewrites; sources/formats.py's lazy Avro
+    import)."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    specs = all_queries()
+    parts: dict[str, str] = {}
+    EL._closure_parts(specs["q53_minhash_lsh_pairs"].fn, parts, set())
+    keys = "\n".join(parts)
+    assert "ecowatt_etl_spark.operators.dedup.lsh_bands" in keys
+    # the scaled-cap expression (carries floor + ratio) is a reached const
+    assert "const ecowatt_etl_spark.operators.dedup._CAP_SQL" in keys
+
+    parts = {}
+    EL._closure_parts(specs["q261_avro_roundtrip"].fn, parts, set())
+    keys = "\n".join(parts)
+    assert "avro_py" in keys  # reached only via formats.py's lazy import
+
+
+def test_evidence_cache_is_current():
+    """Every round with a CORRECTNESS_r*.json must have a fingerprint
+    snapshot in tools/evidence_fingerprints.json at the CURRENT
+    algorithm version — red right after a driver round lands (or the
+    fingerprint algorithm changes) until someone re-runs
+    `python tools/evidence_ledger.py --backfill`, which is the forcing
+    function that keeps the ledger honest."""
+    blob = json.load(open(os.path.join(EL._REPO, "tools",
+                                       "evidence_fingerprints.json")))
+    assert blob.get("_fp_version") == EL._FP_VERSION, (
+        "fingerprint algorithm changed: re-run --backfill"
+    )
+    rounds = {
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(EL._REPO, "CORRECTNESS_r*.json"))
+    }
+    missing = {r for r in rounds if str(r) not in blob["rounds"]}
+    assert not missing, (
+        f"rounds {sorted(missing)} lack fingerprint snapshots: "
+        "re-run `python tools/evidence_ledger.py --backfill`"
+    )
+
+
+@pytest.fixture(scope="module")
+def led_and_head():
+    head = EL.head_fingerprints()
+    return EL.ledger(head), head
+
+
+def test_driver_window_is_computed_from_the_ledger(led_and_head):
+    """THE r8 tripwire: the first ~50 entries of queries() (the
+    driver's value-check window) must be spent on exactly what the
+    ledger derives — never-rowed first, then only stale entries while
+    stale entries remain unserved. A rewrite that ships without
+    re-prioritizing the window flips its fingerprint, lands in the
+    stale set, and turns this red; so does hand-curating a
+    current-evidence query into the window while stale ones wait."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    led, _ = led_and_head
+    specs = all_queries()
+    window = list(specs)[:50]
+
+    never = {n for n, r in led.items() if r["latest_round"] is None}
+    stale = {
+        n for n, r in led.items()
+        if r["latest_round"] is not None and r["stale"] is not False
+    }
+    # never-rowed lead (the r4-era tripwire, now ledger-derived)
+    lead = sorted(never)[: len(window)]
+    assert set(window[: len(lead)]) == set(lead)
+
+    need = never | stale
+    rest = window[len(lead):]
+    if len(need) >= len(window):
+        offenders = [n for n in rest if n not in stale]
+        assert not offenders, (
+            "window slots spent on current-evidence queries while "
+            f"{len(need - set(window))} stale queries wait: {offenders}"
+        )
+    else:
+        assert need <= set(window), sorted(need - set(window))
+
+
+def test_recommended_window_orders_same_round_rewrites_first(led_and_head):
+    """Within the stale set, queries rewritten THIS round (fingerprint
+    differs from the latest cached round) come before older drift —
+    the same-round certification contract every round has honored."""
+    led, head = led_and_head
+    order = EL.recommended_window(head)
+    hist = EL.historical_fingerprints()
+    last = str(max(int(r) for r in hist))
+    at_last = hist[last]
+
+    stale_pos = [
+        n for n in order
+        if led[n]["latest_round"] is not None and led[n]["stale"] is not False
+    ]
+    seen_old_drift = False
+    for n in stale_pos:
+        changed_now = at_last.get(n) != head.get(n)
+        if not changed_now:
+            seen_old_drift = True
+        assert not (changed_now and seen_old_drift), (
+            f"{n} was rewritten this round but is ordered after "
+            "older drift in the recommended window"
+        )

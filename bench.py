@@ -90,24 +90,28 @@ def main() -> None:
     specs = all_queries()
 
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
+    worst: dict[str, float] = {}
     names = [n for n in HEADLINE if n in specs]
     # one untimed warm-up on the smallest query: JIT + parquet footer cache
     specs[names[0]].fn(spark, sf_dir).collect()
 
+    # median-of-3 per query (r7 verdict item 6): same-code same-day
+    # runs of the old best-of-2 protocol spanned ±13% on this
+    # noisy-neighbor host (SCALE.md), so single-run deltas under ~15%
+    # were unattributable. The median is robust to one contended rep
+    # in either direction; best/worst totals publish the spread so
+    # round-over-round comparisons know the noise floor they sit in.
     for name in names:
         samples = []
-        for _ in range(2):  # best-of-2: strip JIT/GC noise from the signal
+        for _ in range(3):
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
-        # scheduling contention shows up as wildly disagreeing samples
-        # (the r4 artifact overstated ~17% from exactly this); when the
-        # two disagree by >30%, one more rep pins the true minimum
-        if abs(samples[0] - samples[1]) > 0.3 * min(samples):
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 4)
+        samples.sort()
+        timings[name] = round(samples[1], 4)
+        best[name] = samples[0]
+        worst[name] = samples[2]
 
     total = round(sum(timings.values()), 4)
     print(
@@ -119,6 +123,19 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extras": {
+                    # Noise-robust protocol (r7 verdict item 6): value
+                    # above is the sum of per-query MEDIANS of 3 reps;
+                    # best/worst totals bound the in-run spread so a
+                    # round-over-round delta smaller than the spread is
+                    # read as ambient host noise, not regression.
+                    "protocol": "median-of-3 per query",
+                    "best_total": round(sum(best.values()), 4),
+                    "worst_total": round(sum(worst.values()), 4),
+                    "spread_frac": round(
+                        (sum(worst.values()) - sum(best.values()))
+                        / max(sum(timings.values()), 1e-9),
+                        4,
+                    ),
                     # q91 (grouped-map numpy regression) and q63 (numpy
                     # matmul ANN) are rows-only in the driver gate by
                     # necessity (pairwise summation order); publish their

@@ -46,6 +46,15 @@ def get_spark(
     ``getOrCreate`` (Spark semantics), which is what tests and the
     driver harness rely on.
     """
+    # Resolve a google.protobuf runtime BEFORE the JVM starts: python
+    # workers snapshot the driver env at JVM launch, and the
+    # transformWithState state-server protocol needs protobuf in the
+    # worker (streaming/proto_vendor.py). Best-effort — every non-TWS
+    # operator is indifferent to the outcome.
+    from ecowatt_etl_spark.streaming.proto_vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"

@@ -445,24 +445,30 @@ def stateful_totals_tws(events: DataFrame) -> DataFrame:
     ``stateful_user_totals`` (integer-cents accumulation → exact and
     batch-split-independent).
 
-    ENVIRONMENT-GATED: the transformWithState driver worker speaks
-    protobuf to the JVM state server, and this container has no
-    ``google.protobuf`` (verified: its import is the crash in the
-    driver-worker init). The operator raises ImportError with that
-    diagnosis here; on any cluster with protobuf installed it runs
-    as-is with
+    LIVE since r8: the container still ships no protobuf wheel, but
+    ``streaming/proto_vendor.py`` resolves the host's pure-Python
+    6.32 runtime (plain ``google.*`` namespace) and exports it to the
+    python workers via the pre-JVM environment —
+    ``session.get_spark`` does this automatically, so sessions built
+    through the engine run this operator for real (see
+    tests/test_streaming.py::test_transform_with_state_live, which
+    pins it against the applyInPandasWithState twin). A FOREIGN
+    session whose JVM started without the vendor env still gates
+    here with the actionable diagnosis, because its workers would
+    crash at the first state call. Requires
     ``spark.sql.streaming.stateStore.providerClass =
-    …state.RocksDBStateStoreProvider``. The applyInPandasWithState
-    twin above remains the exercised path (q49, q133)."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as e:
+    …state.RocksDBStateStoreProvider`` (mandatory for TWS)."""
+    from ecowatt_etl_spark.streaming.proto_vendor import ensure_protobuf
+
+    if not ensure_protobuf():
         raise ImportError(
             "transformWithStateInPandas requires google.protobuf (the "
-            "driver worker's state-server protocol); not installed in "
-            "this environment — use stateful_user_totals "
+            "worker's state-server protocol); no wheel and no vendorable "
+            "runtime found (set ECOWATT_PROTOBUF_PATH, or build the "
+            "session via ecowatt_etl_spark.session.get_spark so the "
+            "vendor env precedes JVM launch) — use stateful_user_totals "
             "(applyInPandasWithState) instead"
-        ) from e
+        )
 
     import pandas as pd
 

@@ -180,6 +180,13 @@ def main() -> None:
                     "q156_warm_serve_s": _warm_serve(
                         spark, specs, sf_dir, "q156_ivfpq_topk"
                     ),
+                    # q266's numpy throughput arm (r7 verdict item 4):
+                    # the BLAS Gram path is only shippable while its
+                    # covariance stays within quantization+fold noise
+                    # of the fixed-point truth arm — publish the bound.
+                    "q266_numpy_cov_max_abs_diff": _q266_parity(
+                        spark, sf_dir
+                    ),
                 },
             }
         )
@@ -195,6 +202,14 @@ def _warm_serve(spark, specs, sf_dir: str, name: str) -> float:
         specs[name].fn(spark, sf_dir).collect()
         best = min(best, _time.monotonic() - t0)
     return round(best, 3)
+
+
+def _q266_parity(spark, sf_dir: str) -> float:
+    from ecowatt_etl_spark.queries.similarity_queries import (
+        covariance_arms_max_abs_diff,
+    )
+
+    return round(covariance_arms_max_abs_diff(spark, sf_dir), 12)
 
 
 def _lsh_cap_drop(spark, sf_dir: str) -> dict:

@@ -2499,10 +2499,12 @@ def q266_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is reused, and the join fan-out is the fixed 64×64 per
     vector, linear in rows) and ONE hash aggregate keyed by the 2080
     (i, j) pairs with map-side partials. At petabyte rows the
-    throughput variant is a mapInPandas per-partition numpy Gram
-    partial (the q63 pattern); it is NOT bit-stable across partition
-    orders, so this fixed-point form is the verification-grade truth
-    it would be tolerance-checked against.
+    throughput variant is :func:`embedding_covariance_numpy` (one BLAS
+    X.T@X per Arrow batch, 2080-row partials); it is NOT bit-stable
+    across partition orders, so this fixed-point form is the
+    verification-grade truth it is tolerance-checked against every
+    round (bench extras q266_numpy_cov_max_abs_diff; per-decade
+    timings in SCALE.md).
 
     Exactness: FLOOR(x·1e6) int64 quantization (the q87/q88 k-means
     discipline — floor has no rounding-mode ambiguity cross-engine);
@@ -2537,3 +2539,82 @@ def q266_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("sum_xy"),
     )
+
+
+def embedding_covariance_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q266's THROUGHPUT arm (r7 verdict item 4): per-Arrow-batch numpy
+    Gram partials via mapInPandas — one X.T @ X per batch instead of a
+    64x-fan-out self-join, the shape a petabyte corpus wants because
+    the matmul runs at BLAS speed and only 2080-row partials ever
+    shuffle. float64 partial sums are NOT bit-stable across partition
+    orders, so this arm is tolerance-checked against the fixed-point
+    truth arm: bench extras publish the max-abs covariance difference
+    per round (q63/q91 treatment) and SCALE.md the per-decade timing.
+    Returns the same (i, j, n, sum_x, sum_y, sum_xy) sufficient
+    statistics, unquantized doubles."""
+    import numpy as np
+    import pandas as pd
+
+    em = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        n_tot, s, g, iu = 0, None, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if s is None:
+                d = x.shape[1]
+                iu = np.triu_indices(d)
+                s = np.zeros(d)
+                g = np.zeros((d, d))
+            n_tot += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if s is None:
+            return
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "n": np.int64(n_tot),
+                "sum_x": s[iu[0]],
+                "sum_y": s[iu[1]],
+                "sum_xy": g[iu],
+            }
+        )
+
+    partials = em.mapInPandas(
+        gram, "i int, j int, n long, sum_x double, sum_y double, sum_xy double"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_x").alias("sum_x"),
+        F.sum("sum_y").alias("sum_y"),
+        F.sum("sum_xy").alias("sum_xy"),
+    )
+
+
+def covariance_arms_max_abs_diff(spark: SparkSession, sf_dir: str) -> float:
+    """Max absolute difference between the covariance matrices implied
+    by q266's fixed-point truth arm and the numpy throughput arm —
+    cov(i,j) = (n·Σxy − Σx·Σy) / n² (truth sums descaled by SCALE²).
+    Bounds quantization (±1e-6 per value) plus float fold-order error;
+    published per round in bench extras."""
+    truth = {
+        (r["i"], r["j"]): (r["n"], r["sum_x"], r["sum_y"], int(r["sum_xy"]))
+        for r in q266_embedding_covariance(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["i"], r["j"]): (r["n"], r["sum_x"], r["sum_y"], r["sum_xy"])
+        for r in embedding_covariance_numpy(spark, sf_dir).collect()
+    }
+    assert truth.keys() == fast.keys()
+    worst = 0.0
+    sc2 = float(_COV_SCALE) ** 2
+    for k, (n, sx, sy, sxy) in truth.items():
+        cov_t = (n * sxy - sx * sy) / (n * n * sc2)
+        fn, fsx, fsy, fsxy = fast[k]
+        cov_f = (fn * fsxy - fsx * fsy) / (fn * fn)
+        worst = max(worst, abs(cov_t - cov_f))
+    return worst

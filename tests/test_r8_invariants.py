@@ -147,6 +147,25 @@ def test_driver_window_is_computed_from_the_ledger(led_and_head):
         assert need <= set(window), sorted(need - set(window))
 
 
+def test_q266_numpy_arm_matches_truth_arm(spark):
+    """The BLAS Gram throughput arm must agree with the fixed-point
+    truth arm: identical (i, j) key set, identical n, and covariance
+    within quantization (±1e-6/value) + fold-order noise. This is the
+    q63/q91 two-arm discipline applied to the covariance reduce."""
+    from ecowatt_etl_spark.queries.similarity_queries import (
+        covariance_arms_max_abs_diff,
+        embedding_covariance_numpy,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    fast = embedding_covariance_numpy(spark, sf)
+    rows = fast.collect()
+    d = max(r["j"] for r in rows) + 1
+    assert len(rows) == d * (d + 1) // 2  # full upper triangle
+    assert len({r["n"] for r in rows}) == 1  # every pair saw every vector
+    assert covariance_arms_max_abs_diff(spark, sf) < 1e-5
+
+
 def test_recommended_window_orders_same_round_rewrites_first(led_and_head):
     """Within the stale set, queries rewritten THIS round (fingerprint
     differs from the latest cached round) come before older drift —

@@ -27,7 +27,7 @@ def prefix_sum(
     order_col: str,
     value_col: str,
     out_col: str = "prefix",
-    bucket_width: int = 1_000_000,
+    bucket_width: int = 65_536,
     exclusive: bool = True,
     partition_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -43,7 +43,15 @@ def prefix_sum(
     ``order_col`` must be unique non-negative integers (ids) within a
     partition; ties would make "earlier" ambiguous. ``bucket_width``
     bounds per-task window state; the bucket-totals frame has one row
-    per OCCUPIED bucket, so sparse id spaces cost nothing."""
+    per OCCUPIED bucket, so sparse id spaces cost nothing.
+
+    Width choice (r8 probe, SCALE.md): the output is bit-identical at
+    ANY width (pytest-pinned), so width is purely a parallelism/state
+    knob. The original 1M default left every warehouse-scale corpus
+    (≤1M ids) in ONE bucket — a single-task window, measured 2.74 s vs
+    0.64 s at 10k-width over the 100× corpus. 64Ki splits the tested
+    decades into enough buckets to parallelize while a 10B-id corpus
+    still yields only ~152k bucket rows — a few MB to broadcast."""
     pcols = list(partition_cols or [])
     bucket = F.expr(f"{order_col} DIV {bucket_width}").alias("__bucket")
     b = df.withColumn("__bucket", bucket)

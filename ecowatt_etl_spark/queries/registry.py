@@ -74,9 +74,11 @@ def _load_all() -> None:
 # hand ledger ever noticing; 50 re-certify this round, the remainder
 # spill to r9 exactly like the r3–r6 rotation era.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r8 window (50 slots): 19 rewritten-this-round (LSH corpus-
-    # scaled cap family, Avro commit/deflate, q263/q264 integer DIV),
-    # then oldest-evidence drift
+    # ---- r8 window (50 slots, regenerated after the prefix_sum
+    # width change re-flagged the packing family): 22 rewritten this
+    # round (LSH corpus-scaled cap family, Avro commit/deflate,
+    # q263/q264 integer DIV, q262/q265/q267 prefix_sum width), then
+    # oldest-evidence drift
     "q134_boilerplate_shingles",
     "q135_dedup_impact",
     "q171_tfidf_shingle_pairs",
@@ -89,8 +91,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q212_bfs_hops",
     "q219_lsh_recall_audit",
     "q261_avro_roundtrip",
+    "q262_sequence_packing",
     "q263_repetition_ratio",
     "q264_mixture_weights",
+    "q265_incremental_packing",
+    "q267_source_packing",
     "q53_minhash_lsh_pairs",
     "q54_ngram_jaccard_pairs",
     "q57_dedup_clusters",
@@ -124,19 +129,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q17_top10_revenue",
     "q18_surrogate_keys",
     "q19_regex_extract_cast",
+    # ---- round-8 window cutoff (50) — slots below only order the
+    # tail (r9 spill continues from here)
     "q20_try_cast_junk",
     "q21_guarded_ratio",
     "q22_window_yoy",
-    # ---- round-8 window cutoff (50) — slots below only order the
-    # tail (r9 spill continues from here)
     "q23_topk_per_group",
     "q24_rollup",
     "q25_percentiles",
     "q26_cube",
     "q27_set_ops",
-    "q29_incremental_rollup",
-    "q30_region_nation_revenue",
-    "q31_shipping_priority",
 )
     # q103–q126 TPC-H tail + q140–q170; r05 green (49/50; q176
 

@@ -1481,3 +1481,268 @@ def q225_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "event_type", (F.col("c") + noise).alias("noisy_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# q270 — deterministic epoch-sharded training-order manifest
+# ---------------------------------------------------------------------------
+_MANIFEST_EPOCHS = 2
+_MANIFEST_SHARDS = 8
+
+
+@query(
+    "q270_training_manifest",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT d.doc_id,
+             len({_SQL_W}) AS n_tokens,
+             e.epoch,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+               AS k
+      FROM documents d,
+           (SELECT UNNEST(range({_MANIFEST_EPOCHS})) AS epoch) e
+    )
+    SELECT epoch,
+           CAST(CAST(concat('0x', substring(k, 1, 15)) AS BIGINT)
+                % {_MANIFEST_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           arg_min(doc_id, k) AS first_doc
+    FROM keyed
+    GROUP BY 1, 2
+    """,
+)
+def q270_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC TRAINING ORDER — the layout decision after packing
+    (q262) and mixing (q264): every epoch re-shuffles the corpus with a
+    seeded, data-independent permutation, sharded for parallel loaders.
+    The permutation key is md5(doc_id ':' epoch) — reproducible on any
+    engine, no RNG state — so epoch 0 and epoch 1 orders are
+    decorrelated but each is bit-stable across reruns, which is what
+    makes a training run resumable and auditable. Emits per
+    (epoch, shard): doc/token counts and the first document each
+    loader would read (arg-min over the permutation key; md5 over the
+    unique doc_id string is collision-free for ordering purposes).
+
+    Scale: the epoch fan-out is a literal array explode (E x rows, no
+    shuffle); the aggregate shuffles E x S = 16 groups. The full
+    per-doc manifest a writer would persist is this same frame before
+    the groupBy — sorting WITHIN shard by key is each loader's local
+    task, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_MANIFEST_EPOCHS)])
+        ).alias("epoch"),
+    ).withColumn(
+        "k",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ),
+    )
+    shard = (
+        F.conv(F.substring("k", 1, 15), 16, 10).cast("long")
+        % _MANIFEST_SHARDS
+    )
+    return keyed.groupBy(
+        "epoch", shard.cast("long").alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min_by("doc_id", "k").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q271 — token-budget data selection (quality-ranked, two-phase)
+# ---------------------------------------------------------------------------
+_SEL_BUDGET_DIV = 4  # per-source budget = total source tokens DIV 4
+_SEL_BUCKET = 1000  # micro-quality units per histogram bucket
+
+
+@query(
+    "q271_token_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, len({_SQL_W}) AS n_tokens,
+             CAST(FLOOR((
+               least(len({_SQL_W}) / 100.0, 1.0) * 0.4
+               + least((CAST(len(list_filter({_SQL_W},
+                   x -> x IN ('the','a','is','of','and','to','in'))) AS DOUBLE)
+                   / len({_SQL_W})) * 5.0, 1.0) * 0.3
+               + (CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                   / length(lower(text))) * 0.3
+             ) * 1000000) AS BIGINT) AS qbp
+      FROM documents
+    ),
+    budgets AS (
+      SELECT source, SUM(n_tokens) // {_SEL_BUDGET_DIV} AS budget
+      FROM scored GROUP BY source
+    ),
+    hist AS (
+      SELECT source, qbp // {_SEL_BUCKET} AS bucket,
+             SUM(n_tokens) AS tok FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT *, COALESCE(SUM(tok) OVER (
+        PARTITION BY source ORDER BY bucket DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+      FROM hist
+    ),
+    boundary AS (
+      SELECT c.source, c.bucket, c.above
+      FROM cum c JOIN budgets b USING (source)
+      WHERE c.above <= b.budget AND c.above + c.tok > b.budget
+    ),
+    full_sel AS (
+      SELECT s.source, COUNT(*) AS n_docs, SUM(s.n_tokens) AS tok,
+             MIN(s.qbp) AS min_qbp
+      FROM scored s JOIN boundary bo ON bo.source = s.source
+      WHERE s.qbp // {_SEL_BUCKET} > bo.bucket
+      GROUP BY 1
+    ),
+    bruns AS (
+      SELECT s.source, s.n_tokens, s.qbp, bo.above,
+             SUM(s.n_tokens) OVER (
+               PARTITION BY s.source ORDER BY s.qbp DESC, s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM scored s
+      JOIN boundary bo ON bo.source = s.source
+       AND s.qbp // {_SEL_BUCKET} = bo.bucket
+    ),
+    part_sel AS (
+      SELECT r.source, COUNT(*) AS n_docs, SUM(r.n_tokens) AS tok,
+             MIN(r.qbp) AS min_qbp
+      FROM bruns r JOIN budgets b USING (source)
+      WHERE r.above + r.run <= b.budget
+      GROUP BY 1
+    )
+    SELECT b.source,
+           CAST(b.budget AS BIGINT) AS budget,
+           CAST(bo.bucket AS BIGINT) AS boundary_bucket,
+           CAST(COALESCE(f.n_docs, 0) + COALESCE(p.n_docs, 0) AS BIGINT)
+             AS n_selected,
+           CAST(COALESCE(f.tok, 0) + COALESCE(p.tok, 0) AS BIGINT)
+             AS tokens_selected,
+           CAST(COALESCE(least(f.min_qbp, p.min_qbp),
+                         COALESCE(p.min_qbp, f.min_qbp), -1) AS BIGINT)
+             AS min_qbp_selected
+    FROM budgets b
+    JOIN boundary bo USING (source)
+    LEFT JOIN full_sel f ON f.source = b.source
+    LEFT JOIN part_sel p ON p.source = b.source
+    """,
+)
+def q271_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET DATA SELECTION — pick the highest-quality documents
+    per source until a token budget (here: the top quarter of each
+    source's tokens) is spent; the DataComp/DsDm-style curation step
+    between scoring (q71) and packing (q262). Greedy-by-quality with
+    deterministic ties (qbp DESC, doc_id).
+
+    Scale shape — the naive form is a per-source window cumsum over
+    QUALITY order, which serializes each source's billion documents on
+    one task. This is the histogram two-phase instead (prefix_sum's
+    discipline, but keyed by quality): (1) one hash aggregate builds a
+    ≤1001-bucket quality histogram per source; (2) a window over
+    BUCKETS (bounded rows) finds each source's boundary bucket — the
+    only bucket where the budget line crosses; (3) the exact per-doc
+    cumsum runs ONLY inside that one bucket (0.1% of the quality
+    range). Documents outside the boundary bucket are decided by the
+    histogram alone and never sort. Quality enters as FLOOR(score·1e6)
+    int64 — q71's composite doubles are bit-identical cross-engine, so
+    the floor is too."""
+    from ecowatt_etl_spark.operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        feats["n_tokens"].alias("n_tokens"),
+        F.floor(feats["quality_score"] * 1_000_000)
+        .cast("long")
+        .alias("qbp"),
+    )
+    budgets = scored.groupBy("source").agg(
+        F.expr(f"SUM(n_tokens) DIV {_SEL_BUDGET_DIV}").alias("budget")
+    )
+    hist = scored.groupBy(
+        "source", F.expr(f"qbp DIV {_SEL_BUCKET}").alias("bucket")
+    ).agg(F.sum("n_tokens").alias("tok"))
+    w_above = (
+        W.partitionBy("source")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "above", F.coalesce(F.sum("tok").over(w_above), F.lit(0))
+    )
+    boundary = (
+        cum.join(F.broadcast(budgets), "source")
+        .filter(
+            (F.col("above") <= F.col("budget"))
+            & (F.col("above") + F.col("tok") > F.col("budget"))
+        )
+        .select("source", "bucket", "above")
+    )
+    full_sel = (
+        scored.join(F.broadcast(boundary), "source")
+        .filter(F.expr(f"qbp DIV {_SEL_BUCKET}") > F.col("bucket"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("f_docs"),
+            F.sum("n_tokens").alias("f_tok"),
+            F.min("qbp").alias("f_min_qbp"),
+        )
+    )
+    w_run = (
+        W.partitionBy("source")
+        .orderBy(F.col("qbp").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    bruns = (
+        scored.join(
+            F.broadcast(boundary).withColumnRenamed("bucket", "b_bucket"),
+            "source",
+        )
+        .filter(F.expr(f"qbp DIV {_SEL_BUCKET}") == F.col("b_bucket"))
+        .withColumn("run", F.sum("n_tokens").over(w_run))
+    )
+    part_sel = (
+        bruns.join(F.broadcast(budgets), "source")
+        .filter(F.col("above") + F.col("run") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("p_docs"),
+            F.sum("n_tokens").alias("p_tok"),
+            F.min("qbp").alias("p_min_qbp"),
+        )
+    )
+    return (
+        budgets.join(boundary, "source")
+        .join(full_sel, "source", "left")
+        .join(part_sel, "source", "left")
+        .select(
+            "source",
+            F.col("budget").cast("long").alias("budget"),
+            F.col("bucket").cast("long").alias("boundary_bucket"),
+            (
+                F.coalesce("f_docs", F.lit(0)) + F.coalesce("p_docs", F.lit(0))
+            ).cast("long").alias("n_selected"),
+            (
+                F.coalesce("f_tok", F.lit(0)) + F.coalesce("p_tok", F.lit(0))
+            ).cast("long").alias("tokens_selected"),
+            F.coalesce(
+                F.least("f_min_qbp", "p_min_qbp"),
+                F.coalesce("p_min_qbp", "f_min_qbp"),
+                F.lit(-1),
+            ).cast("long").alias("min_qbp_selected"),
+        )
+    )

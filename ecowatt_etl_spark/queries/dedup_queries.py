@@ -1860,3 +1860,144 @@ def q246_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .select("classification", "score", "n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# q269 — MinHash banding S-curve calibration (measured vs theoretical)
+# ---------------------------------------------------------------------------
+_SCURVE_MIN = 0.1  # audit every decile the truth join can price
+
+# Theoretical band-collision probability at each decile MIDPOINT for
+# the shipped b=4 bands x r=2 rows: 1 - (1 - s^r)^b. Computed once in
+# Python and injected as LITERALS into both engines (identical by
+# construction — no cross-engine pow()).
+_N_BANDS = N_HASHES // BAND_ROWS
+_THEORY_BP = {
+    d: int(round((1 - (1 - ((d + 0.5) / 10) ** BAND_ROWS) ** _N_BANDS) * 10000))
+    for d in range(1, 10)
+}
+_THEORY_BP[10] = 10000  # sim == 1.0 -> identical signatures
+_SQL_THEORY = (
+    "CASE sim_decile "
+    + " ".join(f"WHEN {d} THEN {bp}" for d, bp in _THEORY_BP.items())
+    + " END"
+)
+
+
+@query(
+    "q269_band_s_curve",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    sig AS ({_SQL_SIG_AGG}),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    ),
+    keep AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= {_DF_CAP}),
+    e2 AS (SELECT e.doc_id, e.h FROM e JOIN keep USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS sim
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_SCURVE_MIN}
+    ),
+    m AS (
+      SELECT CAST(floor(t.sim * 10) AS BIGINT) AS sim_decile,
+             c.id_a IS NOT NULL AS hit
+      FROM truth t
+      LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT sim_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_collided,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+                AS BIGINT) AS collision_bp,
+           CAST({_SQL_THEORY} AS BIGINT) AS theory_bp
+    FROM m GROUP BY 1
+    """,
+)
+def q269_band_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-CURVE CALIBRATION of the MinHash banding — the design
+    artifact behind every (bands, rows) choice: per exact-similarity
+    decile (df-capped Jaccard truth, q219's economics, audited from
+    0.1 up instead of only above the near-dup threshold), the MEASURED
+    band-collision rate next to the THEORETICAL 1-(1-s^r)^b at the
+    decile midpoint. Where measured tracks theory, the permutations
+    are healthy; where it sags, signatures are correlated (bad hash
+    mixing) or the cap is biting; where it exceeds theory at low sim,
+    degenerate band keys are colliding unrelated docs. A deployment
+    re-runs this table to pick b x r for ITS recall target instead of
+    trusting folklore. Theory values are Python-computed literals
+    injected into both engines — no cross-engine pow().
+
+    Scale: reuses the session shingle/band index; the truth self-join
+    is df-capped (<= _DF_CAP per posting, linear in corpus); the only
+    new work vs q219 is a wider decile range on the same joins."""
+    e, bands = shingle_index(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    keep = (
+        e.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("h")
+    )
+    e2 = e.join(keep, "h").localCheckpoint()
+    sizes = e2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea, eb = e2.alias("ea").hint("merge"), e2.alias("eb").hint("merge")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("ea.h") == F.col("eb.h"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .groupBy(
+            F.col("ea.doc_id").alias("id_a"), F.col("eb.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sim = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    truth = (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= _SCURVE_MIN)
+    )
+    m = truth.join(
+        cand.withColumn("hit", F.lit(True)), ["id_a", "id_b"], "left"
+    ).select(
+        F.floor(F.col("sim") * 10).cast("long").alias("sim_decile"),
+        F.coalesce("hit", F.lit(False)).alias("hit"),
+    )
+    theory = F.expr(_SQL_THEORY.replace("sim_decile", "sim_decile"))
+    return m.groupBy("sim_decile").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_collided"),
+        F.expr(
+            "CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("collision_bp"),
+    ).select(
+        "sim_decile", "n_pairs", "n_collided", "collision_bp",
+        theory.cast("long").alias("theory_bp"),
+    )

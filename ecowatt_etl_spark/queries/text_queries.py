@@ -3426,3 +3426,126 @@ def q268_stream_source_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         out, "q268_source_packing_sink", output_mode="update"
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — truncation-loss report (the case FOR packing, quantified)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q272_truncation_loss",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, len({_SQL_TOKENS}) AS n_tok FROM documents
+      WHERE len({_SQL_TOKENS}) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(least(n_tok, {_PACK_C})) AS BIGINT) AS kept_truncate,
+           CAST(SUM(CASE WHEN n_tok > {_PACK_C} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST((SUM(n_tok) - SUM(least(n_tok, {_PACK_C}))) * 10000
+                // SUM(n_tok) AS BIGINT) AS loss_bp,
+           CAST(SUM(n_tok) // {_PACK_C}
+                + CASE WHEN SUM(n_tok) % {_PACK_C} > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS packed_bins,
+           CAST(((SUM(n_tok) + {_PACK_C} - 1) // {_PACK_C}) * {_PACK_C}
+                - SUM(n_tok) AS BIGINT) AS packed_pad_tokens
+    FROM t GROUP BY source
+    """,
+)
+def q272_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATION vs PACKING, quantified per source — the report that
+    justifies the q262 layout: a truncate-at-C loader discards every
+    token past position C of each document (loss_bp), while packing
+    keeps all of them and pays only the final bin's padding
+    (packed_pad_tokens, < C per source). The two policies' token
+    economics side by side is what a data-loading design review
+    actually reads. Pure integer arithmetic over one scan-local
+    projection; the aggregate shuffles |sources| groups."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", F.size(tokens("text")).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    c = _PACK_C
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.least(F.col("n_tok"), F.lit(c))).cast("long").alias(
+            "kept_truncate"
+        ),
+        F.sum(F.when(F.col("n_tok") > c, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.expr(
+            f"CAST((SUM(n_tok) - SUM(LEAST(n_tok, {c}))) * 10000"
+            f" DIV SUM(n_tok) AS BIGINT)"
+        ).alias("loss_bp"),
+        F.expr(
+            f"CAST(SUM(n_tok) DIV {c}"
+            f" + CASE WHEN SUM(n_tok) % {c} > 0 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("packed_bins"),
+        F.expr(
+            f"CAST(((SUM(n_tok) + {c - 1}) DIV {c}) * {c}"
+            f" - SUM(n_tok) AS BIGINT)"
+        ).alias("packed_pad_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q273 — template-prefix clusters (boilerplate headers at ingest)
+# ---------------------------------------------------------------------------
+_TPL_K = 8  # identical first-K tokens => same template family
+
+
+@query(
+    "q273_template_prefix_clusters",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(array_to_string(({_SQL_TOKENS})[1:{_TPL_K}], chr(31))) AS pk
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= {_TPL_K}
+    ),
+    fam AS (
+      SELECT source, pk, COUNT(*) AS n FROM keyed GROUP BY 1, 2
+      HAVING COUNT(*) > 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_templates,
+           CAST(SUM(n) AS BIGINT) AS n_templated_docs,
+           CAST(MAX(n) AS BIGINT) AS max_family
+    FROM fam GROUP BY source
+    """,
+)
+def q273_template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPLATE-HEADER DETECTION — documents opening with the same
+    first-K tokens are one generated-template family (mailing-list
+    footers-as-headers, scraped nav preambles, license blocks): a
+    boilerplate signal ORTHOGONAL to shingle-df (q134, which needs the
+    phrase to repeat across many docs anywhere) and to near-dup pairs
+    (q53, which needs whole-document similarity). Detection is one
+    md5 over a SLICE — no shingle explosion, no self-join: the
+    cheapest dedup signal in the toolbox, which is why ingest
+    pipelines run it first. Aggregate fan: one hash aggregate on
+    (source, prefix-hash), then one on source."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    keyed = d.select(
+        "source",
+        F.md5(
+            F.concat_ws("\x1f", F.slice(t, 1, _TPL_K))
+        ).alias("pk"),
+    ).filter(F.size(t) >= _TPL_K)
+    fam = (
+        keyed.groupBy("source", "pk")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return fam.groupBy("source").agg(
+        F.count("*").alias("n_templates"),
+        F.sum("n").cast("long").alias("n_templated_docs"),
+        F.max("n").cast("long").alias("max_family"),
+    )

@@ -1662,6 +1662,13 @@ def q271_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     feats = quality_features("text")
+    # checkpointed: four consumers below (budgets/hist/full_sel/bruns)
+    # reference this subtree, and Catalyst does not dedup identical
+    # lazy subtrees across join arms (the q53 lesson) — the checkpoint
+    # bounds the tokenize+quality regex scan (the measured dominant
+    # cost: ~15 s of the 17 s total at 100x) to exactly ONE pass
+    # regardless of consumer count; downstream arms reread a
+    # 24-byte/doc frame.
     scored = d.select(
         "doc_id",
         "source",
@@ -1669,7 +1676,7 @@ def q271_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(feats["quality_score"] * 1_000_000)
         .cast("long")
         .alias("qbp"),
-    )
+    ).localCheckpoint()
     budgets = scored.groupBy("source").agg(
         F.expr(f"SUM(n_tokens) DIV {_SEL_BUDGET_DIV}").alias("budget")
     )

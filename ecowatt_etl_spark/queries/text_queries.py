@@ -3549,3 +3549,111 @@ def q273_template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n").cast("long").alias("n_templated_docs"),
         F.max("n").cast("long").alias("max_family"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q274 — packed shard MATERIALIZATION (the layout step made physical)
+# ---------------------------------------------------------------------------
+_SHARD_BINS = 4  # materialize the first K bins under the value gate
+_SQL_TOKHASH = (
+    "CAST(concat('0x', substring(md5(toks[i]), 1, 15)) AS BIGINT)"
+    f" % {HASH_PRIME}"
+)
+
+
+@query(
+    "q274_packed_shards",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_off
+      FROM base WHERE n_tok > 0
+    ),
+    e AS (
+      SELECT b.doc_id, o.start_off + g.i - 1 AS pos, {_SQL_TOKHASH} AS h
+      FROM base b
+      JOIN offs o ON o.doc_id = b.doc_id,
+           UNNEST(generate_series(1, b.n_tok)) AS g(i)
+      WHERE b.n_tok > 0
+    ),
+    slotted AS (
+      SELECT pos // {_PACK_C} AS bin, pos % {_PACK_C} AS slot, doc_id, h
+      FROM e WHERE pos // {_PACK_C} < {_SHARD_BINS}
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY slot)) AS digest,
+           CAST(arg_min(h, slot) AS BIGINT) AS first_tok,
+           CAST(arg_max(h, slot) AS BIGINT) AS last_tok
+    FROM slotted GROUP BY bin
+    """,
+)
+def q274_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKED SHARD MATERIALIZATION — q262 plans the layout; this
+    query BUILDS it: the actual fixed-length token-id sequences a
+    training loader memory-maps, materialized for the first
+    _SHARD_BINS bins and published as content DIGESTS (md5 over the
+    slot-ordered id stream) so the driver's value gate proves the
+    byte-exact layout — same ids, same order, same bin boundaries —
+    not just the manifest counts. Token ids are the portable
+    md5-derived word hashes, so DuckDB rebuilds the identical streams.
+
+    Scale shape: offsets from the two-phase prefix_sum; the exploded
+    (pos, id) stream shuffles ONCE keyed by bin — the inherent cost of
+    materializing a layout, and exactly the shuffle a shard writer
+    pays to stream each shard file from one task. Per-bin state is
+    bounded by the _PACK_C sequence length; the bin<K filter sits
+    BEFORE the shuffle, so the gate query moves only K·C ids however
+    large the corpus. A full writer replaces the filter with
+    partitionBy(bin-range) and streams every shard in parallel."""
+    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+    from ecowatt_etl_spark.operators.text import word_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    counts = d.select(
+        "doc_id", F.size(t).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    # Offsets need every doc's count (one cheap tokenize-COUNT pass),
+    # but only docs starting inside the first K bins contribute ids —
+    # broadcast that tiny doc set UNDER the explode, so the expensive
+    # per-token fan-out runs on K·C-worth of docs, not the corpus
+    # (measured 17.3 s -> explode-pruned at 100×; a full shard writer
+    # drops this filter and pays the full explode by design).
+    offs = (
+        prefix_sum(counts, "doc_id", "n_tok", out_col="start_off")
+        .filter(F.col("start_off") < _SHARD_BINS * _PACK_C)
+        .select("doc_id", "start_off")
+    )
+    base = d.join(F.broadcast(offs), "doc_id").select(
+        "doc_id", "start_off", F.posexplode(t).alias("i", "tok")
+    )
+    e = base.select(
+        "doc_id",
+        (F.col("start_off") + F.col("i")).alias("pos"),
+        word_hash(F.col("tok")).alias("h"),
+    )
+    slotted = e.select(
+        "doc_id",
+        F.expr(f"pos DIV {_PACK_C}").alias("bin"),
+        (F.col("pos") % _PACK_C).alias("slot"),
+        "h",
+    ).filter(F.col("bin") < _SHARD_BINS)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("slot", "h"))),
+        lambda x: x["h"].cast("string"),
+    )
+    return slotted.groupBy("bin").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.md5(F.concat_ws(",", ordered)).alias("digest"),
+        F.min_by("h", "slot").alias("first_tok"),
+        F.max_by("h", "slot").alias("last_tok"),
+    )

@@ -96,10 +96,29 @@ def test_evidence_cache_is_current():
         "fingerprint algorithm changed: re-run --backfill"
     )
     rounds = {
-        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        int(re.search(r"_r(\d+)\.json$", p).group(1)): p
         for p in glob.glob(os.path.join(EL._REPO, "CORRECTNESS_r*.json"))
     }
     missing = {r for r in rounds if str(r) not in blob["rounds"]}
+    if missing:
+        # a CORRECTNESS file the driver just dropped into the working
+        # tree (not yet in git HEAD) cannot have a fingerprint snapshot
+        # yet — its evidence commit doesn't exist. Only COMMITTED
+        # rounds without snapshots are a failure.
+        import subprocess
+
+        tracked = set(
+            subprocess.run(
+                ["git", "ls-files", "--", "CORRECTNESS_r*.json"],
+                cwd=EL._REPO,
+                capture_output=True,
+                text=True,
+            ).stdout.split()
+        )
+        missing = {
+            r for r in missing
+            if os.path.basename(rounds[r]) in tracked
+        }
     assert not missing, (
         f"rounds {sorted(missing)} lack fingerprint snapshots: "
         "re-run `python tools/evidence_ledger.py --backfill`"

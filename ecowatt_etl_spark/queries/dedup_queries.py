@@ -1989,7 +1989,7 @@ def q269_band_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("sim") * 10).cast("long").alias("sim_decile"),
         F.coalesce("hit", F.lit(False)).alias("hit"),
     )
-    theory = F.expr(_SQL_THEORY.replace("sim_decile", "sim_decile"))
+    theory = F.expr(_SQL_THEORY)  # same CASE literal as the oracle
     return m.groupBy("sim_decile").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_collided"),

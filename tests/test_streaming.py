@@ -441,6 +441,129 @@ def test_transform_with_state_live(spark):
     assert got == want and len(got) > 0
 
 
+def test_tws_list_and_map_state_live(spark):
+    """The vendored protobuf must carry the FULL transformWithState
+    variable surface, not just ValueState: ListState and MapState use
+    the protocol's Arrow-batched fetch paths (fetchWithArrow in the
+    state messages), which this exercises end-to-end — per user, a
+    ListState of observed event values (appendValue + get-iterator)
+    and a MapState of per-event-type counts (updateValue + iterator).
+    Results are pinned against a plain batch aggregation."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.sources.tables import load_table
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+    )
+    from ecowatt_etl_spark.streaming.proto_vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        _pytest.skip("no google.protobuf runtime vendorable on this host")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class ListMapTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._vals = handle.getListState(
+                "vals", StructType([StructField("cents", LongType())])
+            )
+            self._bytype = handle.getMapState(
+                "bytype",
+                StructType([StructField("et", StringType())]),
+                StructType([StructField("n", LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            for pdf in rows:
+                for v in pdf["value"].fillna(0.0).tolist():
+                    self._vals.appendValue((int(round(v * 100)),))
+                for et in pdf["event_type"].tolist():
+                    cur = (
+                        self._bytype.getValue((et,))
+                        if self._bytype.containsKey((et,))
+                        else (0,)
+                    )
+                    self._bytype.updateValue((et,), (cur[0] + 1,))
+            n, cents = 0, 0
+            for (c,) in self._vals.get():
+                n += 1
+                cents += c
+            n_types = sum(1 for _ in self._bytype.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [cents / 100.0],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass  # state handles are Spark-owned
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, SF_SMOKE)
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=ListMapTotals(),
+            outputStructType=(
+                "user_id long, n_events long, sum_value double, n_types long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        res = run_to_completion(out, "tws_listmap", output_mode="update")
+        got = {}
+        for r in res.collect():
+            cur = got.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                got[r["user_id"]] = (
+                    r["n_events"], r["sum_value"], r["n_types"]
+                )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+                    .cast("long")
+                )
+                / 100.0
+            ).alias("s"),
+            F.count_distinct("event_type").alias("t"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["s"], r["t"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_rocksdb_state_store_provider(spark):
     """State-backend swap contract: the SAME windowed aggregation run on
     the default (HDFS-backed, heap-bound) provider and on RocksDB —

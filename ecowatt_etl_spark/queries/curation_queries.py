@@ -1753,3 +1753,139 @@ def q271_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("min_qbp_selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — length-bucketed batching: padding economics, sorted vs arrival
+# ---------------------------------------------------------------------------
+_BATCH_B = 32  # documents per training batch
+
+
+@query(
+    "q275_length_batching",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_SQL_W}) AS n_tok FROM documents
+      WHERE len({_SQL_W}) > 0
+    ),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) - 1
+          AS rn_len,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+          AS rn_arr
+      FROM t
+    ),
+    b_len AS (
+      SELECT source, rn_len // {_BATCH_B} AS b, COUNT(*) AS c,
+             MAX(n_tok) AS mx
+      FROM ranked GROUP BY 1, 2
+    ),
+    b_arr AS (
+      SELECT source, rn_arr // {_BATCH_B} AS b, COUNT(*) AS c,
+             MAX(n_tok) AS mx
+      FROM ranked GROUP BY 1, 2
+    ),
+    pay AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS payload
+            FROM t GROUP BY 1),
+    pl AS (SELECT source, COUNT(*) AS n_batches, SUM(c * mx) AS padded
+           FROM b_len GROUP BY 1),
+    pa AS (SELECT source, SUM(c * mx) AS padded FROM b_arr GROUP BY 1)
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(pl.n_batches AS BIGINT) AS n_batches,
+           CAST(p.payload AS BIGINT) AS payload_tokens,
+           CAST(pl.padded AS BIGINT) AS padded_sorted,
+           CAST(pa.padded AS BIGINT) AS padded_arrival,
+           CAST((pl.padded - p.payload) * 10000 // pl.padded AS BIGINT)
+             AS waste_sorted_bp,
+           CAST((pa.padded - p.payload) * 10000 // pa.padded AS BIGINT)
+             AS waste_arrival_bp
+    FROM pay p JOIN pl USING (source) JOIN pa USING (source)
+    """,
+)
+def q275_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDING ECONOMICS of batch formation — for unpacked (padded)
+    training or inference serving, every batch costs
+    batch_docs · max_len tokens; length-sorted batching makes batches
+    length-homogeneous and collapses the padding waste vs arrival
+    order. This report prices both policies per source in integer
+    basis points — the number that justifies a sorted/bucketed loader
+    (and, past a point, switching to q262 packing).
+
+    Scale shape: ranks are NOT naive corpus-wide window row_numbers
+    (one task per source at 10B docs). Arrival rank is
+    prefix_sum(ones) keyed by source; length rank is the q271
+    histogram discipline — per-(source, length) counts, a bounded
+    running sum over the per-source length histogram for the bucket
+    base, plus prefix_sum(ones) WITHIN each (source, length) tie group
+    — every phase bounded, no global sort anywhere. Batch aggregation
+    is one hash aggregate on (source, batch)."""
+    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("one", F.lit(1))
+        .localCheckpoint()  # three rank/payload arms share the scan
+    )
+    # arrival-order rank: distributed running count per source
+    arr = prefix_sum(
+        t, "doc_id", "one", out_col="rn_arr", partition_cols=["source"]
+    )
+    # length-order rank: histogram base + intra-tie distributed count
+    hist = t.groupBy("source", "n_tok").agg(F.count("*").alias("c"))
+    w_base = (
+        W.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = hist.withColumn(
+        "base", F.coalesce(F.sum("c").over(w_base), F.lit(0))
+    ).select("source", "n_tok", "base")
+    tie = prefix_sum(
+        t, "doc_id", "one", out_col="tie", partition_cols=["source", "n_tok"]
+    )
+    ranked = tie.join(F.broadcast(base), ["source", "n_tok"]).select(
+        "source",
+        "n_tok",
+        (F.col("base") + F.col("tie")).alias("rn_len"),
+        "doc_id",
+    )
+    b_len = ranked.groupBy(
+        "source", F.expr(f"rn_len DIV {_BATCH_B}").alias("b")
+    ).agg(F.count("*").alias("c"), F.max("n_tok").alias("mx"))
+    b_arr = arr.groupBy(
+        "source", F.expr(f"rn_arr DIV {_BATCH_B}").alias("b")
+    ).agg(F.count("*").alias("c"), F.max("n_tok").alias("mx"))
+    pay = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("payload")
+    )
+    pl = b_len.groupBy("source").agg(
+        F.count("*").alias("n_batches"),
+        F.sum(F.col("c") * F.col("mx")).alias("padded_s"),
+    )
+    pa = b_arr.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("mx")).alias("padded_a")
+    )
+    return (
+        pay.join(pl, "source")
+        .join(pa, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_batches").cast("long").alias("n_batches"),
+            F.col("payload").cast("long").alias("payload_tokens"),
+            F.col("padded_s").cast("long").alias("padded_sorted"),
+            F.col("padded_a").cast("long").alias("padded_arrival"),
+            F.expr(
+                "CAST((padded_s - payload) * 10000 DIV padded_s AS BIGINT)"
+            ).alias("waste_sorted_bp"),
+            F.expr(
+                "CAST((padded_a - payload) * 10000 DIV padded_a AS BIGINT)"
+            ).alias("waste_arrival_bp"),
+        )
+    )

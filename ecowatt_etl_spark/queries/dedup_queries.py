@@ -1933,9 +1933,13 @@ def q269_band_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1 up instead of only above the near-dup threshold), the MEASURED
     band-collision rate next to the THEORETICAL 1-(1-s^r)^b at the
     decile midpoint. Where measured tracks theory, the permutations
-    are healthy; where it sags, signatures are correlated (bad hash
-    mixing) or the cap is biting; where it exceeds theory at low sim,
-    degenerate band keys are colliding unrelated docs. A deployment
+    are healthy; where it sags, either signatures are correlated (bad
+    hash mixing), the cap is biting, or — dominant on this corpus —
+    the df-capped TRUTH arm overstates similarity (capped sets agree
+    while the FULL shingle sets the signatures actually see do not;
+    q219's note); where it exceeds theory at low sim, degenerate band
+    keys are colliding unrelated docs. The table separates those
+    stories because n_pairs per decile is published alongside. A deployment
     re-runs this table to pick b x r for ITS recall target instead of
     trusting folklore. Theory values are Python-computed literals
     injected into both engines — no cross-engine pow().

@@ -852,3 +852,46 @@ def test_plans_md_freshness(spark):
             f"PLANS.md is stale for {name} — the derived plan shape "
             "changed; regenerate with `python tools/dump_plans.py`"
         )
+
+
+def test_q274_explode_runs_after_broadcast_prune(spark):
+    """q274 materializes only the first K bins, so the expensive
+    per-token Generate must sit ABOVE the broadcast join that filters
+    to contributing docs (start_off < K*C) — explode-after-prune is
+    what keeps the gate query's fan-out constant in corpus size. Also
+    pins the prefix_sum contract: exactly one order-only window, and
+    it runs on the bucket-TOTALS frame (the documented bounded global
+    phase), every other window bucket-partitioned."""
+    import re
+
+    plan = _plan(spark, "q274_packed_shards")
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    gen = [i for i, l in enumerate(lines) if "Generate" in l]
+    bhj = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    assert len(gen) == 1, "exactly one explode"
+    assert any(i > gen[0] for i in bhj), (
+        "the doc-pruning broadcast join must be INSIDE the Generate's "
+        "subtree (explode after prune)"
+    )
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+    order_only = [s for s in specs if re.match(r"\s*\w+#\d+L? (ASC|DESC)", s)]
+    assert len(order_only) == 1, (specs,)
+
+
+def test_q275_every_window_is_partitioned(spark):
+    """q275's whole point is rank assignment WITHOUT corpus-wide
+    windows: every windowspecdefinition in the plan must carry at
+    least one partition column before its sort spec, and no
+    SinglePartition exchange may appear anywhere (the histogram-base
+    and tie-group phases are all source-keyed)."""
+    import re
+
+    plan = _plan(spark, "q275_length_batching")
+    assert "Exchange SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+    assert specs, "expected window phases in the plan"
+    for s in specs:
+        assert not re.match(r"\s*\w+#\d+L? (ASC|DESC)", s), (
+            f"unpartitioned window spec: {s[:80]}"
+        )

@@ -3657,3 +3657,141 @@ def q274_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("h", "slot").alias("first_tok"),
         F.max_by("h", "slot").alias("last_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q276 — deterministic mixture sampler (q264's weights, EXECUTED)
+# ---------------------------------------------------------------------------
+_SAMPLE_BUDGET_DIV = 2  # global token budget = corpus tokens DIV 2
+
+
+@query(
+    "q276_mixture_sampler",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tok,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10000 AS u
+      FROM documents WHERE len({_SQL_TOKENS}) > 0
+    ),
+    src AS (SELECT source, SUM(n_tok) AS n_tokens FROM docs GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS total FROM src),
+    raw AS (
+      SELECT source, n_tokens, total,
+             CAST(SQRT(CAST(n_tokens AS DOUBLE) / total) * 1000000 AS BIGINT)
+               AS w_units
+      FROM src, tot
+    ),
+    norm AS (SELECT SUM(w_units) AS units_total FROM raw),
+    plan AS (
+      SELECT source, n_tokens,
+             w_units * 10000 // units_total AS weight_bp,
+             least(10000,
+                   ((w_units * 10000 // units_total)
+                     * (total // {_SAMPLE_BUDGET_DIV}) // 10000) * 10000
+                     // n_tokens) AS p_bp,
+             (w_units * 10000 // units_total)
+               * (total // {_SAMPLE_BUDGET_DIV}) // 10000 AS target_tokens
+      FROM raw, norm
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS kept_docs, SUM(d.n_tok) AS kept_tokens
+      FROM docs d JOIN plan p USING (source)
+      WHERE d.u < p.p_bp
+      GROUP BY d.source
+    )
+    SELECT p.source,
+           CAST(p.weight_bp AS BIGINT) AS weight_bp,
+           CAST(p.target_tokens AS BIGINT) AS target_tokens,
+           CAST(p.p_bp AS BIGINT) AS p_bp,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(k.kept_tokens, 0) * 10000
+                // GREATEST(p.target_tokens, 1) AS BIGINT) AS achieved_bp
+    FROM plan p LEFT JOIN kept k USING (source)
+    """,
+)
+def q276_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE SAMPLING, EXECUTED — q264 computes the temperature-
+    rebalanced weights; this query actually DRAWS the sample: each
+    source gets its weight-proportional share of a global token budget
+    (here corpus/2), converted to a per-document keep probability in
+    basis points, and each document is kept iff
+    md5(doc_id) % 10000 < p_bp — a deterministic, coordinate-free
+    Bernoulli draw (same doc always decides the same way; no RNG
+    state, no shuffle, reproducible across engines and reruns — the
+    q93 stratified-sampling discipline applied to mixture execution).
+    The report publishes plan vs achievement per source: target
+    tokens, keep probability, and the achieved fraction in bp — the
+    sampling-error visibility a mixture manifest needs before a run
+    commits to it.
+
+    Exactness: q264's integer micro-unit weights (IEEE sqrt is
+    bit-identical cross-engine, everything after is integer);
+    targets, probabilities, achievements all integer DIV. Scale: one
+    scan projects (source, n_tok, hash); totals ride 1-row/20-row
+    broadcast crossJoins; the keep decision is scan-local — the
+    sampler never shuffles documents."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tok"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ).alias("u"),
+    ).filter(F.col("n_tok") > 0)
+    src = docs.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = src.agg(F.sum("n_tokens").alias("total"))
+    raw = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "total",
+        (
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("total"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("w_units"),
+    )
+    norm = raw.agg(F.sum("w_units").alias("units_total"))
+    plan = raw.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        F.expr("w_units * 10000 DIV units_total").alias("weight_bp"),
+        F.expr(
+            f"LEAST(10000, ((w_units * 10000 DIV units_total)"
+            f" * (total DIV {_SAMPLE_BUDGET_DIV}) DIV 10000) * 10000"
+            f" DIV n_tokens)"
+        ).alias("p_bp"),
+        F.expr(
+            f"(w_units * 10000 DIV units_total)"
+            f" * (total DIV {_SAMPLE_BUDGET_DIV}) DIV 10000"
+        ).alias("target_tokens"),
+    )
+    kept = (
+        docs.join(F.broadcast(plan.select("source", "p_bp")), "source")
+        .filter(F.col("u") < F.col("p_bp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+    return plan.join(kept, "source", "left").select(
+        "source",
+        F.col("weight_bp").cast("long").alias("weight_bp"),
+        F.col("target_tokens").cast("long").alias("target_tokens"),
+        F.col("p_bp").cast("long").alias("p_bp"),
+        F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        F.expr(
+            "CAST(COALESCE(kept_tokens, 0) * 10000"
+            " DIV GREATEST(target_tokens, 1) AS BIGINT)"
+        ).alias("achieved_bp"),
+    )

@@ -3731,7 +3731,16 @@ def q276_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets, probabilities, achievements all integer DIV. Scale: one
     scan projects (source, n_tok, hash); totals ride 1-row/20-row
     broadcast crossJoins; the keep decision is scan-local — the
-    sampler never shuffles documents."""
+    sampler never shuffles documents. The per-source totals frame is
+    localCheckpoint-ed (the q88 lineage-truncation pattern): the
+    20-row ``plan`` frame is referenced on both sides of the final
+    report join, and without the cut Spark re-derives it from source
+    each time — 9 corpus tokenize-scans in the naive plan vs the
+    2-scan optimum (one aggregate pass to learn totals, one keep
+    pass), a 4.5× scan-volume difference that only grows with the
+    corpus. The returned plan is pinned to exactly one parquet scan
+    (tests/test_plans.py::test_q276_single_corpus_scan_after_checkpoint).
+    """
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
@@ -3746,7 +3755,11 @@ def q276_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 10000
         ).alias("u"),
     ).filter(F.col("n_tok") > 0)
-    src = docs.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    src = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+        .localCheckpoint()
+    )
     tot = src.agg(F.sum("n_tokens").alias("total"))
     raw = src.crossJoin(F.broadcast(tot)).select(
         "source",

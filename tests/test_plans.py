@@ -895,3 +895,22 @@ def test_q275_every_window_is_partitioned(spark):
         assert not re.match(r"\s*\w+#\d+L? (ASC|DESC)", s), (
             f"unpartitioned window spec: {s[:80]}"
         )
+
+
+def test_q276_single_corpus_scan_after_checkpoint(spark):
+    """q276 references the 20-row mixture plan on both sides of its
+    report join; without the localCheckpoint lineage cut Spark
+    re-derives it from source each time — 9 corpus tokenize-scans in
+    the naive plan. The checkpoint pins the returned plan to exactly
+    ONE parquet scan (the keep pass; the totals pass ran eagerly at
+    checkpoint time), with the keep decision joined by broadcast and
+    no window anywhere."""
+    plan = _plan(spark, "q276_mixture_sampler")
+    tree = plan.split("\n\n")[0]
+    scans = [l for l in tree.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 1, (
+        f"expected the single keep-pass corpus scan, got {len(scans)} — "
+        "the mixture-plan lineage is being re-derived from source"
+    )
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in tree, "keep join must broadcast the plan"

@@ -3734,12 +3734,18 @@ def q276_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler never shuffles documents. The per-source totals frame is
     localCheckpoint-ed (the q88 lineage-truncation pattern): the
     20-row ``plan`` frame is referenced on both sides of the final
-    report join, and without the cut Spark re-derives it from source
-    each time — 9 corpus tokenize-scans in the naive plan vs the
-    2-scan optimum (one aggregate pass to learn totals, one keep
-    pass), a 4.5× scan-volume difference that only grows with the
-    corpus. The returned plan is pinned to exactly one parquet scan
-    (tests/test_plans.py::test_q276_single_corpus_scan_after_checkpoint).
+    report join, and without the cut the compiled plan re-derives it
+    from source each time — 9 structurally-duplicated corpus
+    tokenize-scan subtrees. At runtime Spark's ReuseExchange rule
+    recovers MOST of that duplication (measured: naive form median
+    29.3 s vs 26.9 s checkpointed at 100× the gate corpus, alternating
+    fresh processes — an ~8% win, inside the host-noise bracket), so
+    the checkpoint's real value is determinism of the physical shape:
+    the returned plan is provably the 2-scan optimum (one aggregate
+    pass to learn totals — executed eagerly at checkpoint — one keep
+    pass) instead of depending on an optimizer rule firing across
+    five deep identical subtrees. Pinned in
+    tests/test_plans.py::test_q276_single_corpus_scan_after_checkpoint.
     """
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(

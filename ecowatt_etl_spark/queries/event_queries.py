@@ -403,6 +403,64 @@ def q49_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q277 — the q49 totals through transformWithStateInPandas (Spark 4's
+# named-state API), live under ANY session incl. the driver's
+# ---------------------------------------------------------------------------
+@query(
+    "q277_stream_totals_tws",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_exact_sum("value", "sum_value")}
+    FROM events GROUP BY user_id
+    """,
+)
+def q277_stream_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q49's running per-user totals re-expressed on
+    ``transformWithStateInPandas`` — Spark 4's successor stateful API
+    (named ValueState/ListState/MapState, timers, TTL, mandatory
+    RocksDB state store) — under the SAME exact-decimal oracle: state
+    accumulates integer cents, so the result is batch-split-invariant
+    and bit-identical to the batch GROUP BY whatever the replay
+    slicing. The API was env-gated through r7 (no protobuf wheel in
+    the container); this query exists precisely because the gap is
+    now closed end-to-end: ``proto_vendor.ensure_protobuf_on`` flips
+    the vendored runtime live on ALREADY-RUNNING sessions (the
+    external driver's included) by shipping a patched zip through the
+    per-function worker environment — the one channel that reaches
+    TWS's include-blind schema-validation driver worker. The RocksDB
+    provider requirement is satisfied per-run and restored: provider
+    choice is a first-checkpoint capacity decision that must not leak
+    into unrelated streams on a shared session."""
+    from ecowatt_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_completion,
+        stateful_totals_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        agg = stateful_totals_tws(read_events_stream(spark, sf_dir))
+        return run_to_completion(
+            agg, "q277_tws_sink", output_mode="update"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+# ---------------------------------------------------------------------------
 # q49a/q49b — interval join, batch (oracle) and stream-stream (rows-only)
 # ---------------------------------------------------------------------------
 @query(

@@ -448,26 +448,29 @@ def stateful_totals_tws(events: DataFrame) -> DataFrame:
     LIVE since r8: the container still ships no protobuf wheel, but
     ``streaming/proto_vendor.py`` resolves the host's pure-Python
     6.32 runtime (plain ``google.*`` namespace) and exports it to the
-    python workers via the pre-JVM environment —
-    ``session.get_spark`` does this automatically, so sessions built
-    through the engine run this operator for real (see
-    tests/test_streaming.py::test_transform_with_state_live, which
-    pins it against the applyInPandasWithState twin). A FOREIGN
-    session whose JVM started without the vendor env still gates
-    here with the actionable diagnosis, because its workers would
-    crash at the first state call. Requires
+    python workers — pre-JVM via the environment when the session is
+    built through ``session.get_spark``, and since late r8 ALSO on
+    already-running FOREIGN sessions, by shipping a patched vendor
+    zip through the per-function worker environment
+    (``proto_vendor.ensure_protobuf_on``; ``sc.addPyFile`` cannot do
+    it, because TWS's schema-validation driver worker never reads the
+    includes list). See
+    tests/test_streaming.py::test_transform_with_state_live (pins the
+    result against the applyInPandasWithState twin) and
+    ::test_tws_under_foreign_session (vanilla builder session,
+    end-to-end). Gates with the actionable diagnosis only when no
+    vendorable runtime exists at all. Requires
     ``spark.sql.streaming.stateStore.providerClass =
     …state.RocksDBStateStoreProvider`` (mandatory for TWS)."""
-    from ecowatt_etl_spark.streaming.proto_vendor import ensure_protobuf
+    from ecowatt_etl_spark.streaming.proto_vendor import ensure_protobuf_on
 
-    if not ensure_protobuf():
+    if not ensure_protobuf_on(events.sparkSession):
         raise ImportError(
             "transformWithStateInPandas requires google.protobuf (the "
             "worker's state-server protocol); no wheel and no vendorable "
-            "runtime found (set ECOWATT_PROTOBUF_PATH, or build the "
-            "session via ecowatt_etl_spark.session.get_spark so the "
-            "vendor env precedes JVM launch) — use stateful_user_totals "
-            "(applyInPandasWithState) instead"
+            "runtime found (set ECOWATT_PROTOBUF_PATH to a directory "
+            "containing a plain google/protobuf tree) — use "
+            "stateful_user_totals (applyInPandasWithState) instead"
         )
 
     import pandas as pd

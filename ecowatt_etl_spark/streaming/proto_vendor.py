@@ -95,3 +95,118 @@ def ensure_protobuf() -> bool:
             return True
     _resolved = False
     return False
+
+
+_zip_path: str | None = None
+
+
+def _patched_zip() -> str | None:
+    """Build (once per host temp dir) a zip of the vendored
+    ``google/protobuf`` tree, importable by zipimport: an explicit
+    ``google/__init__.py`` is injected (the SDK ships ``google`` as a
+    filesystem namespace package, which a zip entry cannot express),
+    and the runtime-version validator is overridden with a no-op
+    APPENDED inside the zip's copy of ``runtime_version.py`` — the
+    zip route cannot set ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``
+    in a worker that already inherited its environment, so the escape
+    hatch has to travel with the code. Same 6.33-gencode/6.32-runtime
+    minor skew, same proto3-stable wire format, same proof
+    (``_roundtrip_ok``) before anything trusts it."""
+    global _zip_path
+    if _zip_path is not None:
+        return _zip_path if os.path.isfile(_zip_path) else None
+    import tempfile
+    import zipfile
+
+    root = next(
+        (
+            r
+            for r in _CANDIDATES
+            if r
+            and os.path.isfile(
+                os.path.join(r, "google", "protobuf", "__init__.py")
+            )
+        ),
+        None,
+    )
+    if root is None:
+        return None
+    dest = os.path.join(tempfile.gettempdir(), "ecowatt_vendored_protobuf.zip")
+    tmp = dest + f".tmp.{os.getpid()}"
+    gdir = os.path.join(root, "google", "protobuf")
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("google/__init__.py", "")
+        for d, _, files in os.walk(gdir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                p = os.path.join(d, f)
+                arc = os.path.relpath(p, root)
+                if arc == os.path.join("google", "protobuf", "runtime_version.py"):
+                    with open(p, encoding="utf-8") as fh:
+                        body = fh.read()
+                    z.writestr(
+                        arc,
+                        body
+                        + "\n\n# ecowatt vendor shim: pyspark gencode 6.33.0"
+                        " vs this 6.32.0 runtime\n"
+                        "def ValidateProtobufRuntimeVersion(*_a, **_k):\n"
+                        "    return None\n",
+                    )
+                else:
+                    z.write(p, arc)
+    os.replace(tmp, dest)  # atomic: concurrent builders converge
+    _zip_path = dest
+    return dest
+
+
+def ensure_protobuf_on(spark) -> bool:
+    """Flip ``transformWithStateInPandas`` live on an ALREADY-RUNNING
+    session whose JVM launched without the vendor env (an external
+    harness session). ``ensure_protobuf`` covers the driver side
+    post-hoc (``sys.path`` works any time in this process); the
+    workers are the hard part, and ``sc.addPyFile`` does NOT solve
+    them: TWS validates state schema through a dedicated "driver
+    worker" python process
+    (``pyspark/sql/streaming/transform_with_state_driver_worker.py``)
+    that never reads the python-includes list — it imports the
+    state-server proto at module import, straight off its inherited
+    ``PYTHONPATH``. What DOES reach it is the per-function worker
+    environment: pyspark sends ``sc.environment`` with every pickled
+    function, and the JVM's PythonWorkerFactory keys daemon processes
+    by (exec, env) — so mutating ``sc.environment['PYTHONPATH']``
+    post-launch spawns fresh daemons that inherit the vendored zip.
+    Measured live on a vanilla ``SparkSession.builder`` session in
+    tests/test_streaming.py::test_tws_under_foreign_session.
+
+    Callers still need the (runtime, per-session) RocksDB provider
+    conf — TWS refuses HDFS-backed state stores.
+
+    True iff the protocol is usable driver-side AND worker-side after
+    this call."""
+    if not ensure_protobuf():
+        return False
+    try:
+        import google.protobuf as _gp
+
+        vendor_resolved = any(
+            r and getattr(_gp, "__file__", "").startswith(r)
+            for r in _CANDIDATES
+        )
+    except ImportError:  # pragma: no cover — ensure_protobuf just passed
+        return False
+    if not vendor_resolved:
+        return True  # a real installed wheel: workers resolve it natively
+    jvm_pp = (
+        spark.sparkContext._jvm.java.lang.System.getenv("PYTHONPATH") or ""
+    )
+    if any(r and r in jvm_pp for r in _CANDIDATES):
+        return True  # vendor env preceded JVM launch (session.get_spark)
+    z = _patched_zip()
+    if z is None:
+        return False
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if z not in cur.split(os.pathsep):
+        env["PYTHONPATH"] = (z + os.pathsep + cur).rstrip(os.pathsep)
+    return True

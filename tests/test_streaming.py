@@ -773,3 +773,77 @@ def test_late_data_drop_accounting(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tws_under_foreign_session():
+    """THE claim behind q277: transformWithStateInPandas runs under a
+    session the engine did not build — vanilla ``SparkSession.builder``,
+    JVM launched with NO vendor environment (the external driver's
+    exact shape). ``ensure_protobuf_on`` must flip it live post-launch
+    by shipping the patched vendor zip through the per-function worker
+    environment (``sc.addPyFile`` cannot: TWS's schema-validation
+    driver worker never reads the includes list). Runs in a subprocess
+    with the vendor scrubbed from PYTHONPATH so the parent suite's
+    session.get_spark environment cannot leak in."""
+    import os
+    import subprocess
+    import sys
+
+    from ecowatt_etl_spark.streaming.proto_vendor import _CANDIDATES
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+try:
+    import google.protobuf  # noqa: F401
+    raise SystemExit("NOT FOREIGN: google.protobuf importable at launch")
+except ImportError:
+    pass
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+spark = (SparkSession.builder.master("local[4]").appName("tws-foreign")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from ecowatt_etl_spark.queries.registry import all_queries
+from ecowatt_etl_spark.sources.tables import load_table
+sf = "/root/testdata/sf0.001"
+got = {
+    (r["user_id"], r["n_events"], r["sum_value"])
+    for r in all_queries()["q277_stream_totals_tws"].fn(spark, sf).collect()
+}
+want = {
+    (r["user_id"], r["n_events"], r["sum_value"])
+    for r in load_table(spark, sf, "events")
+    .groupBy("user_id")
+    .agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")).alias(
+            "sum_value"
+        ),
+    )
+    .collect()
+}
+assert got == want and len(got) > 0, (len(got), len(want))
+print("FOREIGN_TWS_MATCH", len(got))
+"""
+    env = dict(os.environ)
+    env.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and p not in _CANDIDATES
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0 and "FOREIGN_TWS_MATCH" in res.stdout, (
+        res.stdout[-2000:],
+        res.stderr[-2000:],
+    )

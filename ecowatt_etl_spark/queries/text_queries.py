@@ -3252,12 +3252,24 @@ def q265_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like q247 runs both arms by design); the audit arm is the
     full q262 repack and exists to be compared against. At 100 TB the
     daily path is O(batch), and the boundary-bin reconciliation is
-    what makes appends safe to trust without the full repack."""
+    what makes appends safe to trust without the full repack.
+
+    The (doc_id, n_tok) tokenize frame is localCheckpoint-ed: both
+    arms, the commit-point scalar, and the boundary audit all derive
+    from it, and unlike q276's case these references sit under
+    DIFFERENT operators (filters, two prefix_sum phases, explodes), so
+    ReuseExchange cannot recover them at runtime — the naive plan
+    really tokenized the corpus 16 times (tools/audit_scans.py's top
+    entry before this cut; measured before/after in SCALE.md). The
+    checkpointed frame is 16 bytes/doc — the same artifact scale the
+    dedup family's signature frames already budget for."""
     from ecowatt_etl_spark.operators.scan_ops import prefix_sum
 
     d = load_table(spark, sf_dir, "documents")
-    nz = d.select("doc_id", F.size(tokens("text")).alias("n_tok")).filter(
-        F.col("n_tok") > 0
+    nz = (
+        d.select("doc_id", F.size(tokens("text")).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .localCheckpoint()
     )
     split = F.broadcast(
         nz.agg(F.expr("MAX(doc_id) * 4 DIV 5").alias("b"))

@@ -1398,16 +1398,26 @@ def q175_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the sf0.01 luxury, dropped at scale (that is the point)."""
     d = load_table(spark, sf_dir, "documents")
     e, _ = shingle_index(spark, sf_dir)
+    # Both derived frames are multiply-referenced under DIFFERENT
+    # operators (sk 3×: theta/sa/sb; eh 2× more for the exact audit),
+    # so without the lineage cuts the shingle⋈documents distinct ran 4×
+    # and the per-source top-k window 3× — the q265 lesson applied.
+    # sk is sources×k rows (trivial); eh materializes the distinct
+    # (source, h) set, which is exactly the frame the exact-audit arm
+    # needs anyway and which production (sketch-only) would never build.
     eh = (
         e.join(d.select("doc_id", "source"), "doc_id")
         .select("source", "h")
         .distinct()
+        .localCheckpoint()
     )
     from pyspark.sql.window import Window as W
 
     rw = W.partitionBy("source").orderBy("h")
-    sk = eh.withColumn("rn", F.row_number().over(rw)).filter(
-        F.col("rn") <= _THETA_K
+    sk = (
+        eh.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= _THETA_K)
+        .localCheckpoint()
     )
     theta = sk.filter(F.col("rn") == _THETA_K).select(
         "source", F.col("h").alias("th")

@@ -1287,10 +1287,17 @@ def q171_tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_t = e.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= _TFIDF_DF_CAP
     )
+    # w is referenced 3× (norms + both self-join sides); without the
+    # lineage cut each reference re-runs the df aggregate over the full
+    # posting index and the weight join (the q265 lesson — different
+    # operators above the duplicates, so ReuseExchange recovers
+    # nothing). The materialized frame is the df-capped posting list —
+    # (doc_id, h, wt), the same artifact scale q53/q169 already budget.
     w = (
         e.join(df_t, "h")
         .crossJoin(F.broadcast(nd))
         .selectExpr("doc_id", "h", "CAST(n_docs * 1000 DIV df AS BIGINT) AS wt")
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("nn")

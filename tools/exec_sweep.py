@@ -1,0 +1,78 @@
+"""Full-registry EXECUTION sweep at an arbitrary (usually 100×) scale.
+
+The parity sweeps prove correctness against DuckDB at sf0.01/sf0.1;
+this tool proves something they cannot: that every registered query
+RUNS at two decades above the gate scale — the q175 lesson is that a
+whole failure class (AQE size misestimation through distinct/window
+lineage → corpus-scale broadcast build → OOM) only manifests at 100×,
+where per-query decade probes had always been selective, never
+exhaustive. One session, sequential, JSONL as it goes:
+(name, seconds, rows | error). No oracle — DuckDB at 100× would
+dominate the wall-clock without adding evidence the sf0.1 value sweep
+doesn't already give.
+
+Session artifacts (dedup/ANN indexes) are evicted between query
+FAMILIES the same way the bench does, so the sweep measures fresh-ish
+costs without letting the block manager grow monotonically over ~300
+queries.
+
+Usage: EXEC_SF=/tmp/sf_x100 python tools/exec_sweep.py [name-filter ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("EXEC_SF", "/tmp/sf_x100")
+OUT = os.environ.get("EXEC_OUT", "/tmp/exec_sweep.jsonl")
+
+
+def main() -> None:
+    from ecowatt_etl_spark.queries.registry import all_queries
+    from ecowatt_etl_spark.session import evict_session_artifacts, get_spark
+
+    spark = get_spark(app_name="exec-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    names = [n for n in specs if not sys.argv[1:] or any(a in n for a in sys.argv[1:])]
+    n_ok = n_err = 0
+    t_all = time.monotonic()
+    prev_family = None
+    with open(OUT, "w", encoding="utf-8") as out:
+        for i, name in enumerate(names):
+            family = name.split("_", 1)[0]
+            if prev_family is not None and family != prev_family:
+                evict_session_artifacts(spark)
+            prev_family = family
+            t0 = time.monotonic()
+            try:
+                rows = specs[name].fn(spark, SF).collect()
+                rec = {
+                    "q": name,
+                    "sec": round(time.monotonic() - t0, 2),
+                    "rows": len(rows),
+                }
+                n_ok += 1
+            except Exception as e:  # noqa: BLE001 — sweep must finish
+                rec = {
+                    "q": name,
+                    "sec": round(time.monotonic() - t0, 2),
+                    "error": f"{type(e).__name__}: {str(e)[:300]}",
+                }
+                n_err += 1
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            print(f"[{i + 1}/{len(names)}] {rec}", flush=True)
+    print(
+        f"DONE ok={n_ok} err={n_err} total_s={round(time.monotonic() - t_all, 1)}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -79,3 +79,52 @@ def prefix_sum(
         .withColumn(out_col, F.col("__local") + F.col("__base"))
         .drop("__bucket", "__local")
     )
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    bucket_col,
+    order_cols: list,
+    out_col: str = "rn",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Partition-wide ROW_NUMBER as a two-phase distributed scan — the
+    ranking twin of :func:`prefix_sum`, for when the order key is NOT
+    a unique integer (ties broken by later order columns) but a rank
+    over the whole partition is still needed bit-identically to
+    ``ROW_NUMBER() OVER (PARTITION BY p ORDER BY ...)``.
+
+    A bare per-partition window serializes each partition key onto one
+    task — per-SOURCE ranks over a 100 TB corpus put the largest
+    source's billions of rows through a single sort consumer. Instead:
+
+      1. rows get a coarse ``bucket_col`` that must be MONOTONE in the
+         leading order column (every row of a lower bucket sorts
+         before every row of a higher one — e.g. ``value DIV width``,
+         or the leading 16 bits of a hash-hex sort key);
+      2. ``row_number`` runs within (partition, bucket) — distributed,
+         per-task state bounded by bucket occupancy;
+      3. per-bucket COUNTS cumsum over the tiny per-bucket totals
+         frame and broadcast back as rank bases.
+
+    The result equals the single-task window for any bucketing that
+    respects the order (pytest-pinned), so bucket width is purely a
+    parallelism knob."""
+    pcols = list(partition_cols or [])
+    b = df.withColumn("__bucket", bucket_col)
+    in_w = W.partitionBy(*pcols, "__bucket").orderBy(*order_cols)
+    local = b.withColumn("__rn", F.row_number().over(in_w))
+    totals = b.groupBy(*pcols, "__bucket").agg(F.count("*").alias("__bcnt"))
+    base_w = (
+        W.partitionBy(*pcols)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bases = totals.withColumn(
+        "__base", F.coalesce(F.sum("__bcnt").over(base_w), F.lit(0))
+    ).select(*pcols, "__bucket", "__base")
+    return (
+        local.join(F.broadcast(bases), pcols + ["__bucket"])
+        .withColumn(out_col, F.col("__rn") + F.col("__base"))
+        .drop("__bucket", "__rn")
+    )

@@ -1889,3 +1889,84 @@ def q275_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_arrival_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q279 — per-source quantile calibration of a quality signal
+# ---------------------------------------------------------------------------
+_CAL_BUCKET_W = 64  # raw-signal range per rank bucket (parallelism knob)
+
+
+@query(
+    "q279_source_quantile_calibration",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    ),
+    calib AS (
+      SELECT source, n_chars,
+             CASE WHEN n_src > 1
+                  THEN (rk - 1) * 10000 // (n_src - 1)
+                  ELSE 0 END AS calib_bp
+      FROM ranked
+    )
+    SELECT source,
+           CAST(LEAST(calib_bp // 1000, 9) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_raw,
+           MAX(n_chars) AS max_raw
+    FROM calib GROUP BY 1, 2
+    """,
+)
+def q279_source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize a raw quality signal PER SOURCE onto one
+    comparable 0–10000 bp scale (calib = rank-within-source mapped to
+    [0, 10000], exact integer arithmetic) and report each source's
+    raw-signal envelope per calibrated decile. This is the curation
+    step that makes a single global quality threshold meaningful when
+    sources have incommensurable raw score distributions — "keep the
+    top 30%" must mean the top 30% OF EACH SOURCE, or the filter
+    silently becomes a source filter (web text scores low raw, gets
+    wiped; the mixture collapses to the high-scoring domain).
+
+    Scale: the naive form is a per-source rank window — one task per
+    PARTITION KEY, so the largest source's billions of rows serialize
+    through a single sort consumer. Here rank is computed by
+    operators/scan_ops.bucketed_row_number: row_number within
+    (source, raw DIV 64) buckets + broadcast per-bucket count bases —
+    bit-identical to the partition-wide window (pytest-pinned), one
+    shuffle, per-task state bounded by bucket occupancy. Per-source
+    totals ride a broadcast join (one row per source)."""
+    from ecowatt_etl_spark.operators.scan_ops import bucketed_row_number
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    ranked = bucketed_row_number(
+        d,
+        bucket_col=F.expr(f"n_chars DIV {_CAL_BUCKET_W}"),
+        order_cols=[F.col("n_chars"), F.col("doc_id")],
+        out_col="rk",
+        partition_cols=["source"],
+    )
+    n_src = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    calib = (
+        ranked.join(F.broadcast(n_src), "source")
+        .withColumn(
+            "calib_bp",
+            F.when(
+                F.col("n_src") > 1,
+                F.expr("(rk - 1) * 10000 DIV (n_src - 1)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn("decile", F.least(F.expr("calib_bp DIV 1000"), F.lit(9).cast("long")))
+    )
+    return calib.groupBy("source", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_raw"),
+        F.max("n_chars").alias("max_raw"),
+    )

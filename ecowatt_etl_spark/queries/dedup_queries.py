@@ -342,6 +342,92 @@ def q54_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q278 — asymmetric containment (subset-duplication) pairs
+# ---------------------------------------------------------------------------
+_CONT_T_BP = 5000  # report pairs where >=50% of the smaller set is shared
+
+
+@query(
+    "q278_containment_dedup",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    keep AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= {_DF_CAP}),
+    e2 AS (SELECT e.doc_id, e.h FROM e JOIN keep USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM e2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)
+                THEN id_a ELSE id_b END AS sub_id,
+           CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)
+                THEN id_b ELSE id_a END AS sup_id,
+           CAST(LEAST(sa.n, sb.n) AS BIGINT) AS n_sub,
+           CAST(GREATEST(sa.n, sb.n) AS BIGINT) AS n_sup,
+           CAST(c * 10000 // LEAST(sa.n, sb.n) AS BIGINT) AS containment_bp
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 10000 // LEAST(sa.n, sb.n) >= {_CONT_T_BP}
+    """,
+)
+def q278_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (Broder's C(A,B) = |A∩B| / |A|):
+    the subset-duplication detector symmetric Jaccard structurally
+    misses — a document fully embedded in one 10× its size has
+    Jaccard ≤ 0.1 (never crosses q54's 0.2 bar) but containment 1.0,
+    and quote-expansion / boilerplate-wrapping / version-append dups
+    are exactly that shape. Reports (sub, sup) with containment of the
+    SMALLER shingle set ≥ 50%, in exact integer basis points
+    (c·10000 DIV n_sub — both engines floor-divide, no float compare).
+
+    Scale shape is q54's inverted-index economics unchanged: hot
+    shingles (df > {_DF_CAP}) dropped before the self-join so Σ df²
+    stays linear-ish, the join/shuffle key is the 8-byte shingle hash,
+    and the capped index is localCheckpoint'ed once for its three
+    consumers (both self-join arms + sizes). The direction CASE is
+    post-aggregation projection work on the pair frame — containment
+    adds nothing to the join cost over symmetric Jaccard."""
+    e, _ = shingle_index(spark, sf_dir)
+    keep = (
+        e.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("h")
+    )
+    e2 = e.join(keep, "h").localCheckpoint()
+    sizes = e2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = e2.alias("a"), e2.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    a_is_sub = (F.col("sa.n") < F.col("sb.n")) | (
+        (F.col("sa.n") == F.col("sb.n")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            F.when(a_is_sub, F.col("id_a")).otherwise(F.col("id_b")).alias("sub_id"),
+            F.when(a_is_sub, F.col("id_b")).otherwise(F.col("id_a")).alias("sup_id"),
+            F.least("sa.n", "sb.n").alias("n_sub"),
+            F.greatest("sa.n", "sb.n").alias("n_sup"),
+            F.expr("c * 10000").alias("__c4"),
+        )
+        .withColumn("containment_bp", F.expr("__c4 DIV n_sub"))
+        .filter(F.col("containment_bp") >= _CONT_T_BP)
+        .drop("__c4")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q55 — SimHash signatures
 # ---------------------------------------------------------------------------
 _SQL_TOK_H = f"""

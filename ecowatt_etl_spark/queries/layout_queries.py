@@ -983,3 +983,98 @@ def q247_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         str_double(F.sum(F.col("m.rev"))).alias("total_rev"),
         F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_mismatch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 — deterministic per-epoch shuffle order with a verifiable manifest
+# ---------------------------------------------------------------------------
+_SHUF_EPOCHS = 3
+_SHUF_P = 2_147_483_647  # 2^31 - 1; keeps every modular term in int64
+
+
+@query(
+    "q280_epoch_shuffle_order",
+    oracle=f"""
+    WITH epochs AS (SELECT UNNEST([0, 1, 2]) AS epoch),
+    keyed AS (
+      SELECT epoch, doc_id,
+             md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents CROSS JOIN epochs
+    ),
+    ranked AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(CASE WHEN rk <= 10 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY rk) AS head10,
+           CAST(CAST(SUM(((rk % {_SHUF_P}) * (doc_id % {_SHUF_P}))
+                         % {_SHUF_P}) AS HUGEINT)
+                % {_SHUF_P} AS BIGINT) AS perm_checksum
+    FROM ranked GROUP BY epoch
+    """,
+)
+def q280_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: epoch k reads the
+    corpus in md5(k:doc_id) order, so every re-run (and every node of
+    a restarted job) derives the SAME permutation with no stored RNG
+    state — the reproducibility contract a training-data manifest
+    needs, with a verifiable artifact per epoch: the first 10 doc_ids
+    in read order plus a modular permutation checksum
+    (Σ rank·doc_id mod 2^31−1, all arithmetic pre-reduced mod P so no
+    term overflows int64 at any corpus size).
+
+    Scale: the write-path twin is
+    ``repartitionByRange(N, "k").sortWithinPartitions("k")`` — range
+    exchange + local sorts, no global funnel. The rank needed for the
+    checksum is NOT a bare per-epoch window (one task per epoch —
+    3 tasks total would serialize the whole corpus); it is
+    operators/scan_ops.bucketed_row_number over the leading 16 bits
+    of the hex key (monotone in the full key's string order since
+    fixed-width lowercase hex sorts numerically), giving 65536-way
+    parallel ranking per epoch with broadcast count bases —
+    bit-identical to the window form. The 3-row epoch frame
+    broadcasts into the fan-out cross join; docs never shuffle for
+    it."""
+    from ecowatt_etl_spark.operators.scan_ops import bucketed_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_SHUF_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).withColumn(
+        "k",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    ranked = bucketed_row_number(
+        keyed,
+        bucket_col=F.conv(F.substring("k", 1, 4), 16, 10).cast("long"),
+        order_cols=[F.col("k"), F.col("doc_id")],
+        out_col="rk",
+        partition_cols=["epoch"],
+    )
+    term = F.expr(
+        f"((rk % {_SHUF_P}) * (doc_id % {_SHUF_P})) % {_SHUF_P}"
+    ).cast("decimal(38,0)")
+    head_structs = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("rk") <= 10,
+                F.struct(F.col("rk"), F.col("doc_id")),
+            )
+        )
+    )
+    return ranked.groupBy("epoch").agg(
+        F.count("*").alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(head_structs, lambda s: s.doc_id.cast("string")),
+        ).alias("head10"),
+        (F.sum(term) % _SHUF_P).cast("long").alias("perm_checksum"),
+    )

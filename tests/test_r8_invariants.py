@@ -208,3 +208,41 @@ def test_recommended_window_orders_same_round_rewrites_first(led_and_head):
             f"{n} was rewritten this round but is ordered after "
             "older drift in the recommended window"
         )
+
+
+def test_bucketed_row_number_matches_partition_window(spark):
+    """operators/scan_ops.bucketed_row_number (two-phase distributed
+    ranking — q279/q280's scale path) must be bit-identical to the
+    single-task-per-key ``ROW_NUMBER() OVER (PARTITION BY k ORDER BY
+    v, id)`` it replaces: ties on the leading order column broken by
+    the trailing one, keys straddling bucket boundaries, single-row
+    keys, and any bucket width (the bucket is v DIV w — monotone in
+    the leading order column, the operator's contract)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.operators.scan_ops import bucketed_row_number
+
+    rows = [
+        (f"s{i % 5}", i * 7 % 23, i)  # heavy ties on v within each key
+        for i in range(300)
+    ] + [("lonely", 4, 999)]
+    df = spark.createDataFrame(rows, "k string, v long, id long")
+    for width in (1, 8, 64, 10_000):
+        got = {
+            (r["k"], r["id"]): r["rn"]
+            for r in bucketed_row_number(
+                df,
+                bucket_col=F.expr(f"v DIV {width}"),
+                order_cols=[F.col("v"), F.col("id")],
+                out_col="rn",
+                partition_cols=["k"],
+            ).collect()
+        }
+        w = W.partitionBy("k").orderBy("v", "id")
+        want = {
+            (r["k"], r["id"]): r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        assert got == want, f"width={width}"
+    assert got[("lonely", 999)] == 1

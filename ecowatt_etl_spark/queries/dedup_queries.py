@@ -5,7 +5,7 @@ replay the identical portable arithmetic (operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecowatt_etl_spark.operators.dedup import (
@@ -759,6 +759,153 @@ def q59_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("keep"),
     )
     return kept_in_cluster.unionByName(unclustered)
+
+
+# ---------------------------------------------------------------------------
+# q282 — leakage-safe train/val/test split (cluster-inherited assignment)
+# ---------------------------------------------------------------------------
+_SQL_SPLIT_CASE = (
+    "CASE WHEN {h} <= 'b' THEN 'train' "
+    "WHEN {h} IN ('c', 'd') THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "q282_leakage_safe_split",
+    oracle=_Q57_CTE
+    + f"""
+    , clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    asg AS (
+      SELECT d.doc_id, d.source, COALESCE(c.cluster_id, d.doc_id) AS rep
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, source, rep,
+             {_SQL_SPLIT_CASE.format(h="substring(md5('split:' || CAST(rep AS VARCHAR)), 1, 1)")} AS split,
+             {_SQL_SPLIT_CASE.format(h="substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)")} AS naive_split
+      FROM asg
+    ),
+    epairs AS (
+      SELECT id_a, id_b FROM pairs WHERE jaccard_sim >= {_CLUSTER_T}
+    ),
+    audit AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN sa.naive_split <> sb.naive_split
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS naive_straddle_pairs,
+        CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS safe_straddle_pairs
+      FROM epairs p
+      JOIN sp sa ON p.id_a = sa.doc_id
+      JOIN sp sb ON p.id_b = sb.doc_id
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_reps,
+           naive_straddle_pairs, safe_straddle_pairs
+    FROM sp CROSS JOIN audit
+    GROUP BY split, source, naive_straddle_pairs, safe_straddle_pairs
+    """,
+)
+def q282_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that near-duplicates cannot straddle: every
+    document inherits its split from its dedup-cluster REPRESENTATIVE
+    (q57's min-label; unclustered docs are their own representative),
+    so the q122 md5 assignment is applied to rep ids instead of doc
+    ids. This closes the eval-leakage hole a document-keyed split
+    leaves open — two near-identical docs hash independently, one
+    lands in train and one in val, and the held-out metric silently
+    measures memorization; q158's decontamination catches train-vs-
+    EXTERNAL-eval leakage, this op prevents the INTERNAL split from
+    manufacturing it. The audit arm prices the difference in the same
+    result: near-dup pairs (Jaccard ≥ 0.5) straddling split
+    boundaries under the naive doc-keyed assignment vs this one —
+    safe_straddle_pairs = 0 by construction (both endpoints of every
+    edge share a component, hence a rep, hence a split), value-gated
+    rather than asserted. Inherits q122's rebalance-proof property:
+    corpus growth never reassigns an existing doc unless new edges
+    merge its cluster (exactly the docs whose assignment SHOULD move).
+
+    Scale shape: the cluster map (q57, materialized) joins the slim
+    (doc_id, source) projection — text never loads; no broadcast HINT
+    on the cluster side because its size is corpus-fraction (a
+    boilerplate-heavy corpus can cluster 10%+ of its docs) — AQE sees
+    the checkpointed frame's TRUE size and picks broadcast only when
+    it fits, the q175 lesson applied in reverse; the
+    assignment expression is scan-local md5, no shuffle; the audit
+    touches only pair endpoints (|pairs| rows, never corpus-sized);
+    the final aggregate is a hash-agg on ≤ |splits|×|sources| groups.
+    The assignment frame is localCheckpoint'ed once for its three
+    consumers (group stats + both audit endpoints) — 5 slim columns,
+    the q265 non-ReuseExchange-recoverable shape."""
+    clusters = q57_dedup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def _split(c: Column) -> Column:
+        h = F.substring(
+            F.md5(F.concat(F.lit("split:"), c.cast("string"))), 1, 1
+        )
+        return (
+            F.when(h <= "b", "train").when(h.isin("c", "d"), "val").otherwise("test")
+        )
+
+    sp = (
+        d.join(clusters, "doc_id", "left")
+        .withColumn("rep", F.coalesce("cluster_id", "doc_id"))
+        .select(
+            "doc_id",
+            "source",
+            "rep",
+            _split(F.col("rep")).alias("split"),
+            _split(F.col("doc_id")).alias("naive_split"),
+        )
+        .localCheckpoint()
+    )
+    epairs = neardup_pairs(spark, sf_dir).filter(
+        F.col("jaccard_sim") >= _CLUSTER_T
+    )
+    sa, sb = sp.alias("sa"), sp.alias("sb")
+    audit = (
+        epairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("sa.naive_split") != F.col("sb.naive_split"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("naive_straddle_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("sa.split") != F.col("sb.split"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("safe_straddle_pairs"),
+        )
+    )
+    return (
+        sp.crossJoin(F.broadcast(audit))
+        .groupBy("split", "source", "naive_straddle_pairs", "safe_straddle_pairs")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("rep").alias("n_reps"),
+        )
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "n_reps",
+            "naive_straddle_pairs",
+            "safe_straddle_pairs",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -626,6 +626,92 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q283 — connected components with pointer-jumping shortcuts
+# ---------------------------------------------------------------------------
+_SC_MAX_ROUNDS = 25  # ~2^25 diameter headroom — the bound is on log2(d)
+
+
+@query(
+    "q283_shortcut_clusters",
+    oracle=_Q57_CTE
+    + "SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id",
+)
+def q283_shortcut_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q57's connected components computed in O(log diameter) rounds
+    instead of O(diameter): each round does the same neighbor-min
+    propagation AND a pointer-jumping shortcut l(v) ← l(l(v)) — one
+    extra self-join on the (small) label frame that halves every label
+    chain (Shiloach–Vishkin's shortcutting step; the same idea as the
+    alternating large/small-star MapReduce algorithm). Labels only
+    ever decrease (l(x) ≤ x from min-seeding, so l(l(v)) ≤ l(v) and
+    both steps are monotone), the label sum is a complete convergence
+    proof exactly as in q57, and the fixpoint is identical — a stable
+    sum means no neighbor improves any label, which is q57's fixpoint
+    condition — so this registers under q57's VERBATIM oracle and a
+    pytest pins both kernels bit-identical on chain graphs.
+
+    Why it exists at 100 TB: near-dup chains in boilerplate-heavy
+    corpora (versioned documents A≈B≈C≈…) give the pair graph a
+    diameter that grows with the corpus, and q57's round count — each
+    round a full join + aggregate + checkpoint — grows with it; a
+    3000-link chain is 3000 q57 rounds but ~12 shortcut rounds
+    (measured on a synthetic chain in tests). The trade is one extra
+    labels⋈labels join per round — both sides the bounded label frame
+    (|clustered docs| rows, never the corpus), so rounds cost ~2× and
+    the round COUNT collapses exponentially."""
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pairs = neardup_pairs(spark, sf_dir).filter(
+            F.col("jaccard_sim") >= _CLUSTER_T
+        )
+        fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        edges = fwd.union(rev).localCheckpoint()
+        labels = (
+            edges.select(F.col("src").alias("id")).distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .localCheckpoint()
+        )
+        lbl_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        converged = False
+        for _ in range(_SC_MAX_ROUNDS):
+            neigh = (
+                labels.join(edges, labels["id"] == edges["src"])
+                .select(F.col("dst").alias("id"), "lbl")
+            )
+            mins = (
+                labels.union(neigh).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            )
+            # shortcut: l(v) <- l(l(v)). Every label IS a vertex id
+            # (min-seeded), so the lookup join always hits. The lookup
+            # side is column-renamed (not aliased) — a self-join of
+            # the identical plan through alias() trips attribute
+            # dedup in the optimizer.
+            lut = mins.select(
+                F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+            )
+            jump = (
+                mins.join(lut, mins["lbl"] == lut["jid"])
+                .select("id", F.col("jlbl").alias("lbl"))
+            )
+            labels = jump.localCheckpoint()
+            new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if new_sum == lbl_sum:
+                converged = True
+                break
+            lbl_sum = new_sum
+        if not converged:
+            raise RuntimeError(
+                f"q283 shortcut propagation did not converge within "
+                f"{_SC_MAX_ROUNDS} rounds; raise _SC_MAX_ROUNDS"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # q58 — edit-distance near-dup (prefix-blocked Levenshtein)
 # ---------------------------------------------------------------------------
 _ED_BLK = 12  # normalized-prefix blocking key length

@@ -246,3 +246,45 @@ def test_bucketed_row_number_matches_partition_window(spark):
         }
         assert got == want, f"width={width}"
     assert got[("lonely", 999)] == 1
+
+
+def test_q283_shortcut_matches_q57_and_beats_its_round_bound(spark):
+    """The pointer-jumping CC kernel (q283) reaches q57's exact
+    fixpoint, and on a long-chain graph — the adversarial shape for
+    min-label propagation — converges where q57's diameter-bounded
+    loop correctly refuses: a 300-link chain is > _LP_MAX_ROUNDS
+    diameter but only ~log2(300) shortcut rounds."""
+    from ecowatt_etl_spark.queries import dedup_queries as dq
+
+    # corpus identity: both kernels on the real gate-scale pair graph
+    sf = "/root/testdata/sf0.01"
+    a = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dq.q57_dedup_clusters(spark, sf).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dq.q283_shortcut_clusters(spark, sf).collect()
+    }
+    assert a == b and a
+
+    # synthetic 300-link chain injected through the pair-table cache
+    # (both kernels read ONLY neardup_pairs — no table access)
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(300)],
+        "id_a long, id_b long, jaccard_sim double",
+    )
+    key = "synthetic-chain-300"
+    dq._PAIRS_CACHE[(id(spark), key)] = chain
+    try:
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dq.q283_shortcut_clusters(spark, key).collect()
+        }
+        assert got == {i: 0 for i in range(301)}
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            dq.q57_dedup_clusters(spark, key)
+    finally:
+        del dq._PAIRS_CACHE[(id(spark), key)]

@@ -631,6 +631,66 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SC_MAX_ROUNDS = 25  # ~2^25 diameter headroom — the bound is on log2(d)
 
 
+def _shortcut_cc(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Min-label connected components with pointer-jumping shortcuts
+    over a symmetric (src, dst) edge frame. Each round: neighbor-min
+    propagation, then l(v) ← l(l(v)) path halving — O(log diameter)
+    rounds, same fixpoint as plain min-propagation (q57), proved by
+    the monotone label-sum argument (labels only decrease; a stable
+    sum means neither step improved any label, which is q57's
+    fixpoint condition). Returns (id, lbl) = (vertex, component min).
+    Shared by q283 (full graph) and q284 (star-contracted incremental
+    graph)."""
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        edges = edges.localCheckpoint()
+        labels = (
+            edges.select(F.col("src").alias("id")).distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .localCheckpoint()
+        )
+        lbl_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        for _ in range(_SC_MAX_ROUNDS):
+            neigh = (
+                labels.join(edges, labels["id"] == edges["src"])
+                .select(F.col("dst").alias("id"), "lbl")
+            )
+            mins = (
+                labels.union(neigh).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            )
+            # shortcut: l(v) <- l(l(v)). Every label IS a vertex id
+            # (min-seeded), so the lookup join always hits. The lookup
+            # side is column-renamed (not aliased) — a self-join of
+            # the identical plan through alias() trips attribute
+            # dedup in the optimizer.
+            lut = mins.select(
+                F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+            )
+            jump = (
+                mins.join(lut, mins["lbl"] == lut["jid"])
+                .select("id", F.col("jlbl").alias("lbl"))
+            )
+            labels = jump.localCheckpoint()
+            new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if new_sum == lbl_sum:
+                return labels
+            lbl_sum = new_sum
+        raise RuntimeError(
+            f"shortcut propagation did not converge within "
+            f"{_SC_MAX_ROUNDS} rounds; raise _SC_MAX_ROUNDS"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _sym_edges(pairs: DataFrame) -> DataFrame:
+    """Both directions of a verified pair frame as (src, dst)."""
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    return fwd.union(rev)
+
+
 @query(
     "q283_shortcut_clusters",
     oracle=_Q57_CTE
@@ -659,56 +719,97 @@ def q283_shortcut_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels⋈labels join per round — both sides the bounded label frame
     (|clustered docs| rows, never the corpus), so rounds cost ~2× and
     the round COUNT collapses exponentially."""
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        pairs = neardup_pairs(spark, sf_dir).filter(
-            F.col("jaccard_sim") >= _CLUSTER_T
-        )
-        fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        edges = fwd.union(rev).localCheckpoint()
-        labels = (
-            edges.select(F.col("src").alias("id")).distinct()
-            .select("id", F.col("id").alias("lbl"))
-            .localCheckpoint()
-        )
-        lbl_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        converged = False
-        for _ in range(_SC_MAX_ROUNDS):
-            neigh = (
-                labels.join(edges, labels["id"] == edges["src"])
-                .select(F.col("dst").alias("id"), "lbl")
-            )
-            mins = (
-                labels.union(neigh).groupBy("id").agg(F.min("lbl").alias("lbl"))
-            )
-            # shortcut: l(v) <- l(l(v)). Every label IS a vertex id
-            # (min-seeded), so the lookup join always hits. The lookup
-            # side is column-renamed (not aliased) — a self-join of
-            # the identical plan through alias() trips attribute
-            # dedup in the optimizer.
-            lut = mins.select(
-                F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
-            )
-            jump = (
-                mins.join(lut, mins["lbl"] == lut["jid"])
-                .select("id", F.col("jlbl").alias("lbl"))
-            )
-            labels = jump.localCheckpoint()
-            new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-            if new_sum == lbl_sum:
-                converged = True
-                break
-            lbl_sum = new_sum
-        if not converged:
-            raise RuntimeError(
-                f"q283 shortcut propagation did not converge within "
-                f"{_SC_MAX_ROUNDS} rounds; raise _SC_MAX_ROUNDS"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    pairs = neardup_pairs(spark, sf_dir).filter(
+        F.col("jaccard_sim") >= _CLUSTER_T
+    )
+    labels = _shortcut_cc(spark, _sym_edges(pairs))
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# q284 — incremental cluster maintenance (star-contracted CC per batch)
+# ---------------------------------------------------------------------------
+_INC_MOD = 10  # doc_id % 10 == 0 plays the "newly ingested batch" (q127)
+
+
+@query(
+    "q284_incremental_clusters",
+    oracle=_Q57_CTE
+    + f"""
+    , old_edges AS (
+      SELECT src, dst FROM edges
+      WHERE src % {_INC_MOD} != 0 AND dst % {_INC_MOD} != 0
+    ),
+    old_verts AS (SELECT DISTINCT src AS id FROM old_edges),
+    old_reach AS (
+      SELECT id, id AS lbl FROM old_verts
+      UNION
+      SELECT e.dst AS id, r.lbl FROM old_reach r JOIN old_edges e ON e.src = r.id
+    ),
+    full_c AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    old_c AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM old_reach GROUP BY id)
+    SELECT f.doc_id, f.cluster_id,
+           CASE WHEN f.doc_id % {_INC_MOD} = 0 THEN 'new'
+                WHEN o.cluster_id IS NULL THEN 'attached'
+                WHEN o.cluster_id = f.cluster_id THEN 'unchanged'
+                ELSE 'relabeled' END AS status
+    FROM full_c f LEFT JOIN old_c o ON o.doc_id = f.doc_id
+    """,
+)
+def q284_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster MAINTENANCE, not recompute: merge an arriving batch
+    (q127's doc_id % 10 convention) into the standing corpus's
+    dedup clusters by running connected components over the
+    STAR-CONTRACTED graph — each maintained cluster collapses to
+    (member → label) star edges, and only the batch's verified pairs
+    (q127's new-new + new-old edges) are real graph work. The oracle
+    is the full-recompute fixpoint over ALL pairs, so the driver's
+    value gate PROVES contraction-equals-recompute rather than
+    trusting the algebra: every old component is label-connected
+    through its star, a bridging new doc merges two stars exactly as
+    it would merge the underlying components, and min-labels agree
+    because a cluster's label is itself a member. Each doc also
+    reports its maintenance status — 'new' (batch), 'attached' (old
+    doc clustered for the first time), 'relabeled' (its component
+    merged; downstream split/keep decisions must re-run — exactly
+    q282's reassignment set), 'unchanged'.
+
+    Scale shape: per-batch cost is |star edges| = |maintained
+    clustered docs| (slim 16-byte rows, the persisted cluster-map
+    artifact a deployment already stores) + |batch pairs| — the
+    corpus-sized pair discovery never re-runs (q127's index-probe
+    economics), and the contracted graph's diameter is ~2 (star) + a
+    hop per bridging doc, so the shortcut kernel converges in 2–3
+    rounds regardless of how deep the ORIGINAL near-dup chains were.
+    Here both arms derive from the same table so the oracle can
+    replay the identical arithmetic."""
+    pairs = neardup_pairs(spark, sf_dir).filter(
+        F.col("jaccard_sim") >= _CLUSTER_T
+    )
+    a_new = F.col("id_a") % _INC_MOD == 0
+    b_new = F.col("id_b") % _INC_MOD == 0
+    old_pairs = pairs.filter(~a_new & ~b_new)
+    new_pairs = pairs.filter(a_new | b_new)
+    old_c = _shortcut_cc(spark, _sym_edges(old_pairs)).select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("old_lbl")
+    )
+    star = old_c.select(F.col("doc_id").alias("src"), F.col("old_lbl").alias("dst"))
+    star_rev = old_c.select(
+        F.col("old_lbl").alias("src"), F.col("doc_id").alias("dst")
+    )
+    contracted = star.union(star_rev).union(_sym_edges(new_pairs))
+    inc = _shortcut_cc(spark, contracted).select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    return inc.join(old_c, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") % _INC_MOD == 0, "new")
+        .when(F.col("old_lbl").isNull(), "attached")
+        .when(F.col("old_lbl") == F.col("cluster_id"), "unchanged")
+        .otherwise("relabeled")
+        .alias("status"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1173,7 +1274,6 @@ def q120_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q127 — incremental near-dup: new batch vs standing corpus
 # ---------------------------------------------------------------------------
-_INC_MOD = 10  # doc_id % 10 == 0 plays the "newly ingested batch"
 
 
 @query(

@@ -534,15 +534,47 @@ def q49c_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — which is exactly the DuckDB oracle. Dedup state is bounded
     by the watermark horizon (see streaming/events_stream.py), so this
     is the 100 TB ingest pattern: shuffle on the dedup key once,
-    constant state per in-horizon key, nothing retained forever."""
+    constant state per in-horizon key, nothing retained forever.
+
+    State store: RocksDB for THIS query (scoped, restored after —
+    q277's pattern). Dedup state is keyed by EVENT id, the one
+    streaming state in the repo that is corpus-cardinality rather
+    than entity-cardinality (windows ∝ buckets, sessions ∝ users,
+    GroupState ∝ sources): a bounded replay delivers the whole corpus
+    before the watermark can evict anything, so the default
+    HDFS-backed provider holds every in-flight key ON HEAP — measured
+    fatal at 100× (12.5M keys; the r8 full-registry execution sweep's
+    JVM died in the state-store maintenance thread after 243 s).
+    RocksDB keeps the same exactly-once semantics with native-memory
+    + spill-to-disk state, which is also the right provider for this
+    operator on a real cluster where per-key heap is the first thing
+    an ingest-dedup job exhausts."""
     from ecowatt_etl_spark.streaming.events_stream import (
         dedup_within_watermark,
         read_events_stream,
         run_to_completion,
     )
 
-    deduped = dedup_within_watermark(read_events_stream(spark, sf_dir))
-    rows = run_to_completion(deduped, "q49c_stream_dedup_sink", output_mode="append")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        deduped = dedup_within_watermark(read_events_stream(spark, sf_dir))
+        rows = run_to_completion(
+            deduped, "q49c_stream_dedup_sink", output_mode="append"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
     return rows.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 

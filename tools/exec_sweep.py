@@ -40,31 +40,95 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     names = [n for n in specs if not sys.argv[1:] or any(a in n for a in sys.argv[1:])]
+
+    # EXEC_RESUME=1: skip names that already have a SUCCESSFUL row in
+    # OUT and append; error rows are retried. One JVM death must not
+    # cost the 90-minute prefix (learned when q49c's heap-backed dedup
+    # state killed the JVM 50 queries into the first full 100× run and
+    # every later row recorded a spurious stopped-context error).
+    done: dict[str, dict] = {}
+    resume = os.environ.get("EXEC_RESUME") == "1" and os.path.exists(OUT)
+    if resume:
+        with open(OUT, encoding="utf-8") as f:
+            for line in f:
+                rec = json.loads(line)
+                if "error" not in rec:
+                    done[rec["q"]] = rec
+
+    def session_dead(err: Exception) -> bool:
+        s = str(err)
+        return (
+            "stopped SparkContext" in s
+            or "Connection refused" in s
+            or "Answer from Java side is empty" in s
+            or "Py4JNetworkError" in type(err).__name__
+        )
+
     n_ok = n_err = 0
     t_all = time.monotonic()
     prev_family = None
-    with open(OUT, "w", encoding="utf-8") as out:
+    with open(OUT, "a" if resume else "w", encoding="utf-8") as out:
         for i, name in enumerate(names):
+            if name in done:
+                n_ok += 1
+                continue
             family = name.split("_", 1)[0]
             if prev_family is not None and family != prev_family:
-                evict_session_artifacts(spark)
+                try:
+                    evict_session_artifacts(spark)
+                except Exception:  # dead JVM — recovered below
+                    pass
             prev_family = family
-            t0 = time.monotonic()
-            try:
-                rows = specs[name].fn(spark, SF).collect()
-                rec = {
-                    "q": name,
-                    "sec": round(time.monotonic() - t0, 2),
-                    "rows": len(rows),
-                }
-                n_ok += 1
-            except Exception as e:  # noqa: BLE001 — sweep must finish
-                rec = {
-                    "q": name,
-                    "sec": round(time.monotonic() - t0, 2),
-                    "error": f"{type(e).__name__}: {str(e)[:300]}",
-                }
-                n_err += 1
+            rec = None
+            for attempt in (1, 2):
+                t0 = time.monotonic()
+                try:
+                    rows = specs[name].fn(spark, SF).collect()
+                    rec = {
+                        "q": name,
+                        "sec": round(time.monotonic() - t0, 2),
+                        "rows": len(rows),
+                    }
+                    n_ok += 1
+                    break
+                except Exception as e:  # noqa: BLE001 — sweep must finish
+                    rec = {
+                        "q": name,
+                        "sec": round(time.monotonic() - t0, 2),
+                        "error": f"{type(e).__name__}: {str(e)[:300]}",
+                    }
+                    if session_dead(e) and attempt == 1:
+                        # rebuild the session and retry once; session
+                        # caches key on id(spark), so downstream
+                        # artifact caches miss cleanly on the new one
+                        print(f"[{i + 1}] session dead — rebuilding", flush=True)
+                        try:
+                            spark.stop()
+                        except Exception:
+                            pass
+                        # a dead JVM leaves a dead cached gateway;
+                        # clear it so getOrCreate launches a fresh one
+                        try:
+                            from pyspark import SparkContext
+                            from pyspark.sql import SparkSession
+
+                            if SparkContext._gateway is not None:
+                                try:
+                                    SparkContext._gateway.shutdown()
+                                except Exception:
+                                    pass
+                            SparkContext._active_spark_context = None
+                            SparkContext._gateway = None
+                            SparkContext._jvm = None
+                            SparkSession._instantiatedSession = None
+                            SparkSession._activeSession = None
+                        except Exception:
+                            pass
+                        spark = get_spark(app_name="exec-sweep")
+                        spark.sparkContext.setLogLevel("ERROR")
+                        continue
+                    n_err += 1
+                    break
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(f"[{i + 1}/{len(names)}] {rec}", flush=True)

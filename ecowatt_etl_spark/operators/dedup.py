@@ -264,12 +264,23 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One row per doc with a 32-bit SimHash: per bit j, sum over token
-    occurrences of ±1 by bit j of the token hash; bit j of the result =
-    (sum > 0). Explode tokens → hash once → one aggregate computing all
-    32 bit-sums (commutative, order-independent) → recombine."""
-    t = fan_out(df).select(id_col, F.explode(tokens(text_col)).alias("tok"))
-    h = t.select(id_col, word_hash(F.col("tok")).alias("h"))
+    """One row per doc with a 32-bit SimHash: per bit j, sum over the
+    doc's DISTINCT word-shingle hashes of ±1 by bit j; bit j of the
+    result = (sum > 0). Explode shingles → hash once → one aggregate
+    computing all 32 bit-sums (commutative, order-independent) →
+    recombine.
+
+    Features are 3-gram shingles (the Manku et al. near-duplicate
+    design), NOT unigram tokens — deliberately, and it matters at
+    scale: a unigram-multiset signature is invariant under token
+    REORDERING, so any two documents built from the same vocabulary
+    multiset (template permutations, column-shuffled exports, the
+    scale generator's stride-permuted replicas) collide exactly, and
+    the q56 band join degenerates into quadratic identical-signature
+    groups (measured at 100×: ~25M hamming-0 pairs, driver OOM).
+    Shingles carry local order, so only genuinely near-duplicate TEXT
+    collides."""
+    h = shingle_hashes(df, id_col=id_col, text_col=text_col)
     bit_aggs = [
         F.sum(
             F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -430,10 +430,11 @@ def q278_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q55 — SimHash signatures
 # ---------------------------------------------------------------------------
-_SQL_TOK_H = f"""
-    SELECT doc_id, {_SQL_HASH_S} AS h
-    FROM (SELECT doc_id, UNNEST({_SQL_W}) AS s FROM documents)
-"""
+# SimHash features are the SAME distinct word-shingle hashes as the
+# MinHash family (_SQL_E) — shingles carry local order, so
+# vocabulary-multiset twins (template permutations; the scale
+# generator's stride-permuted replicas) do not collide. See
+# operators/dedup.py::simhash_signatures.
 _SQL_SIMHASH_AGG = (
     "SELECT doc_id, ("
     + " + ".join(
@@ -447,13 +448,16 @@ _SQL_SIMHASH_AGG = (
 
 @query(
     "q55_simhash",
-    oracle=f"WITH th AS ({_SQL_TOK_H}) {_SQL_SIMHASH_AGG}",
+    oracle=f"WITH th AS ({_SQL_E}) {_SQL_SIMHASH_AGG}",
 )
 def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: explode tokens → md5 once per
-    occurrence → one aggregate computing all 32 signed bit-sums
-    (commutative, so order-independent) → recombine into the signature.
-    Near-dup = small Hamming distance; pairing happens in q56."""
+    """32-bit SimHash per document over distinct word-shingle hashes:
+    explode shingles → md5 once per (doc, shingle) → one aggregate
+    computing all 32 signed bit-sums (commutative, so
+    order-independent) → recombine into the signature. Shingle
+    features, not unigram tokens — see simhash_signatures for why the
+    unigram form collides on vocabulary-multiset twins. Near-dup =
+    small Hamming distance; pairing happens in q56."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_signatures(d)
 
@@ -461,16 +465,26 @@ def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q56 — SimHash near-dup pairs via byte-band blocking
 # ---------------------------------------------------------------------------
+# Band-PAIR blocking (16-bit keys): hamming ≤ 2 over 4 byte-bands
+# leaves ≥ 2 bands clean (pigeonhole), so every true pair agrees
+# exactly on at least one of the 6 band PAIRS. Single-band 8-bit
+# blocking has only 256 buckets per band — bucket size grows ∝ N and
+# candidate pairs ∝ N²/256 (measured: task-level heap OOM at 100×,
+# 609 s in); the 65536-bucket pair keys cut candidates 256× with zero
+# recall loss for the d ≤ 2 bar.
+_SIMHASH_BAND_PAIRS = [(i, j) for i in range(4) for j in range(i + 1, 4)]
 _SQL_SIMHASH_BANDS = " UNION ALL ".join(
-    f"SELECT doc_id, simhash, {i} AS band, (simhash >> {8 * i}) & 255 AS bkey FROM s"
-    for i in range(4)
+    f"SELECT doc_id, simhash, {p} AS band, "
+    f"((simhash >> {8 * i}) & 255) * 256 + ((simhash >> {8 * j}) & 255) AS bkey "
+    f"FROM s"
+    for p, (i, j) in enumerate(_SIMHASH_BAND_PAIRS)
 )
 
 
 @query(
     "q56_simhash_neardup",
     oracle=f"""
-    WITH th AS ({_SQL_TOK_H}),
+    WITH th AS ({_SQL_E}),
     s AS ({_SQL_SIMHASH_AGG}),
     bands AS ({_SQL_SIMHASH_BANDS}),
     cand AS (
@@ -485,11 +499,22 @@ _SQL_SIMHASH_BANDS = " UNION ALL ".join(
     """,
 )
 def q56_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 2 of 32) with 4×8-bit band
-    blocking: a pair within distance d must agree exactly on ≥1 byte
-    band when d < 4 bands — the classic pigeonhole LSH for Hamming
-    space. The signature aggregate is computed once and its exchange
-    reused on both sides of the band self-join."""
+    """SimHash near-dup pairs (Hamming ≤ 2 of 32) blocked on band
+    PAIRS: d ≤ 2 differing bits over 4 byte-bands leaves at least 2
+    bands untouched, so every true pair agrees exactly on ≥ 1 of the
+    6 band pairs — pigeonhole LSH for Hamming space, one rung up from
+    single-band blocking. The single-band form is a measured
+    scale-killer: 8-bit bands give a CONSTANT 256 buckets, so bucket
+    occupancy grows ∝ N and the self-join's candidate volume ∝ N²/256
+    (100×: task heap OOM after 609 s). 16-bit pair keys make that
+    N²/65536 — 256× fewer candidates at identical recall, 9.3 s at
+    100×. Same asymptote honesty as the LSH cap: candidates are still
+    quadratic-in-the-limit because the key space is fixed; at 10B
+    docs the production design grows the signature itself (64-bit
+    SimHash, 4×16-bit bands — Manku et al.'s near-duplicate detection
+    for web crawling), which is this same scheme with wider bands.
+    The signature aggregate is computed once and its exchange reused
+    on both sides of the band self-join."""
     d = load_table(spark, sf_dir, "documents")
     s = simhash_signatures(d)
     bands = s.select(
@@ -499,10 +524,14 @@ def q56_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias("bkey"),
+                        F.lit(p).alias("band"),
+                        (
+                            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+                            * 256
+                            + F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255))
+                        ).alias("bkey"),
                     )
-                    for i in range(4)
+                    for p, (i, j) in enumerate(_SIMHASH_BAND_PAIRS)
                 ]
             )
         ).alias("b"),

@@ -3046,12 +3046,12 @@ def q254_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ),
     pairs AS (
-      SELECT a.seg, COUNT(*) AS n_pairs
-      FROM c a JOIN c b
-        ON a.c_nationkey = b.c_nationkey
-       AND a.seg IS NOT DISTINCT FROM b.seg
-       AND a.c_custkey < b.c_custkey
-      GROUP BY a.seg
+      SELECT seg, SUM(cnt * (cnt - 1) // 2) AS n_pairs
+      FROM (
+        SELECT c_nationkey, seg, COUNT(*) AS cnt
+        FROM c GROUP BY c_nationkey, seg
+      )
+      GROUP BY seg
     )
     SELECT c.seg,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -3070,36 +3070,47 @@ def q257_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
       2. COUNT(*) counts rows, COUNT(col) skips NULLs — both reported
          per group so the difference is visible in the NULL row;
       3. ``<=>`` (null-safe equality; IS NOT DISTINCT FROM) MATCHES
-         null-to-null where ``=`` would drop the pair — the
-         n_nullsafe_pairs count on the NULL row is nonzero only
-         because the join used the null-safe operator.
+         null-to-null where ``=`` would drop the row — the
+         n_nullsafe_pairs value lands on the NULL output row only
+         because the final join uses the null-safe operator (a plain
+         ``=`` left join would leave it NULL → coalesced 0), and the
+         pair count itself exists only because GROUP BY collected the
+         NULL segment into one group per nation.
     Both engines agree on all three to the row, which is the point: a
     hash match here pins the engine to ANSI null behavior, not an
     implementation accident.
 
-    Scale: the pair join is keyed on (nation, seg) with bounded
-    groups; everything else is one grouped aggregate. Null-safe
-    equality compiles to an ordinary equi-join key (Spark plans <=>
-    as EqualNullSafe inside the join key set, no nested loop)."""
+    Scale: the per-(nation, seg) PAIR COUNT is the closed form
+    Σ C(cnt, 2) over one grouped aggregate — NOT a materialized
+    self-join. The original self-join form was measured fatal at
+    100×: groups here scale with the corpus (15M customers / 125
+    (nation, seg) groups ≈ 120k rows each → ~9·10¹¹ joined pairs —
+    quadratic, 10,000× the sf0.1 volume for 100× the data; the r8
+    execution sweep sat on its 2 straggler tasks for 40+ minutes
+    before the form was replaced). Counting pairs never requires
+    producing them. The null-safe JOIN demonstration lives in the
+    final pairs⋈c left join (5 bounded rows against the corpus,
+    eqNullSafe key — Spark plans EqualNullSafe as an ordinary hash
+    join key, no nested loop)."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
         F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
     )
-    a, b = c.alias("a"), c.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & F.col("a.seg").eqNullSafe(F.col("b.seg"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        c.groupBy("c_nationkey", "seg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("seg")
+        .agg(
+            F.sum(F.expr("cnt * (cnt - 1) DIV 2")).alias("n_pairs")
         )
-        .groupBy(F.col("a.seg").alias("seg"))
-        .agg(F.count("*").alias("n_pairs"))
+        # column-renamed, not aliased: pairs shares c's lineage, so a
+        # c["seg"]-vs-p.seg join condition is ambiguous to the analyzer
+        .select(F.col("seg").alias("p_seg"), "n_pairs")
     )
     return (
-        c.join(pairs.alias("p"), c["seg"].eqNullSafe(F.col("p.seg")), "left")
-        .groupBy(c["seg"].alias("seg"), F.col("p.n_pairs"))
+        c.join(pairs, c["seg"].eqNullSafe(F.col("p_seg")), "left")
+        .groupBy(c["seg"].alias("seg"), F.col("n_pairs"))
         .agg(
             F.count("*").cast("long").alias("n_customers"),
             F.count(c["seg"]).cast("long").alias("n_nonnull"),

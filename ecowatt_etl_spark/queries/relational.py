@@ -2403,12 +2403,26 @@ def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-TABLE statistics sweep — the per-column (row count, null
     count, exact NDV, min, max) table a cost-based optimizer feeds on
     and every data catalog displays, across ALL ten warehouse tables in
-    ONE pass per table: the multi-distinct aggregate plans as a single
-    Expand (rows × audited columns) feeding one hash aggregate, so a
-    table is scanned once however many columns it carries — never once
-    per column. Complements q152 (constraint violations) with the
-    statistics half of warehouse metadata maintenance; q176 (skew) and
-    q209 (join sizes) consume exactly these numbers at planning time.
+    TWO passes per table: a wide no-distinct aggregate (row count,
+    null counts, typed min/max — constant state per column) and a
+    slim ``stack`` fan-out into ONE spillable (table, column, value)
+    group-distinct for the exact NDVs, joined back per column.
+    Complements q152 (constraint violations) with the statistics half
+    of warehouse metadata maintenance; q176 (skew) and q209 (join
+    sizes) consume exactly these numbers at planning time.
+
+    Why not one multi-distinct aggregate (the pre-r8 form): Catalyst
+    rewrites N count_distincts into an Expand carrying EVERY audited
+    column on every duplicated row, keyed by an N-column struct — on
+    the 60M-row 100× lineitem that is ~720M wide rows into one hash
+    aggregate, measured task OOM. The stack rows are (name, one
+    string) — the same fan-out factor but ~50× slimmer, keyed by a
+    single value, and the two-level group-by distinct spills cleanly —
+    completes at 100× in ~110 s (measured sharing the host with a
+    running full sweep) where the wide form died. NDV values are raw
+    cast-to-string (injective per
+    column type — no decimal rounding, full timestamp precision), so
+    the count is identical to COUNT(DISTINCT col) on the raw values.
 
     Cross-engine rendering discipline: numeric min/max are normalized
     through decimal(18,6) (fixed-scale string form both engines agree
@@ -2421,6 +2435,7 @@ def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max; the spec is an explicit literal so schema drift fails
     the audit loudly instead of silently skipping a column."""
     frames = []
+    ndv_frames = []
     for tbl, cols in _STATS_COLS.items():
         df = load_table(spark, sf_dir, tbl)
         aggs = [F.count("*").alias("n_rows")]
@@ -2430,7 +2445,6 @@ def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias(f"nn_{c}")
             )
-            aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
             if kind == "num":
                 mn = F.min(F.col(c).cast("decimal(18,6)")).cast("string")
                 mx = F.max(F.col(c).cast("decimal(18,6)")).cast("string")
@@ -2450,7 +2464,6 @@ def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(c).alias("column_name"),
                 F.col("n_rows").alias("n_rows"),
                 F.col(f"nn_{c}").alias("n_nulls"),
-                F.col(f"ndv_{c}").alias("ndv"),
                 F.col(f"mn_{c}").alias("min_value"),
                 F.col(f"mx_{c}").alias("max_value"),
             )
@@ -2459,10 +2472,39 @@ def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.append(
             wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
         )
+        stack_args = ", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c, _ in cols
+        )
+        ndv_frames.append(
+            df.selectExpr(
+                f"stack({len(cols)}, {stack_args}) AS (column_name, v)"
+            ).select(F.lit(tbl).alias("table_name"), "column_name", "v")
+        )
+    ev = ndv_frames[0]
+    for f in ndv_frames[1:]:
+        ev = ev.unionByName(f)
+    ndv = (
+        ev.filter(F.col("v").isNotNull())
+        .groupBy("table_name", "column_name", "v")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("table_name", "column_name")
+        .agg(F.count("*").alias("ndv"))
+    )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    return (
+        out.join(ndv, ["table_name", "column_name"], "left")
+        .select(
+            "table_name",
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            F.coalesce(F.col("ndv"), F.lit(0)).cast("long").alias("ndv"),
+            "min_value",
+            "max_value",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -704,21 +704,22 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact cross-engine (DuckDB's parquet_metadata() is the
     oracle twin).
 
-    Spark has no footer-only SQL source, so the files ride the
-    binaryFile source into an Arrow-batched mapInPandas that parses
-    ONLY the footer via pyarrow — one row per column chunk, aggregated
-    declaratively. Scale: this local-path form reads whole objects
-    (binaryFile has no range pushdown); the 100 TB deployment issues
-    footer range-reads against the object store in the same
-    mapInPandas (8 KB tail per file), so the plan shape — listing →
-    per-file Python → chunk-keyed aggregate — is already the right
-    one; only the byte source narrows. Nested columns are attributed
-    to their ROOT field (first path segment) so Spark and DuckDB agree
-    on leaf naming."""
+    Spark has no footer-only SQL source, so the LISTING rides the
+    binaryFile source (path column only — binaryFile prunes `content`
+    when it isn't selected, so no file bytes move) into an
+    Arrow-batched mapInPandas whose pyarrow ParquetFile opens each
+    path and range-reads ONLY the footer — one row per column chunk,
+    aggregated declaratively. The pre-r8 form selected `content` and
+    shipped ENTIRE objects through Arrow into Python: a single
+    multi-GB 100× lineitem file is one multi-GB row, measured task
+    OOM. Footer-only reads are also exactly the 100 TB deployment
+    shape (8 KB tail range-read per object); the plan — listing →
+    per-file Python → chunk-keyed aggregate — is unchanged. Nested
+    columns are attributed to their ROOT field (first path segment)
+    so Spark and DuckDB agree on leaf naming."""
     import pandas as pd
 
     def footer_stats(batches):
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         for pdf in batches:
@@ -728,8 +729,9 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "compressed": [],
                 "uncompressed": [],
             }
-            for path, content in zip(pdf["path"], pdf["content"]):
-                meta = pq.ParquetFile(pa.BufferReader(content)).metadata
+            for path in pdf["path"]:
+                local = path[len("file:"):] if path.startswith("file:") else path
+                meta = pq.ParquetFile(local).metadata
                 fname = path.rsplit("/", 1)[-1]
                 for rg in range(meta.num_row_groups):
                     g = meta.row_group(rg)
@@ -744,7 +746,7 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     files = spark.read.format("binaryFile").load(sf_dir + "/*.parquet")
-    chunks = files.select("path", "content").mapInPandas(
+    chunks = files.select("path").mapInPandas(
         footer_stats,
         schema=(
             "file_name string, column_name string,"

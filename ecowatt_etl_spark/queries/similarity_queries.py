@@ -2269,6 +2269,13 @@ from ecowatt_etl_spark.operators.text import (  # noqa: E402
 
 _EVAL_STRIDE = 25
 _EVAL_TERMS = 6
+# The eval set must be BOUNDED to stay a benchmark: a bare stride
+# grows with the corpus (20k probes at 100× — and probes × candidates
+# is then quadratic; measured as a 10-minute straggler in the r8
+# execution sweep). Cap at the first 200 stride hits — identical
+# probe set at and below the sf0.1 gate scale (5000 docs), constant
+# at any larger corpus, deterministic everywhere.
+_EVAL_MAX_ID = _EVAL_STRIDE * 200
 
 
 def _sql_perturb(e: str) -> str:
@@ -2285,7 +2292,8 @@ def _sql_perturb(e: str) -> str:
     WITH qt AS (
       SELECT doc_id AS qid,
              list_distinct(({_SQL_TOKENS})[1:{_EVAL_TERMS}]) AS terms
-      FROM documents WHERE doc_id % {_EVAL_STRIDE} = 0
+      FROM documents
+      WHERE doc_id % {_EVAL_STRIDE} = 0 AND doc_id < {_EVAL_MAX_ID}
     ),
     cand AS (
       SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ctoks FROM documents
@@ -2305,7 +2313,8 @@ def _sql_perturb(e: str) -> str:
     ),
     qv AS (
       SELECT vec_id AS qid, {_sql_perturb("embedding")} AS q_emb
-      FROM embeddings WHERE vec_id % {_EVAL_STRIDE} = 0
+      FROM embeddings
+      WHERE vec_id % {_EVAL_STRIDE} = 0 AND vec_id < {_EVAL_MAX_ID}
     ),
     vecsc AS (
       SELECT qv.qid, c.vec_id AS doc_id,
@@ -2373,7 +2382,10 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecowatt_etl_spark.operators.text import tokens
 
     toks = tokens("text")
-    qt = d.filter(F.col("doc_id") % _EVAL_STRIDE == 0).select(
+    qt = d.filter(
+        (F.col("doc_id") % _EVAL_STRIDE == 0)
+        & (F.col("doc_id") < _EVAL_MAX_ID)
+    ).select(
         F.col("doc_id").alias("qid"),
         F.array_distinct(F.slice(toks, 1, _EVAL_TERMS)).alias("terms"),
     )
@@ -2409,7 +2421,10 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((i + 1) * 7 % 11 + 95).cast("double")
         / F.lit(100.0),
     )
-    qv = em.filter(F.col("vec_id") % _EVAL_STRIDE == 0).select(
+    qv = em.filter(
+        (F.col("vec_id") % _EVAL_STRIDE == 0)
+        & (F.col("vec_id") < _EVAL_MAX_ID)
+    ).select(
         F.col("vec_id").alias("qid"),
         perturb.alias("q_emb"),
         l2_norm(perturb).alias("q_nrm"),

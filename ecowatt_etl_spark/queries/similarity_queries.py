@@ -2378,7 +2378,11 @@ def q256_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-score frame broadcast. At 100 TB the vector arm routes through the trained IVF
     serve path (q65/q196) instead of the exact scan — the harness
     itself is retriever-agnostic."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread the compressed-parquet scan to full parallelism: the
+    # lexical arm tokenizes every candidate against every probe, and
+    # an under-split scan serializes it on a straggler (measured
+    # 13-done+1-running for ~18 min at 100× before this line)
+    d = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
     from ecowatt_etl_spark.operators.text import tokens
 
     toks = tokens("text")

@@ -370,6 +370,15 @@ def _ivf_cells(
 # (see below): on this corpus the stride quantizer peaked at 0.58
 # recall @ 20% candidates, the trained one reaches 0.92+ at ≤19%.
 _CENT_MOD, _CENT_RES = 31, 7
+# Stride-centroid CAP: without it the stride quantizer's K grows
+# linearly with the corpus (vec_id % 31 keeps 1/31 of ALL vectors),
+# making IVF assignment N·K = N²/31 — measured 587 s (q129) / 427 s
+# (q123) at 100× in the r8 execution sweep, pure centroid-count
+# inflation. Capping centroid ids below 2000 is IDENTICAL at every
+# parity scale (sf0.1 has vec_ids 0..1999) and fixes K = 64 above;
+# a real deployment retrains K ≈ √N via the q65 trained path, which
+# is exactly what q65/q156 already do.
+_CENT_CAP = 2000
 # Trained quantizer: K=64 centroids, 3 Lloyd rounds of the exact
 # deterministic kernel q87/q88 pin (L2 argmin assignment, fixed-point
 # int64 centroid update — same data ⇒ bit-identical model in any
@@ -1218,7 +1227,7 @@ def q118_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS cid, embedding AS c_emb,
              {_sql_norm('embedding')} AS c_norm
       FROM embeddings
-      WHERE vec_id % {_CENT_MOD} = {_CENT_RES}
+      WHERE vec_id % {_CENT_MOD} = {_CENT_RES} AND vec_id < {_CENT_CAP}
     ),
     asg AS (
       SELECT e.vec_id, c.cid,
@@ -1266,7 +1275,10 @@ def q123_diversity_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fold-order cosine + vec_id tiebreak keep the argmax
     engine-stable."""
     em = load_table(spark, sf_dir, "embeddings")
-    cent_df = em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
+    cent_df = em.filter(
+        (F.col("vec_id") % _CENT_MOD == _CENT_RES)
+        & (F.col("vec_id") < _CENT_CAP)
+    ).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("c_emb"),
         l2_norm(F.col("embedding")).alias("c_norm"),
@@ -1943,7 +1955,7 @@ def q158_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS cid, embedding AS c_emb,
              {_sql_norm('embedding')} AS c_norm
       FROM embeddings
-      WHERE vec_id % {_CENT_MOD} = {_CENT_RES}
+      WHERE vec_id % {_CENT_MOD} = {_CENT_RES} AND vec_id < {_CENT_CAP}
     ),
     asg AS (
       SELECT e.vec_id, c.cid,
@@ -1986,7 +1998,10 @@ def q129_semantic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     cent = F.broadcast(
-        em.filter(F.col("vec_id") % _CENT_MOD == _CENT_RES).select(
+        em.filter(
+        (F.col("vec_id") % _CENT_MOD == _CENT_RES)
+        & (F.col("vec_id") < _CENT_CAP)
+    ).select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("c_emb"),
             l2_norm(F.col("embedding")).alias("c_norm"),

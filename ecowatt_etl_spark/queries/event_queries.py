@@ -439,10 +439,12 @@ def q277_stream_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
+    # conf.get(key) with no default returns the SQLConf DEFAULT string
+    # for defined confs rather than raising, which would leave the
+    # session explicitly pinned after restore; the two-arg form yields
+    # None only when the conf was never user-set, so unset() below
+    # genuinely restores the unset state (r8 ADVICE).
+    old = spark.conf.get(key, None)
     spark.conf.set(
         key,
         "org.apache.spark.sql.execution.streaming.state."
@@ -556,10 +558,12 @@ def q49c_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
+    # conf.get(key) with no default returns the SQLConf DEFAULT string
+    # for defined confs rather than raising, which would leave the
+    # session explicitly pinned after restore; the two-arg form yields
+    # None only when the conf was never user-set, so unset() below
+    # genuinely restores the unset state (r8 ADVICE).
+    old = spark.conf.get(key, None)
     spark.conf.set(
         key,
         "org.apache.spark.sql.execution.streaming.state."

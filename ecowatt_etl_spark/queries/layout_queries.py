@@ -721,6 +721,20 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def footer_stats(batches):
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        def open_meta(path):
+            # Resolve the URI through pyarrow's filesystem layer so the
+            # SAME range-read path works on s3a://, hdfs://, abfs://,
+            # gs:// — not just file: (r8 ADVICE: the stripped-prefix
+            # form could only touch local disk). Hadoop's s3a scheme
+            # maps to pyarrow's s3 store; from_uri returns the store
+            # handle + in-store path, and ParquetFile on the opened
+            # stream still range-reads only the footer tail.
+            uri = "s3://" + path[len("s3a://"):] if path.startswith("s3a://") else path
+            filesystem, inner = pafs.FileSystem.from_uri(uri)
+            with filesystem.open_input_file(inner) as handle:
+                return pq.ParquetFile(handle).metadata
 
         for pdf in batches:
             out = {
@@ -730,8 +744,7 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "uncompressed": [],
             }
             for path in pdf["path"]:
-                local = path[len("file:"):] if path.startswith("file:") else path
-                meta = pq.ParquetFile(local).metadata
+                meta = open_meta(path)
                 fname = path.rsplit("/", 1)[-1]
                 for rg in range(meta.num_row_groups):
                     g = meta.row_group(rg)

@@ -2472,8 +2472,19 @@ def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.append(
             wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
         )
+        # NDV values are cast to string, which is injective per column
+        # type EXCEPT IEEE signed zeros: -0.0 and 0.0 stringify
+        # distinctly but compare equal under engine DISTINCT. Adding
+        # +0.0 to float/double columns normalizes -0.0 to 0.0 before
+        # the cast (NaN stays NaN — Spark renders every NaN payload as
+        # the single string "NaN" already), keeping the count identical
+        # to COUNT(DISTINCT col) on raw values (r8 ADVICE).
+        dtypes = dict(df.dtypes)
         stack_args = ", ".join(
-            f"'{c}', CAST({c} AS STRING)" for c, _ in cols
+            f"'{c}', CAST(({c} + 0.0) AS STRING)"
+            if dtypes.get(c) in ("float", "double")
+            else f"'{c}', CAST({c} AS STRING)"
+            for c, _ in cols
         )
         ndv_frames.append(
             df.selectExpr(

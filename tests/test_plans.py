@@ -406,19 +406,26 @@ def test_no_query_plan_recomputes_sources_excessively(spark):
     times executes N times unless materialized — this caught q89's
     32-scan wedge-close and q53's 16-scan verify pipeline (both now
     checkpoint their shared index). tools/audit_scans.py prints the
-    full ranked list."""
+    full ranked list.
+
+    Per-query exemption: q223's r8 rewrite (the 100x multi-distinct
+    Expand OOM fix) deliberately scans each of the 10 tables TWICE —
+    a wide no-distinct aggregate plus a slim stack fan-out for exact
+    NDV — so its bound is 20, pinned exactly by
+    test_q223_scans_each_table_twice below."""
     import sys
 
     sys.path.insert(0, ".")
     from ecowatt_etl_spark.queries.registry import all_queries
     from tools.audit_scans import SKIP_PREFIXES, scan_count
 
+    caps = {"q223_column_stats": 20}
     worst = []
     for name, spec in all_queries().items():
         if name.startswith(SKIP_PREFIXES):
             continue
         c = scan_count(spark, spec.fn(spark, SF_SMOKE))
-        if c > 16:
+        if c > caps.get(name, 16):
             worst.append((c, name))
     assert not worst, f"plans recompute sources: {sorted(worst, reverse=True)}"
 
@@ -656,17 +663,24 @@ def test_q215_bootstrap_is_one_pass(spark):
     assert "b" in names and "k" not in names, names
 
 
-def test_q223_scans_each_table_once(spark):
-    """ANALYZE-sweep contract: 51 column stats from exactly 10 table
-    scans (one multi-distinct Expand pass per table) — never a scan
-    per column."""
+def test_q223_scans_each_table_twice(spark):
+    """ANALYZE-sweep contract after the r8 100x rewrite: 51 column
+    stats from exactly 20 table scans — two per table (a wide
+    no-distinct min/max aggregate + a slim stack fan-out for exact
+    NDV), never a scan per column, and never the single-pass
+    multi-distinct form: Catalyst's Expand rewrite carries EVERY
+    audited column on every duplicated row (~720M wide rows on 100x
+    lineitem, measured task OOM in the r8 exec sweep)."""
     from ecowatt_etl_spark.queries.registry import all_queries
     from tools.audit_scans import scan_count
 
     spec = all_queries()["q223_column_stats"]
-    assert scan_count(spark, spec.fn(spark, SF_SMOKE)) == 10
+    assert scan_count(spark, spec.fn(spark, SF_SMOKE)) == 20
     plan = _plan(spark, "q223_column_stats")
-    assert "Expand" in plan
+    # the slim NDV arm must be the stack fan-out, not the wide Expand
+    assert "Expand" not in plan
+    analyzed = spec.fn(spark, SF_SMOKE)._jdf.queryExecution().analyzed().toString()
+    assert "stack(" in analyzed
 
 
 def test_q243_holt_is_two_aggregates_no_window(spark):

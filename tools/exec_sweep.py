@@ -64,13 +64,41 @@ def main() -> None:
             or "Py4JNetworkError" in type(err).__name__
         )
 
-    n_ok = n_err = 0
+    def rebuild_session(old_spark):
+        # a dead JVM leaves a dead cached gateway; clear it so
+        # getOrCreate launches a fresh one. Session caches key on
+        # id(spark), so downstream artifact caches miss cleanly.
+        try:
+            old_spark.stop()
+        except Exception:
+            pass
+        try:
+            from pyspark import SparkContext
+            from pyspark.sql import SparkSession
+
+            if SparkContext._gateway is not None:
+                try:
+                    SparkContext._gateway.shutdown()
+                except Exception:
+                    pass
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+        except Exception:
+            pass
+        new = get_spark(app_name="exec-sweep")
+        new.sparkContext.setLogLevel("ERROR")
+        return new
+
+    n_ok = n_err = n_skip = 0
     t_all = time.monotonic()
     prev_family = None
     with open(OUT, "a" if resume else "w", encoding="utf-8") as out:
         for i, name in enumerate(names):
             if name in done:
-                n_ok += 1
+                n_skip += 1
                 continue
             family = name.split("_", 1)[0]
             if prev_family is not None and family != prev_family:
@@ -98,42 +126,30 @@ def main() -> None:
                         "error": f"{type(e).__name__}: {str(e)[:300]}",
                     }
                     if session_dead(e) and attempt == 1:
-                        # rebuild the session and retry once; session
-                        # caches key on id(spark), so downstream
-                        # artifact caches miss cleanly on the new one
+                        # rebuild the session and retry once
                         print(f"[{i + 1}] session dead — rebuilding", flush=True)
-                        try:
-                            spark.stop()
-                        except Exception:
-                            pass
-                        # a dead JVM leaves a dead cached gateway;
-                        # clear it so getOrCreate launches a fresh one
-                        try:
-                            from pyspark import SparkContext
-                            from pyspark.sql import SparkSession
-
-                            if SparkContext._gateway is not None:
-                                try:
-                                    SparkContext._gateway.shutdown()
-                                except Exception:
-                                    pass
-                            SparkContext._active_spark_context = None
-                            SparkContext._gateway = None
-                            SparkContext._jvm = None
-                            SparkSession._instantiatedSession = None
-                            SparkSession._activeSession = None
-                        except Exception:
-                            pass
-                        spark = get_spark(app_name="exec-sweep")
-                        spark.sparkContext.setLogLevel("ERROR")
+                        spark = rebuild_session(spark)
                         continue
+                    if session_dead(e):
+                        # attempt 2 ALSO died with the session: record
+                        # the error but rebuild before moving on, or
+                        # every later query pays a failed attempt plus
+                        # a gateway rebuild against a dead JVM
+                        # (r8 ADVICE).
+                        print(
+                            f"[{i + 1}] session dead twice — rebuilding"
+                            " before next query",
+                            flush=True,
+                        )
+                        spark = rebuild_session(spark)
                     n_err += 1
                     break
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(f"[{i + 1}/{len(names)}] {rec}", flush=True)
     print(
-        f"DONE ok={n_ok} err={n_err} total_s={round(time.monotonic() - t_all, 1)}",
+        f"DONE ok={n_ok} err={n_err} resumed_skip={n_skip}"
+        f" total_s={round(time.monotonic() - t_all, 1)}",
         flush=True,
     )
 

@@ -168,6 +168,15 @@ def main() -> None:
                         f"q53_lsh_cap_{k}": round(v, 6)
                         for k, v in _lsh_cap_drop(spark, sf_dir).items()
                     },
+                    # q155 cell-band observability (r8 verdict item 2):
+                    # resolved bits-per-band, closed-form within-cell
+                    # pair space, generated candidate count, and their
+                    # ratio — the embedding twin of the q53 cap stats;
+                    # q285 prices the recall side per decile.
+                    **{
+                        f"q155_{k}": round(v, 6)
+                        for k, v in _cell_band_stats(spark, sf_dir).items()
+                    },
                     # ANN warm-SERVE times decomposed from build (r6
                     # verdict item 3): the headline loop already built
                     # the session artifacts, so these best-of-2 reruns
@@ -210,6 +219,12 @@ def _q266_parity(spark, sf_dir: str) -> float:
     )
 
     return round(covariance_arms_max_abs_diff(spark, sf_dir), 12)
+
+
+def _cell_band_stats(spark, sf_dir: str) -> dict:
+    from ecowatt_etl_spark.queries.similarity_queries import cell_band_stats
+
+    return cell_band_stats(spark, sf_dir)
 
 
 def _lsh_cap_drop(spark, sf_dir: str) -> dict:

@@ -243,6 +243,15 @@ def lsh_cap_drop_stats(
             F.count("*").alias("buckets"),
             F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
             F.max("_cap").alias("cap"),
+            # candidate-pair VOLUME under the scaled cap (r8 verdict
+            # watch item): Σ C(n,2) over kept buckets, the closed form
+            # of the banded join's output size — the quadratic head is
+            # visible round-over-round without running the join
+            F.sum(
+                F.when(over, 0).otherwise(
+                    F.expr("n * (n - 1) DIV 2").cast("long")
+                )
+            ).alias("cand_pairs"),
         )
         .collect()[0]
     )
@@ -251,6 +260,7 @@ def lsh_cap_drop_stats(
         "dropped_bucket_frac": (row["dropped_buckets"] or 0)
         / max(row["buckets"] or 0, 1),
         "cap": float(row["cap"] or LSH_BUCKET_CAP),
+        "candidate_pairs": float(row["cand_pairs"] or 0),
     }
 
 

@@ -327,15 +327,15 @@ def _ivf_cells(
     sf_dir: str,
     em: DataFrame,
     cent: DataFrame,
-    variant: str = "stride",
+    variant: str = "trained",
 ) -> DataFrame:
     """Build (or fetch) the IVF inverted file: every corpus vector
     assigned to its nearest centroid. localCheckpoint materializes the
     assignment once per (session, sf_dir, quantizer variant) — the
     offline index-build step of a real ANN deployment, amortized
-    across query batches. ``variant`` keys the cache: the stride
-    quantizer (q123/q129) and the trained quantizer (q65) are
-    different indexes over the same corpus."""
+    across query batches. ``variant`` keys the cache so alternative
+    quantizers over the same corpus coexist (every shipped consumer
+    uses the trained quantizer since r9)."""
     key = (id(spark), sf_dir, variant)
     if key not in _IVF_INDEX_CACHE:
         # FLOP-bound assignment (K folds per vector): spread a
@@ -363,22 +363,14 @@ def _ivf_cells(
 # ---------------------------------------------------------------------------
 # q65 — IVF-partitioned approximate top-k (coarse-quantizer scale path)
 # ---------------------------------------------------------------------------
-# Stride quantizer: every (vec_id % 31 == 7)-th vector is a centroid.
-# Retained for q123/q129 (cell summaries, where any balanced partition
-# of the corpus serves); q65 — the actual SEARCH operator, where
-# recall is the product — trains its quantizer with k-means instead
-# (see below): on this corpus the stride quantizer peaked at 0.58
-# recall @ 20% candidates, the trained one reaches 0.92+ at ≤19%.
-_CENT_MOD, _CENT_RES = 31, 7
-# Stride-centroid CAP: without it the stride quantizer's K grows
-# linearly with the corpus (vec_id % 31 keeps 1/31 of ALL vectors),
-# making IVF assignment N·K = N²/31 — measured 587 s (q129) / 427 s
-# (q123) at 100× in the r8 execution sweep, pure centroid-count
-# inflation. Capping centroid ids below 2000 is IDENTICAL at every
-# parity scale (sf0.1 has vec_ids 0..1999) and fixes K = 64 above;
-# a real deployment retrains K ≈ √N via the q65 trained path, which
-# is exactly what q65/q156 already do.
-_CENT_CAP = 2000
+# The stride quantizer (vec_id % 31 centroids) is RETIRED as of r9:
+# its K either grew ∝ N (the 427/587 s q123/q129 rows the r8 100×
+# sweep caught) or sat behind an arbitrary id cap, and on this corpus
+# it peaked at 0.58 recall @ 20% candidates where the trained
+# quantizer reaches 0.92+ at ≤19%. Every shipped cell consumer
+# (q65/q123/q129/q154/q155/q156/q196) now routes through the trained
+# path below; oracles replay the training CTE-for-CTE.
+#
 # Trained quantizer: K=64 centroids, 3 Lloyd rounds of the exact
 # deterministic kernel q87/q88 pin (L2 argmin assignment, fixed-point
 # int64 centroid update — same data ⇒ bit-identical model in any
@@ -1223,11 +1215,10 @@ def q118_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q123_diversity_medoids",
     oracle=f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS c_emb,
-             {_sql_norm('embedding')} AS c_norm
-      FROM embeddings
-      WHERE vec_id % {_CENT_MOD} = {_CENT_RES} AND vec_id < {_CENT_CAP}
+    WITH {_sql_kmeans_cents()},
+    cent AS (
+      SELECT cid, c_emb, {_sql_norm('c_emb')} AS c_norm
+      FROM c{_IVF_ROUNDS}
     ),
     asg AS (
       SELECT e.vec_id, c.cid,
@@ -1267,24 +1258,21 @@ def q123_diversity_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     breadth over redundancy, and the cheap summary (|cells| rows) a
     mixture planner inspects before committing to a full corpus scan.
 
-    Scale: SHARES q65's session-scoped IVF index (`_ivf_cells`) — the
-    assignment is built/materialized once per session, then this query
-    is ONE cid-keyed window over rows already partitioned by cell. The
+    Scale: SHARES q65's session-scoped TRAINED index (r9 — the stride
+    quantizer is retired: its `vec_id % 31` centroids either grow
+    K ∝ N, the 427 s shape the r8 100× sweep caught, or sit behind an
+    arbitrary id cap; the trained quantizer is the path a real
+    deployment retrains at K ≈ √N, and the oracle replays its
+    training CTE-for-CTE exactly as q65/q155 do). The assignment is
+    built/materialized once per session, then this query is ONE
+    cid-keyed window over rows already partitioned by cell. The
     medoid rank and the population count share the same window
     partitioning, so Catalyst computes both in a single exchange.
     Fold-order cosine + vec_id tiebreak keep the argmax
     engine-stable."""
     em = load_table(spark, sf_dir, "embeddings")
-    cent_df = em.filter(
-        (F.col("vec_id") % _CENT_MOD == _CENT_RES)
-        & (F.col("vec_id") < _CENT_CAP)
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
-    )
-    cent = F.broadcast(cent_df)
-    cells = _ivf_cells(spark, sf_dir, em, cent)
+    cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
+    cells = _ivf_cells(spark, sf_dir, em, cent, "trained")
     scored = cells.join(
         cent.select(F.col("cid").cast("long").alias("c_cid"), "c_emb", "c_norm"),
         cells["cid"] == F.col("c_cid"),
@@ -1506,10 +1494,79 @@ def q154_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q155 — semantic near-dup pairs via the trained quantizer
 # ---------------------------------------------------------------------------
-@query(
-    "q155_semantic_neardup",
-    oracle=f"""
-    WITH {_sql_kmeans_cents()},
+# Within-cell sub-banding (r8 verdict item 2 — the one perf-weak entry
+# at 466 s in the 100× execution sweep): fixed K means trained-cell
+# population grows ∝ N, so the within-cell pair space Σ n_c² ≈ N²/K is
+# quadratic-in-the-limit however good the blocking. The corpus-scaled
+# treatment the LSH family got in r8, adapted to a PARTITIONING
+# blocker (cells cover the whole corpus, so an oversized-bucket DROP
+# cap like lsh_bands' can never bind on a balanced index): inside each
+# cell, candidates must ALSO agree on one of _CELL_BANDS sign-bit band
+# keys, where the bits-per-band b grows with the corpus so that the
+# expected (cell, band-bucket) population stays ≈ _CELL_TARGET:
+#   b(N) = min(_BAND_STRIDE, ceil(log2(ceil(N / (K·_CELL_TARGET)))))
+# Per band the pair space is N²/(K·2^b) ≈ N·_CELL_TARGET/2 — LINEAR —
+# and _CELL_BANDS bands multiply recall, not asymptotics. b is 0 at
+# every parity scale (N ≤ 2048 ⇒ no sub-blocking, bit-identical to the
+# pre-r9 form); at the 100× sweep's 200k vectors b = 7. Recall cost is
+# the standard sign-LSH S-curve (band match prob = (1-θ/π)^b, any of
+# _CELL_BANDS bands) — measured per cosine-decile by q285's audit, and
+# the candidate-volume drop is published in bench extras. Band j draws
+# its sign bits from dimensions [j·_BAND_STRIDE, j·_BAND_STRIDE+b) —
+# disjoint, so band keys are independent hyperplane draws (q62's
+# coordinate-axis construction).
+_CELL_TARGET = 32
+_CELL_BANDS = 4
+_BAND_STRIDE = 16
+
+
+def _subband_bits(n: int) -> int:
+    """bits-per-band for an N-vector corpus — both engines compute the
+    same integer: m = ceil(N / (K·T)), b = min(stride, ceil(log2 m))
+    via pure integer compare-counting (no float log2 at the boundary)."""
+    m = max(1, -(-n // (_IVF_K * _CELL_TARGET)))
+    b = 0
+    while (1 << b) < m and b < _BAND_STRIDE:
+        b += 1
+    return b
+
+
+_SQL_SUBBAND_BITS = (
+    f"LEAST({_BAND_STRIDE}, "
+    + " + ".join(
+        f"CASE WHEN {1 << i} < ((n + {_IVF_K * _CELL_TARGET - 1})"
+        f" // {_IVF_K * _CELL_TARGET}) THEN 1 ELSE 0 END"
+        for i in range(31)
+    )
+    + ")"
+)
+
+
+def _band_key(emb, j: int, b: int):
+    """Spark band-j key: integer from the sign bits of dimensions
+    [j·stride+1 .. j·stride+b] (1-indexed); 0 when b = 0."""
+    key = F.lit(0)
+    for i in range(b):
+        key = key + F.when(
+            F.element_at(emb, j * _BAND_STRIDE + i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(0)
+    return key.cast("int")
+
+
+def _sql_band_key(j: int) -> str:
+    """DuckDB twin of _band_key with b as the cross-joined bb.b column
+    (i < b disables unused bits, so one static expression serves any
+    corpus size)."""
+    terms = " + ".join(
+        f"CASE WHEN {i} < bb.b AND c.embedding[{j * _BAND_STRIDE + i + 1}] >= 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(_BAND_STRIDE)
+    )
+    return f"CAST(({terms}) AS INTEGER)"
+
+
+# shared kmeans-cells + banded-candidate CTE prefix (q155 + q285)
+_SQL_CELL_BANDED = f"""{_sql_kmeans_cents()},
     cent AS (
       SELECT cid, c_emb, {_sql_norm('c_emb')} AS c_norm
       FROM c{_IVF_ROUNDS}
@@ -1526,14 +1583,126 @@ def q154_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.vec_id, e.embedding, a.cid
       FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id AND a.ark = 1
     ),
+    nn AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS n
+           FROM embeddings),
+    bb AS (SELECT {_SQL_SUBBAND_BITS} AS b FROM nn),
+    keyed AS MATERIALIZED (
+      SELECT c.vec_id, c.embedding, c.cid,
+             {_sql_norm('c.embedding')} AS nrm,
+             {", ".join(f"{_sql_band_key(j)} AS k{j}" for j in range(_CELL_BANDS))}
+      FROM cells c CROSS JOIN bb
+    ),
     cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_sql_dot('a.embedding', 'b.embedding')}
-               / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})
-               AS cosine_sim
-      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      {" UNION ALL ".join(
+          "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+          + _sql_dot('a.embedding', 'b.embedding')
+          + " / (a.nrm * b.nrm) AS cosine_sim"
+          + " FROM keyed a JOIN keyed b ON a.cid = b.cid"
+          + f" AND a.k{j} = b.k{j} AND a.vec_id < b.vec_id"
+          + "".join(f" AND a.k{i} <> b.k{i}" for i in range(j))
+          for j in range(_CELL_BANDS)
+      )}
+    ),
+    found_pairs AS (
+      SELECT id_a, id_b, cosine_sim FROM cand WHERE cosine_sim >= {_COS_T}
+    )"""
+
+
+def _banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-threshold candidate pairs (id_a, id_b, cosine_sim) from the
+    trained cells under the corpus-scaled sub-band blocking — the
+    generation stage q155/q285 verify and cell_band_stats counts."""
+    em = load_table(spark, sf_dir, "embeddings")
+    # bounded scalar: one count drives the bits-per-band parameter,
+    # exactly as the oracle's nn/bb scalar subqueries do
+    b = _subband_bits(em.count())
+    cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
+    # per-vector norms on top of the shared cell cache (q62's rework:
+    # bit-identical cosine, 1 fold per candidate pair instead of 3)
+    keyed = _ivf_cells(spark, sf_dir, em, cent, "trained").select(
+        "vec_id",
+        "embedding",
+        "cid",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        *[
+            _band_key(F.col("embedding"), j, b).alias(f"k{j}")
+            for j in range(_CELL_BANDS)
+        ],
     )
-    SELECT id_a, id_b, cosine_sim FROM cand WHERE cosine_sim >= {_COS_T}
+    parts = []
+    for j in range(_CELL_BANDS):
+        a, c = keyed.alias("a"), keyed.alias("b")
+        cond = (
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+        )
+        # first-matching-band ownership: a pair co-bucketed by several
+        # bands is generated ONLY by the smallest, so the union is
+        # duplicate-free with no distinct shuffle; with b = 0 every
+        # key is 0 and band 0 degenerates to the plain within-cell
+        # join (bands 1+ fold to empty under k<>k = false)
+        for i in range(j):
+            cond = cond & (F.col(f"a.k{i}") != F.col(f"b.k{i}"))
+        parts.append(
+            a.join(c, cond).select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.try_divide(
+                    dot_fold(F.col("a.embedding"), F.col("b.embedding")),
+                    F.col("a.nrm") * F.col("b.nrm"),
+                ).alias("cosine_sim"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _cell_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs from the trained cells with the
+    corpus-scaled sub-band cap — shared by q155 (the product) and
+    q285 (its recall audit)."""
+    return _banded_candidates(spark, sf_dir).filter(
+        F.col("cosine_sim") >= _COS_T
+    )
+
+
+def cell_band_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Observability for the q155 sub-band cap (the q53
+    lsh_cap_drop_stats twin): resolved bits-per-band, the UNCAPPED
+    within-cell pair space Σ C(n_c, 2) in closed form, the banded
+    candidate count actually generated, and their ratio. bench.py
+    publishes these per round so the candidate-volume curve (and the
+    recall trade q285 prices) stays visible. Counting the candidate
+    frame prunes the cosine fold (count needs no columns), so the
+    stats cost is the id-only join, not the verification."""
+    em = load_table(spark, sf_dir, "embeddings")
+    b = _subband_bits(em.count())
+    cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
+    cells = _ivf_cells(spark, sf_dir, em, cent, "trained")
+    cell_pairs = (
+        cells.groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("p"))
+        .collect()[0]["p"]
+        or 0
+    )
+    banded = _banded_candidates(spark, sf_dir).count()
+    return {
+        "band_bits": float(b),
+        "cell_pairs": float(cell_pairs),
+        "banded_pairs": float(banded),
+        "cand_frac": banded / max(cell_pairs, 1),
+    }
+
+
+@query(
+    "q155_semantic_neardup",
+    oracle=f"""
+    WITH {_SQL_CELL_BANDED}
+    SELECT id_a, id_b, cosine_sim FROM found_pairs
     """,
 )
 def q155_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,36 +1711,140 @@ def q155_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks — the pairs-problem twin of q65's frontier jump: cells
     adapt to the data, so near neighbors co-locate and the intra-cell
     candidate space recovers far more true pairs at a comparable
-    candidate budget (the K=64 cells bound the pair space to
-    Σ per-cell n² ≈ N²/K on a balanced index, same economics as q62's
-    2^8 buckets). Shares q65's session-scoped trained index — build
-    once, serve search (q65), dedup pairs (here), and audits
+    candidate budget. Shares q65's session-scoped trained index —
+    build once, serve search (q65), dedup pairs (here), and audits
     (q123/q129-style) from the same artifact; exact cosine verifies
     every candidate, so precision is 1.0 by construction and the
-    blocking only bounds recall."""
-    em = load_table(spark, sf_dir, "embeddings")
-    cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
-    # per-vector norms on top of the shared cell cache (q62's rework:
-    # bit-identical cosine, 1 fold per candidate pair instead of 3)
-    cells = _ivf_cells(spark, sf_dir, em, cent, "trained").withColumn(
-        "nrm", l2_norm(F.col("embedding"))
+    blocking only bounds recall — which q285 measures per decile.
+
+    Scale shape (r9): within-cell candidates are additionally blocked
+    by _CELL_BANDS corpus-scaled sign-bit band keys (see the constant
+    block above) — bits-per-band grows as log2(N), holding expected
+    (cell, band-bucket) population at _CELL_TARGET, so the candidate
+    space is N·_CELL_TARGET·_CELL_BANDS/2 ≈ LINEAR instead of the
+    N²/K that measured 466 s at the 100× sweep scale. At every parity
+    scale b = 0 and the plan degenerates to the plain within-cell
+    join, bit-identical to the pre-r9 operator."""
+    return _cell_banded_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q285 — recall audit of the cell-banded blocking vs exact anchors
+# ---------------------------------------------------------------------------
+_ANCHOR_DIV = 64  # ~64 anchors however large the corpus
+
+
+@query(
+    "q285_semantic_recall_audit",
+    oracle=f"""
+    WITH {_SQL_CELL_BANDED},
+    anchors AS (
+      SELECT e.vec_id, e.embedding, {_sql_norm('e.embedding')} AS nrm
+      FROM embeddings e CROSS JOIN nn
+      WHERE e.vec_id % ((nn.n + {_ANCHOR_DIV - 1}) // {_ANCHOR_DIV}) = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+      FROM embeddings
+    ),
+    truth AS (
+      SELECT DISTINCT LEAST(a.vec_id, x.vec_id) AS id_a,
+             GREATEST(a.vec_id, x.vec_id) AS id_b
+      FROM anchors a JOIN corpus x ON a.vec_id <> x.vec_id
+      WHERE {_sql_dot('a.embedding', 'x.embedding')} / (a.nrm * x.nrm)
+            >= {_COS_T}
+    ),
+    m AS (
+      SELECT f.cosine_sim, f.id_a IS NOT NULL AS found,
+             COALESCE(f.cosine_sim,
+                      {_sql_dot('ea.embedding', 'eb.embedding')}
+                        / ({_sql_norm('ea.embedding')}
+                           * {_sql_norm('eb.embedding')})) AS sim
+      FROM truth t
+      JOIN embeddings ea ON ea.vec_id = t.id_a
+      JOIN embeddings eb ON eb.vec_id = t.id_b
+      LEFT JOIN found_pairs f ON f.id_a = t.id_a AND f.id_b = t.id_b
     )
-    a, b = cells.alias("a"), cells.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    SELECT CAST(floor(sim * 10) AS BIGINT) AS sim_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+                AS BIGINT) AS recall_bp
+    FROM m GROUP BY 1
+    """,
+)
+def q285_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL AUDIT of q155's cell-banded blocking against EXACT
+    ground truth on a deterministic anchor sample — q219's
+    construction carried to the embedding family: for every true pair
+    (cosine ≥ 0.3) touching an anchor vector, did the (cell, band)
+    blocking generate it? Reported per cosine decile because sign-LSH
+    recall is a steep function of angle (the S-curve — near-identical
+    vectors agree on almost every sign bit, 0.3-cosine pairs on few),
+    so the decile table shows exactly what the corpus-scaled bits
+    trade away as N grows; basis-point integer recall keeps the
+    report hash-exact cross-engine.
+
+    The anchor set is what keeps the AUDIT scale-safe where exact
+    all-pairs truth is quadratic: ~_ANCHOR_DIV vectors chosen by a
+    corpus-derived modulus (vec_id % ceil(N/64) = 0 — deterministic,
+    spread across the id range, expressible in both engines), so
+    truth is anchors × corpus ≈ 64·N exact cosines — linear, the same
+    economics as q61's fixed query set. At every parity scale b = 0
+    makes recall 10000 bp in every decile by construction; the
+    interesting numbers are the 100× sweep's, where b = 7."""
+    pairs = _cell_banded_pairs(spark, sf_dir).localCheckpoint()
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.count()
+    mod = (n + _ANCHOR_DIV - 1) // _ANCHOR_DIV
+    corpus = em.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    anchors = corpus.filter(F.col("vec_id") % mod == 0)
+    a, x = anchors.alias("a"), corpus.alias("x")
+    truth = (
+        a.join(x, F.col("a.vec_id") != F.col("x.vec_id"))
+        .filter(
+            F.try_divide(
+                dot_fold(F.col("a.embedding"), F.col("x.embedding")),
+                F.col("a.nrm") * F.col("x.nrm"),
+            )
+            >= _COS_T
         )
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.try_divide(
-                dot_fold(F.col("a.embedding"), F.col("b.embedding")),
-                F.col("a.nrm") * F.col("b.nrm"),
-            ).alias("cosine_sim"),
+            F.least("a.vec_id", "x.vec_id").alias("id_a"),
+            F.greatest("a.vec_id", "x.vec_id").alias("id_b"),
         )
-        .filter(F.col("cosine_sim") >= _COS_T)
+        .distinct()
+    )
+    ea = em.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("emb_a"))
+    eb = em.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("emb_b"))
+    m = (
+        truth.join(ea, F.col("id_a") == F.col("ia"))
+        .join(eb, F.col("id_b") == F.col("ib"))
+        .join(pairs.withColumn("found", F.lit(True)), ["id_a", "id_b"], "left")
+        .select(
+            F.coalesce("found", F.lit(False)).alias("found"),
+            F.coalesce(
+                F.col("cosine_sim"),
+                F.try_divide(
+                    dot_fold(F.col("emb_a"), F.col("emb_b")),
+                    l2_norm(F.col("emb_a")) * l2_norm(F.col("emb_b")),
+                ),
+            ).alias("sim"),
+        )
+    )
+    return m.groupBy(
+        F.floor(F.col("sim") * 10).cast("long").alias("sim_decile")
+    ).agg(
+        F.count("*").cast("long").alias("n_truth"),
+        F.sum(F.when(F.col("found"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_found"),
+        F.expr(
+            "CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("recall_bp"),
     )
 
 
@@ -1951,11 +2224,10 @@ def q158_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q129_semantic_mixture",
     oracle=f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS c_emb,
-             {_sql_norm('embedding')} AS c_norm
-      FROM embeddings
-      WHERE vec_id % {_CENT_MOD} = {_CENT_RES} AND vec_id < {_CENT_CAP}
+    WITH {_sql_kmeans_cents()},
+    cent AS (
+      SELECT cid, c_emb, {_sql_norm('c_emb')} AS c_norm
+      FROM c{_IVF_ROUNDS}
     ),
     asg AS (
       SELECT e.vec_id, c.cid,
@@ -1988,26 +2260,19 @@ def q129_semantic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     template cluster' before a mixture plan (q98/q102) treats its
     token count as diverse supply.
 
-    Scale: REUSES the session-scoped IVF index (`_ivf_cells`) — the
-    assignment emits (vec_id, cid) pairs only and is built once per
-    session; the text↔embedding join is an 8-byte-key equi-join of two
-    copartition-able tables (at 100 TB both sides bucket by doc_id at
-    write time, q32 economics); the final shares window runs on the
-    aggregated (lang × cell) frame, which is dims-sized, not
-    corpus-sized."""
+    Scale: REUSES the session-scoped TRAINED index (r9 — stride
+    quantizer retired, see q123) — the assignment emits (vec_id, cid)
+    pairs only and is built once per session; the text↔embedding join
+    is an 8-byte-key equi-join of two copartition-able tables (at
+    100 TB both sides bucket by doc_id at write time, q32 economics);
+    the final shares window runs on the aggregated (lang × cell)
+    frame, which is dims-sized, not corpus-sized."""
     em = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    cent = F.broadcast(
-        em.filter(
-        (F.col("vec_id") % _CENT_MOD == _CENT_RES)
-        & (F.col("vec_id") < _CENT_CAP)
-    ).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("c_emb"),
-            l2_norm(F.col("embedding")).alias("c_norm"),
-        )
+    cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
+    best = _ivf_cells(spark, sf_dir, em, cent, "trained").select(
+        "vec_id", "cid"
     )
-    best = _ivf_cells(spark, sf_dir, em, cent).select("vec_id", "cid")
     g = (
         docs.join(best, docs["doc_id"] == best["vec_id"])
         .groupBy("lang", "cid")

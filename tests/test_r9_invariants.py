@@ -1,0 +1,125 @@
+"""Round-9 invariants: q155's corpus-scaled cell-band cap (r8 verdict
+item 2) — the bits-per-band parameter must be the SAME integer in both
+engines at any corpus size, the banded candidate union must be
+duplicate-free and a subset of the within-cell pair space, and at
+every parity scale the cap must be a no-op (b = 0) so the certified
+history stays bit-identical."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from ecowatt_etl_spark.queries.similarity_queries import (  # noqa: E402
+    _BAND_STRIDE,
+    _CELL_BANDS,
+    _CELL_TARGET,
+    _IVF_K,
+    _SQL_SUBBAND_BITS,
+    _subband_bits,
+)
+
+from tests.conftest import SF_ORACLE, SF_SMOKE  # noqa: E402
+
+
+def test_subband_bits_matches_sql_twin_exactly():
+    """b(N) is the parity linchpin: if the Python (Spark-side) and SQL
+    (oracle-side) computations ever disagree at some N, the two
+    engines build different blockings and every value diverges. Check
+    the integer compare-count twin at boundary-heavy N values."""
+    con = duckdb.connect()
+    kt = _IVF_K * _CELL_TARGET
+    probe = sorted(
+        {1, 2, 500, 2000, 2048, 2049, 200000, 10**7, 10**12}
+        | {kt, kt + 1, 2 * kt, 2 * kt + 1, 4 * kt - 1, 4 * kt}
+        | {kt * (1 << 16), kt * (1 << 16) + 1, kt * (1 << 20)}
+    )
+    for n in probe:
+        sql_b = con.execute(
+            f"SELECT {_SQL_SUBBAND_BITS} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()[0]
+        assert sql_b == _subband_bits(n), n
+
+
+def test_subband_bits_shape():
+    """b = 0 at every parity scale (500 / 2000 vectors — the cap must
+    not perturb certified history), grows monotonically with N, holds
+    the expected (cell, band-bucket) population at _CELL_TARGET, and
+    saturates at _BAND_STRIDE (the coordinate-axis construction has
+    only stride-many disjoint dims per band)."""
+    assert _subband_bits(500) == 0
+    assert _subband_bits(2000) == 0
+    assert _subband_bits(200000) == 7  # the 100x sweep corpus
+    prev = 0
+    for e in range(1, 40):
+        b = _subband_bits(2**e)
+        assert b >= prev
+        prev = b
+    assert _subband_bits(10**12) == _BAND_STRIDE
+    # population invariant below saturation: N / (K * 2^b) <= target
+    for n in (10**4, 10**5, 10**6, 10**7):
+        b = _subband_bits(n)
+        if b < _BAND_STRIDE:
+            assert n / (_IVF_K * (1 << b)) <= _CELL_TARGET
+
+
+def test_band_dims_disjoint():
+    """Band keys must draw sign bits from DISJOINT dimensions or the
+    bands are correlated and the any-band recall math is wrong: the
+    highest bit of band j (stride-1) must not reach band j+1's range,
+    and all bands must fit the 64-dim embedding."""
+    assert _CELL_BANDS * _BAND_STRIDE <= 64
+
+
+def test_banded_candidates_duplicate_free_and_subset(spark):
+    """First-matching-band ownership: the 4-way union must emit every
+    within-cell pair AT MOST once (no distinct shuffle relied on), and
+    only pairs that share a cell. At smoke scale b = 0, so the union
+    must equal the plain within-cell pair space exactly — the no-op
+    guarantee the parity history depends on."""
+    from pyspark.sql import functions as F
+
+    from ecowatt_etl_spark.queries.similarity_queries import (
+        _banded_candidates,
+        _ivf_cells,
+        _trained_centroids,
+    )
+    from ecowatt_etl_spark.sources.tables import load_table
+
+    cand = _banded_candidates(spark, SF_SMOKE).select("id_a", "id_b")
+    n_cand = cand.count()
+    assert cand.distinct().count() == n_cand, "duplicate candidate pairs"
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    cent = F.broadcast(_trained_centroids(spark, SF_SMOKE, em))
+    cells = _ivf_cells(spark, SF_SMOKE, em, cent, "trained")
+    cell_pairs = (
+        cells.groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert n_cand == cell_pairs, "b=0 must cover the full cell pair space"
+
+
+def test_q285_recall_is_total_at_parity_scale(spark):
+    """At parity scales b = 0 ⇒ the blocking generates every
+    within-cell pair, so any truth pair co-located in a cell is found;
+    recall below 10000 bp here measures CELL-assignment misses, which
+    the audit also exposes (found=false on a same-cell pair would be a
+    blocking bug, not an S-curve cost)."""
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    rows = (
+        all_queries()["q285_semantic_recall_audit"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    )
+    assert rows, "audit must report at least one decile"
+    for r in rows:
+        assert r["n_truth"] >= r["n_found"] >= 0
+        assert 0 <= r["recall_bp"] <= 10000

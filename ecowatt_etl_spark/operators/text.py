@@ -137,3 +137,38 @@ def fingerprint(col: str | Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % HASH_PRIME,
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped per-document token/quality stats (r8 verdict item 7)
+# ---------------------------------------------------------------------------
+_TOKEN_STATS_CACHE: dict = {}
+
+
+def doc_token_stats(spark, sf_dir: str):
+    """(doc_id, source, n_tok) for every document — the tokenize scan
+    materialized ONCE per (session, sf_dir) and shared by the
+    training-layout family (q270 manifest, q272 truncation, q275
+    length batching, q276 mixture sampler), exactly like the dedup
+    shingle index and the ANN cell artifacts: the token-count corpus
+    statistic is an offline build, not per-query work. Measured at
+    100× the gate scale (500k docs): the build is 4.9 s and each
+    consumer's private 8–12 s tokenize scan collapses to 0.6–3 s of
+    post-scan work over the ~24-byte/doc frame (SCALE.md r9).
+    Deliberately tokenize-ONLY: the quality regex is ~5× the cost and
+    q271 is its lone layout consumer, so q271 keeps a private
+    quality scan rather than taxing every thin consumer's fresh-run
+    cost. evict_session_artifacts releases the blocks between
+    families. Oracles still inline the full SQL expressions, so
+    parity is unaffected by where Spark materializes."""
+    key = (id(spark), sf_dir)
+    if key not in _TOKEN_STATS_CACHE:
+        from ecowatt_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        _TOKEN_STATS_CACHE[key] = d.select(
+            "doc_id",
+            "source",
+            token_count("text").cast("long").alias("n_tok"),
+        ).localCheckpoint()
+    return _TOKEN_STATS_CACHE[key]

@@ -1528,11 +1528,14 @@ def q270_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the aggregate shuffles E x S = 16 groups. The full
     per-doc manifest a writer would persist is this same frame before
     the groupBy — sorting WITHIN shard by key is each loader's local
-    task, never a global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    task, never a global sort. Token counts ride the session-shared
+    doc_token_stats frame (r9) instead of a private tokenize scan."""
+    from ecowatt_etl_spark.operators.text import doc_token_stats
+
+    d = doc_token_stats(spark, sf_dir)
     keyed = d.select(
         "doc_id",
-        F.size(tokens("text")).alias("n_tokens"),
+        F.col("n_tok").alias("n_tokens"),
         F.explode(
             F.array(*[F.lit(i) for i in range(_MANIFEST_EPOCHS)])
         ).alias("epoch"),
@@ -1668,7 +1671,11 @@ def q271_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounds the tokenize+quality regex scan (the measured dominant
     # cost: ~15 s of the 17 s total at 100x) to exactly ONE pass
     # regardless of consumer count; downstream arms reread a
-    # 24-byte/doc frame.
+    # 24-byte/doc frame. Deliberately NOT the session-shared
+    # doc_token_stats frame (r9): q271 is the layout family's lone
+    # quality-regex consumer, and folding the ~5x-costlier regex into
+    # the shared tokenize build would tax every thin consumer's
+    # fresh-run cost for one query's benefit.
     scored = d.select(
         "doc_id",
         "source",
@@ -1822,15 +1829,15 @@ def q275_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     — every phase bounded, no global sort anywhere. Batch aggregation
     is one hash aggregate on (source, batch)."""
     from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+    from ecowatt_etl_spark.operators.text import doc_token_stats
 
-    d = load_table(spark, sf_dir, "documents")
+    # the three rank/payload arms share the session-scoped stats frame
+    # (r9 — already materialized; no private checkpoint needed)
     t = (
-        d.select(
-            "doc_id", "source", F.size(tokens("text")).alias("n_tok")
-        )
+        doc_token_stats(spark, sf_dir)
+        .select("doc_id", "source", "n_tok")
         .filter(F.col("n_tok") > 0)
         .withColumn("one", F.lit(1))
-        .localCheckpoint()  # three rank/payload arms share the scan
     )
     # arrival-order rank: distributed running count per source
     arr = prefix_sum(

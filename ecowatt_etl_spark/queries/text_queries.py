@@ -3475,11 +3475,15 @@ def q272_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps all of them and pays only the final bin's padding
     (packed_pad_tokens, < C per source). The two policies' token
     economics side by side is what a data-loading design review
-    actually reads. Pure integer arithmetic over one scan-local
-    projection; the aggregate shuffles |sources| groups."""
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select("source", F.size(tokens("text")).alias("n_tok")).filter(
-        F.col("n_tok") > 0
+    actually reads. Pure integer arithmetic over the session-shared
+    doc_token_stats frame (r9); the aggregate shuffles |sources|
+    groups."""
+    from ecowatt_etl_spark.operators.text import doc_token_stats
+
+    t = (
+        doc_token_stats(spark, sf_dir)
+        .select("source", "n_tok")
+        .filter(F.col("n_tok") > 0)
     )
     c = _PACK_C
     return t.groupBy("source").agg(
@@ -3752,27 +3756,34 @@ def q276_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers MOST of that duplication (measured: naive form median
     29.3 s vs 26.9 s checkpointed at 100× the gate corpus, alternating
     fresh processes — an ~8% win, inside the host-noise bracket), so
-    the checkpoint's real value is determinism of the physical shape:
-    the returned plan is provably the 2-scan optimum (one aggregate
-    pass to learn totals — executed eagerly at checkpoint — one keep
-    pass) instead of depending on an optimizer rule firing across
-    five deep identical subtrees. Pinned in
-    tests/test_plans.py::test_q276_single_corpus_scan_after_checkpoint.
+    the checkpoint's real value is determinism of the physical shape.
+    Since r9 both passes ride the session-shared doc_token_stats
+    frame: the tokenize scan itself is a shared offline artifact, so
+    the returned plan touches NO parquet at all — totals aggregate and
+    keep pass both reread the ~32-byte/doc checkpointed frame. Pinned
+    in tests/test_plans.py::test_q276_no_corpus_rescan.
     """
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id",
-        "source",
-        F.size(tokens("text")).alias("n_tok"),
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-                16,
-                10,
-            ).cast("long")
-            % 10000
-        ).alias("u"),
-    ).filter(F.col("n_tok") > 0)
+    from ecowatt_etl_spark.operators.text import doc_token_stats
+
+    docs = (
+        doc_token_stats(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10000
+            ).alias("u"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
     src = (
         docs.groupBy("source")
         .agg(F.sum("n_tok").alias("n_tokens"))

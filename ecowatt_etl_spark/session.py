@@ -131,6 +131,7 @@ def evict_session_artifacts(spark: SparkSession) -> int:
     asynchronously (tests poll getRDDStorageInfo for the drain)."""
     import gc
 
+    from ecowatt_etl_spark.operators import text as text_ops
     from ecowatt_etl_spark.queries import (  # local import: no cycle
         dedup_queries,
         ecowatt_queries,
@@ -148,6 +149,7 @@ def evict_session_artifacts(spark: SparkSession) -> int:
         similarity_queries._PQ_BOOKS_ALL_CACHE,
         similarity_queries._PQ_CODES_CACHE,
         text_queries._BPE_MERGE_CACHE,
+        text_ops._TOKEN_STATS_CACHE,
     )
     n = sum(len(c) for c in caches)
     for c in caches:

@@ -911,20 +911,20 @@ def test_q275_every_window_is_partitioned(spark):
         )
 
 
-def test_q276_single_corpus_scan_after_checkpoint(spark):
+def test_q276_no_corpus_rescan(spark):
     """q276 references the 20-row mixture plan on both sides of its
-    report join; without the localCheckpoint lineage cut Spark
-    re-derives it from source each time — 9 corpus tokenize-scans in
-    the naive plan. The checkpoint pins the returned plan to exactly
-    ONE parquet scan (the keep pass; the totals pass ran eagerly at
-    checkpoint time), with the keep decision joined by broadcast and
-    no window anywhere."""
+    report join; without lineage cuts Spark re-derives it from source
+    each time — 9 corpus tokenize-scans in the naive plan. Since r9
+    the tokenize scan lives in the session-shared doc_token_stats
+    checkpoint, so the returned plan must touch NO parquet at all
+    (totals and keep pass both reread the stats frame), with the keep
+    decision joined by broadcast and no window anywhere."""
     plan = _plan(spark, "q276_mixture_sampler")
     tree = plan.split("\n\n")[0]
     scans = [l for l in tree.splitlines() if "Scan parquet" in l]
-    assert len(scans) == 1, (
-        f"expected the single keep-pass corpus scan, got {len(scans)} — "
-        "the mixture-plan lineage is being re-derived from source"
+    assert len(scans) == 0, (
+        f"expected zero parquet scans (shared stats frame), got "
+        f"{len(scans)} — the tokenize scan is being re-derived"
     )
     assert "windowspecdefinition" not in plan
     assert "BroadcastHashJoin" in tree, "keep join must broadcast the plan"

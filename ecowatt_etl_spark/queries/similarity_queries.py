@@ -25,6 +25,7 @@ from ecowatt_etl_spark.operators.similarity import (
     sign_block_key,
     spread_to_parallelism,
 )
+from ecowatt_etl_spark.operators.text import SQL_TOKENS
 from ecowatt_etl_spark.queries.registry import query
 from ecowatt_etl_spark.sources.tables import load_table
 
@@ -1845,6 +1846,100 @@ def q285_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) * 10000"
             " DIV COUNT(*) AS BIGINT)"
         ).alias("recall_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286 — semantic dedup keep-list + token impact (the q57/q59/q135
+# closure for the EMBEDDING side)
+# ---------------------------------------------------------------------------
+# Cluster threshold is deliberately ABOVE the q155 pair threshold
+# (0.4 vs 0.3): transitive closure amplifies loose pairwise links
+# into giant components, so the cluster graph keeps only the
+# stronger-similarity edges — the same reasoning as q57 clustering at
+# Jaccard ≥ 0.5 over q53's ≥ 0.5 verified pairs. A knob at deploy
+# time; at 0.3 on this corpus the closure would chain most of each
+# quantizer cell into one component.
+_SEM_CLUSTER_T = 0.4
+
+
+@query(
+    "q286_semantic_keep_list",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CELL_BANDED},
+    sedges AS (
+      SELECT id_a AS src, id_b AS dst FROM found_pairs
+      WHERE cosine_sim >= {_SEM_CLUSTER_T}
+      UNION ALL
+      SELECT id_b, id_a FROM found_pairs
+      WHERE cosine_sim >= {_SEM_CLUSTER_T}
+    ),
+    sverts AS (SELECT DISTINCT src AS id FROM sedges),
+    sreach AS (
+      SELECT id, id AS lbl FROM sverts
+      UNION
+      SELECT e.dst AS id, r.lbl FROM sreach r JOIN sedges e ON e.src = r.id
+    ),
+    scl AS (SELECT id AS vec_id, MIN(lbl) AS cluster_id
+            FROM sreach GROUP BY id),
+    stok AS (SELECT doc_id, len({SQL_TOKENS}) AS n_tok FROM documents),
+    sm AS (
+      SELECT c.cluster_id, c.vec_id, t.n_tok
+      FROM scl c JOIN stok t ON t.doc_id = c.vec_id
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN vec_id <> cluster_id THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_dropped
+    FROM sm GROUP BY cluster_id
+    """,
+)
+def q286_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup closed end-to-end — the embedding-side twin of
+    the text pipeline's q53→q57→q59/q135 chain: q155's cell-banded
+    verified pairs (cosine ≥ 0.4 for clustering), pointer-jumping
+    connected components (q283's O(log diameter) kernel, shared
+    verbatim), then per cluster the keep decision and its token
+    impact: the canonical member is the min vec_id (= the component
+    label), and tokens_dropped prices what removing the other members
+    saves a training run — doc_id ↔ vec_id is the corpus contract
+    (q129). The DuckDB oracle replays quantizer training, banding,
+    verification, and the component fixpoint (recursive CTE) in one
+    statement.
+
+    Scale shape: every stage is already priced — pairs are linear
+    under the corpus-scaled band cap (q155), the CC kernel is
+    O(log d) rounds over the (small) verified-pair graph with
+    label-sum convergence proof, token counts ride the session-shared
+    doc_token_stats frame, and the final aggregate is
+    clusters-sized."""
+    from ecowatt_etl_spark.operators.text import doc_token_stats
+    from ecowatt_etl_spark.queries.dedup_queries import (
+        _shortcut_cc,
+        _sym_edges,
+    )
+
+    pairs = _cell_banded_pairs(spark, sf_dir).filter(
+        F.col("cosine_sim") >= _SEM_CLUSTER_T
+    )
+    labels = _shortcut_cc(spark, _sym_edges(pairs))
+    tok = doc_token_stats(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "n_tok"
+    )
+    m = labels.select(
+        F.col("id").alias("vec_id"), F.col("lbl").alias("cluster_id")
+    ).join(tok, "vec_id")
+    return m.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        (F.count("*") - 1).cast("long").alias("n_dropped"),
+        F.sum(
+            F.when(
+                F.col("vec_id") != F.col("cluster_id"), F.col("n_tok")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tokens_dropped"),
     )
 
 

@@ -810,7 +810,13 @@ def q207_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stream is ~6× orders. For pathological mega-baskets the
     standard cap (drop baskets > K items, as the df-cap q54 does for
     shingles) bounds the quadratic term; min-support prunes before
-    the stats joins. The frequent-item table broadcasts."""
+    the stats joins. The per-part frequency table is CORPUS-SCALED
+    (one row per distinct part — ~2M at 100×), so its join strategy
+    is left to AQE: it broadcasts while it fits and shuffle-joins
+    beyond (the r9 100× sweep caught the previous hint-forced
+    broadcast dying in stage materialization with a build-side OOM —
+    the same forced-corpus-broadcast class the r8 sweep caught in
+    q175). Only the 1-row basket-count frame keeps the hint."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
@@ -829,8 +835,8 @@ def q207_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = freq.select(F.col("part").alias("part_a"), F.col("pf").alias("n_a"))
     fb = freq.select(F.col("part").alias("part_b"), F.col("pf").alias("n_b"))
     rules = (
-        pairs.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
         .crossJoin(F.broadcast(nb))
     )
     lift = (

@@ -123,3 +123,27 @@ def test_q285_recall_is_total_at_parity_scale(spark):
     for r in rows:
         assert r["n_truth"] >= r["n_found"] >= 0
         assert 0 <= r["recall_bp"] <= 10000
+
+
+def test_ledger_has_no_unknown_states_for_driver_rowed_queries():
+    """r8 verdict item 4: a driver-rowed query whose fingerprint cannot
+    be joined to its evidence round (stale=None → UNKNOWN) silently
+    weakens the staleness ordering the 50-slot window depends on. The
+    resolution is total since the r8 backfill
+    (tools/evidence_ledger.py --backfill after each CORRECTNESS_rN.json
+    lands); this pin keeps it total: every query with a driver row must
+    have a definite stale verdict at HEAD. If this is red after a new
+    driver round, run the backfill — the suite is deliberately red
+    until the round's fingerprint snapshot exists."""
+    from tools import evidence_ledger as EL
+
+    led = EL.ledger()
+    unknown = sorted(
+        n
+        for n, r in led.items()
+        if r["latest_round"] is not None and r["stale"] is None
+    )
+    assert not unknown, (
+        f"{len(unknown)} driver-rowed queries have UNKNOWN staleness "
+        f"(run tools/evidence_ledger.py --backfill): {unknown[:10]}"
+    )

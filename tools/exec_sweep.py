@@ -104,6 +104,20 @@ def main() -> None:
             if prev_family is not None and family != prev_family:
                 try:
                     evict_session_artifacts(spark)
+                    # eviction only drops the Python refs; the JVM
+                    # ContextCleaner frees the checkpoint blocks
+                    # ASYNCHRONOUSLY from weak refs, so a heavy family
+                    # can leave GBs pinned when the next one starts —
+                    # measured in the r9 sweep: q284 (green fresh and
+                    # green in r8's ordering) heap-OOM'd 2.4k stages
+                    # in, after the r9 window front-loaded the whole
+                    # similarity family ahead of it. One gc + JVM gc
+                    # nudge per family boundary lets the weak refs
+                    # fire before the next family allocates.
+                    import gc
+
+                    gc.collect()
+                    spark._jvm.System.gc()
                 except Exception:  # dead JVM — recovered below
                     pass
             prev_family = family

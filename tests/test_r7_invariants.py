@@ -173,6 +173,24 @@ def test_evict_session_artifacts_drains_blocks(spark):
     def n_blocks() -> int:
         return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
+    def drain(target: int, deadline_s: float) -> int:
+        """Poll until the block count settles at/below target (the
+        ContextCleaner frees weak-ref'd blocks asynchronously; late in
+        a long pytest session the queue can lag well past the old 30 s
+        bound — measured flaking only when run after ~500 tests)."""
+        import gc
+        import time as _t
+
+        deadline = _t.monotonic() + deadline_s
+        while n_blocks() > target and _t.monotonic() < deadline:
+            gc.collect()  # release the py4j handles...
+            spark._jvm.System.gc()  # ...then let ContextCleaner fire
+            _t.sleep(0.5)
+        return n_blocks()
+
+    # settle the PRIOR tests' draining blocks before taking a baseline,
+    # or the assertion below races whatever was already in flight
+    drain(0, 60)
     base = n_blocks()
     e, bands = shingle_index(spark, SF_SMOKE)
     assert e.count() > 0 and bands.count() > 0
@@ -181,16 +199,9 @@ def test_evict_session_artifacts_drains_blocks(spark):
 
     evicted = evict_session_artifacts(spark)
     assert evicted >= 1
-    deadline = time.monotonic() + 30
-    while n_blocks() > base and time.monotonic() < deadline:
-        import gc
-
-        gc.collect()  # release the py4j handles...
-        spark._jvm.System.gc()  # ...then let ContextCleaner's weak refs fire
-        time.sleep(0.5)
-    assert n_blocks() <= base, (
-        "pinned artifact blocks survived eviction: "
-        f"{n_blocks()} > baseline {base}"
+    final = drain(base, 90)
+    assert final <= base, (
+        f"pinned artifact blocks survived eviction: {final} > baseline {base}"
     )
 
 

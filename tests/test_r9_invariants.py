@@ -126,24 +126,31 @@ def test_q285_recall_is_total_at_parity_scale(spark):
 
 
 def test_ledger_has_no_unknown_states_for_driver_rowed_queries():
-    """r8 verdict item 4: a driver-rowed query whose fingerprint cannot
-    be joined to its evidence round (stale=None → UNKNOWN) silently
-    weakens the staleness ordering the 50-slot window depends on. The
-    resolution is total since the r8 backfill
-    (tools/evidence_ledger.py --backfill after each CORRECTNESS_rN.json
-    lands); this pin keeps it total: every query with a driver row must
-    have a definite stale verdict at HEAD. If this is red after a new
-    driver round, run the backfill — the suite is deliberately red
-    until the round's fingerprint snapshot exists."""
+    """r8 verdict item 4, made time-robust per the r9 judge: a
+    driver-rowed query whose fingerprint cannot be joined to its
+    evidence round (stale=None → UNKNOWN) silently weakens the
+    staleness ordering the 50-slot window depends on — for ANCHORED
+    rounds. A round newer than the latest ``round N: verdict`` commit
+    is *pending* (the driver dropped CORRECTNESS_rN.json but the
+    verdict commit that pins its evidence parent doesn't exist yet),
+    so its fingerprints are legitimately unsnapshottable and it is
+    excluded here; the suite must be green at every checkout,
+    including the driver-drop-to-verdict window. Still red for an
+    anchored OLD round missing fingerprints — run
+    tools/evidence_ledger.py --backfill."""
     from tools import evidence_ledger as EL
 
+    anchored = EL.latest_anchored_round()
     led = EL.ledger()
     unknown = sorted(
         n
         for n, r in led.items()
-        if r["latest_round"] is not None and r["stale"] is None
+        if r["latest_round"] is not None
+        and r["latest_round"] <= anchored
+        and r["stale"] is None
     )
     assert not unknown, (
-        f"{len(unknown)} driver-rowed queries have UNKNOWN staleness "
+        f"{len(unknown)} driver-rowed queries have UNKNOWN staleness for "
+        f"anchored rounds <= r{anchored} "
         f"(run tools/evidence_ledger.py --backfill): {unknown[:10]}"
     )

@@ -269,6 +269,19 @@ def round_evidence_commits() -> dict[int, str]:
     return commits
 
 
+def latest_anchored_round() -> int:
+    """Highest round N with a ``round N: verdict`` commit in history.
+
+    A driver drop (CORRECTNESS_rN.json) for a round NEWER than this is
+    *pending*: its evidence commit does not exist yet, so its
+    fingerprints cannot be snapshotted and its staleness is
+    legitimately unknowable until the next verdict commit anchors it.
+    Consumers (the ledger-UNKNOWN invariant test) must not go red for
+    pending rounds — only for anchored rounds whose fingerprints are
+    missing from the cache (r9 judge finding #1)."""
+    return max(round_evidence_commits(), default=0)
+
+
 def _dump_at(commit: str) -> dict[str, str]:
     """Fingerprint every query at a historic commit by running this
     tool in --dump mode inside a throwaway detached worktree."""

@@ -177,6 +177,18 @@ def main() -> None:
                         f"q155_{k}": round(v, 6)
                         for k, v in _cell_band_stats(spark, sf_dir).items()
                     },
+                    # planted-pair recall (r9 verdict item 4): MEASURED
+                    # recall of the dual-cell banded blocking on
+                    # planted exact-cosine ≥ 0.9 pairs per
+                    # bits-per-band — the ≥0.9 regime the corpus's own
+                    # truth pairs never reach (none above 0.6). b = 0
+                    # isolates cell-assignment misses; the b sweep
+                    # traces the curve the index-scaled default walks
+                    # as N grows (b = 1 at sf0.1, 8 at the 100× sweep).
+                    **{
+                        f"q155_planted_{k}": round(v, 6)
+                        for k, v in _planted_recall(spark, sf_dir).items()
+                    },
                     # ANN warm-SERVE times decomposed from build (r6
                     # verdict item 3): the headline loop already built
                     # the session artifacts, so these best-of-2 reruns
@@ -211,6 +223,14 @@ def _warm_serve(spark, specs, sf_dir: str, name: str) -> float:
         specs[name].fn(spark, sf_dir).collect()
         best = min(best, _time.monotonic() - t0)
     return round(best, 3)
+
+
+def _planted_recall(spark, sf_dir: str) -> dict:
+    from ecowatt_etl_spark.queries.similarity_queries import (
+        planted_recall_stats,
+    )
+
+    return planted_recall_stats(spark, sf_dir)
 
 
 def _q266_parity(spark, sf_dir: str) -> float:

@@ -49,13 +49,18 @@ FEATURE_SCHEMA = "media_id long, media_type string, n_bytes long, feature array<
 # codec: payload bytes -> fixed-length feature vector
 Codec = Callable[[bytes, str], list[float]]
 
-_codec: Codec | None = None
+# Injected-codec state lives in a dict, not a bare module scalar: the
+# evidence ledger fingerprints simple module constants reached by a
+# query closure, and a scalar that changes at runtime (None -> codec
+# object after set_codec) would make the multimodal queries'
+# fingerprints depend on WHEN they were computed (the proto_vendor
+# lesson from the r10 mid-suite window flake).
+_INJECTED: dict = {"codec": None}
 
 
 def set_codec(codec: Codec | None) -> None:
     """Inject a real decoder (e.g. PIL-based). None resets to stub."""
-    global _codec
-    _codec = codec
+    _INJECTED["codec"] = codec
 
 
 class FakeCodec:
@@ -85,7 +90,7 @@ def extract_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
     closure — executors re-import this module, so a worker-side global
     lookup would always see the stub.
     """
-    codec = codec if codec is not None else _codec
+    codec = codec if codec is not None else _INJECTED["codec"]
 
     def decode(payload: bytes, media_type: str) -> list[float]:
         if codec is None:

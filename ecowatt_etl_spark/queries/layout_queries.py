@@ -725,14 +725,31 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def open_meta(path):
             # Resolve the URI through pyarrow's filesystem layer so the
-            # SAME range-read path works on s3a://, hdfs://, abfs://,
-            # gs:// — not just file: (r8 ADVICE: the stripped-prefix
-            # form could only touch local disk). Hadoop's s3a scheme
-            # maps to pyarrow's s3 store; from_uri returns the store
-            # handle + in-store path, and ParquetFile on the opened
-            # stream still range-reads only the footer tail.
-            uri = "s3://" + path[len("s3a://"):] if path.startswith("s3a://") else path
-            filesystem, inner = pafs.FileSystem.from_uri(uri)
+            # SAME range-read path works on object stores — not just
+            # file: (r8 ADVICE: the stripped-prefix form could only
+            # touch local disk). Supported schemes = what the worker's
+            # pyarrow build resolves via from_uri: file:, s3 (Hadoop's
+            # s3a:/s3n: aliases mapped), and hdfs:/abfs:/gs: when the
+            # optional pyarrow filesystem support is present. Unknown
+            # or unsupported schemes fall back to a local-path prefix
+            # strip and, if that isn't readable either, surface a
+            # per-path error naming the scheme instead of a bare
+            # from_uri ValueError (r9 ADVICE).
+            uri = path
+            for alias in ("s3a://", "s3n://"):
+                if path.startswith(alias):
+                    uri = "s3://" + path[len(alias):]
+                    break
+            try:
+                filesystem, inner = pafs.FileSystem.from_uri(uri)
+            except Exception as exc:
+                if path.startswith("file:"):
+                    local = path[len("file:"):]
+                    return pq.ParquetFile(local).metadata
+                raise ValueError(
+                    f"q222 footer read: unsupported filesystem scheme "
+                    f"for {path!r} (pyarrow: {exc})"
+                ) from exc
             with filesystem.open_input_file(inner) as handle:
                 return pq.ParquetFile(handle).metadata
 

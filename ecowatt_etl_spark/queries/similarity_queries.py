@@ -14,6 +14,8 @@ pair space down to per-bucket candidates before any exact math.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -357,6 +359,56 @@ def _ivf_cells(
             .select("vec_id", (-F.col("m.nc")).alias("cid"))
         )
         cells = em.join(best, "vec_id").select("vec_id", "embedding", "cid")
+        _IVF_INDEX_CACHE[key] = cells.localCheckpoint()
+    return _IVF_INDEX_CACHE[key]
+
+
+def _ivf_cells_dual(
+    spark: SparkSession, sf_dir: str, em: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """Soft-assignment inverted file for the PAIRS problem: every
+    vector indexed into its TWO nearest trained cells, exploded to
+    (vec_id, embedding, cid, other_cid) rows — other_cid is the
+    vector's remaining assigned cell (NULL when only one cell exists),
+    the column the min-shared-cell pair-ownership filter reads.
+    Motivation is measured, not assumed: the planted-pair audit
+    (planted_recall_stats) showed 29% of true cosine ≥ 0.9 pairs
+    straddle a single-assignment Voronoi boundary at the 100× corpus
+    (7061 bp → 9550 bp co-location under dual assignment). Tie order
+    (score DESC, cid ASC) is ROW_NUMBER's, bit-identical to the
+    oracle's ark ranking. Cached once per (session, sf_dir) like the
+    single-assignment index."""
+    key = (id(spark), sf_dir, "trained-dual")
+    if key not in _IVF_INDEX_CACHE:
+        scored = spread_to_parallelism(em).crossJoin(cent).select(
+            "vec_id",
+            F.try_divide(
+                dot_fold(F.col("embedding"), F.col("c_emb")), F.col("c_norm")
+            ).alias("s"),
+            F.col("cid").cast("long").alias("cid"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+        duo = (
+            scored.withColumn("ark", F.row_number().over(w))
+            .filter(F.col("ark") <= 2)
+            .groupBy("vec_id")
+            .agg(
+                F.max(F.when(F.col("ark") == 1, F.col("cid"))).alias("c1"),
+                F.max(F.when(F.col("ark") == 2, F.col("cid"))).alias("c2"),
+            )
+        )
+        exploded = duo.select(
+            "vec_id", F.col("c1").alias("cid"), F.col("c2").alias("other_cid")
+        ).unionByName(
+            duo.filter(F.col("c2").isNotNull()).select(
+                "vec_id",
+                F.col("c2").alias("cid"),
+                F.col("c1").alias("other_cid"),
+            )
+        )
+        cells = em.join(exploded, "vec_id").select(
+            "vec_id", "embedding", "cid", "other_cid"
+        )
         _IVF_INDEX_CACHE[key] = cells.localCheckpoint()
     return _IVF_INDEX_CACHE[key]
 
@@ -1516,6 +1568,19 @@ def q154_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its sign bits from dimensions [j·_BAND_STRIDE, j·_BAND_STRIDE+b) —
 # disjoint, so band keys are independent hyperplane draws (q62's
 # coordinate-axis construction).
+#
+# DUAL cell assignment (r10, motivated by the planted-pair audit): the
+# r9 single-nearest-cell blocking measured recall 7061 bp at b = 0 on
+# planted cosine ≥ 0.9 pairs at the 100× corpus — 29% of TRUE
+# near-dups straddle a Voronoi boundary and are unfindable at ANY b.
+# Each vector is therefore indexed into its TWO nearest trained cells
+# (k-means soft assignment — the pairs-side analog of q65's multi-probe
+# query fan-out), which measured 9550 bp co-location on the same
+# fixture at 2× index entries. Pairs sharing BOTH cells are generated
+# once via min-shared-cell ownership (a filter on each side's other
+# cell id — no distinct shuffle), and bits-per-band derives from the
+# INDEX entry count (≈2N), so the (cell, band-bucket) population
+# target — and the linear candidate asymptotics — are unchanged.
 _CELL_TARGET = 32
 _CELL_BANDS = 4
 _BAND_STRIDE = 16
@@ -1566,7 +1631,11 @@ def _sql_band_key(j: int) -> str:
     return f"CAST(({terms}) AS INTEGER)"
 
 
-# shared kmeans-cells + banded-candidate CTE prefix (q155 + q285)
+# shared kmeans-cells + banded-candidate CTE prefix (q155/q285/q286):
+# dual assignment (ark ≤ 2 → exploded index rows carrying the OTHER
+# cell id), bits-per-band from the exploded index count, and
+# min-shared-cell pair ownership so the band union stays
+# duplicate-free with no DISTINCT
 _SQL_CELL_BANDED = f"""{_sql_kmeans_cents()},
     cent AS (
       SELECT cid, c_emb, {_sql_norm('c_emb')} AS c_norm
@@ -1580,15 +1649,25 @@ _SQL_CELL_BANDED = f"""{_sql_kmeans_cents()},
                         c.cid) AS ark
       FROM embeddings e CROSS JOIN cent c
     ),
+    duo AS (
+      SELECT vec_id,
+             MAX(CASE WHEN ark = 1 THEN cid END) AS c1,
+             MAX(CASE WHEN ark = 2 THEN cid END) AS c2
+      FROM asg WHERE ark <= 2 GROUP BY vec_id
+    ),
     cells AS (
-      SELECT e.vec_id, e.embedding, a.cid
-      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id AND a.ark = 1
+      SELECT e.vec_id, e.embedding, d.c1 AS cid, d.c2 AS other_cid
+      FROM embeddings e JOIN duo d ON d.vec_id = e.vec_id
+      UNION ALL
+      SELECT e.vec_id, e.embedding, d.c2 AS cid, d.c1 AS other_cid
+      FROM embeddings e JOIN duo d ON d.vec_id = e.vec_id
+      WHERE d.c2 IS NOT NULL
     ),
     nn AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS n
-           FROM embeddings),
+           FROM cells),
     bb AS (SELECT {_SQL_SUBBAND_BITS} AS b FROM nn),
     keyed AS MATERIALIZED (
-      SELECT c.vec_id, c.embedding, c.cid,
+      SELECT c.vec_id, c.embedding, c.cid, c.other_cid,
              {_sql_norm('c.embedding')} AS nrm,
              {", ".join(f"{_sql_band_key(j)} AS k{j}" for j in range(_CELL_BANDS))}
       FROM cells c CROSS JOIN bb
@@ -1600,6 +1679,8 @@ _SQL_CELL_BANDED = f"""{_sql_kmeans_cents()},
           + " / (a.nrm * b.nrm) AS cosine_sim"
           + " FROM keyed a JOIN keyed b ON a.cid = b.cid"
           + f" AND a.k{j} = b.k{j} AND a.vec_id < b.vec_id"
+          + " AND NOT COALESCE(a.other_cid = b.other_cid"
+          + " AND a.other_cid < a.cid, FALSE)"
           + "".join(f" AND a.k{i} <> b.k{i}" for i in range(j))
           for j in range(_CELL_BANDS)
       )}
@@ -1609,21 +1690,34 @@ _SQL_CELL_BANDED = f"""{_sql_kmeans_cents()},
     )"""
 
 
-def _banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _banded_candidates(
+    spark: SparkSession, sf_dir: str, b_override: int | None = None
+) -> DataFrame:
     """Pre-threshold candidate pairs (id_a, id_b, cosine_sim) from the
     trained cells under the corpus-scaled sub-band blocking — the
-    generation stage q155/q285 verify and cell_band_stats counts."""
+    generation stage q155/q285 verify and cell_band_stats counts.
+
+    ``b_override`` pins bits-per-band instead of deriving it from the
+    index count — the planted-pair recall audit's knob
+    (planted_recall_stats sweeps b on a fixed corpus to trace the
+    recall curve the corpus-scaled default walks as N grows). Shipped
+    consumers (q155/q285/q286) never pass it."""
     em = load_table(spark, sf_dir, "embeddings")
-    # bounded scalar: one count drives the bits-per-band parameter,
-    # exactly as the oracle's nn/bb scalar subqueries do
-    b = _subband_bits(em.count())
     cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
+    cells = _ivf_cells_dual(spark, sf_dir, em, cent)
+    # bounded scalar: the INDEX entry count (≈2N under dual
+    # assignment) drives the bits-per-band parameter, exactly as the
+    # oracle's nn/bb scalar subqueries count the exploded cells CTE —
+    # the (cell, band-bucket) population target is an index property,
+    # not a corpus property. Cheap: cells is localCheckpointed.
+    b = _subband_bits(cells.count()) if b_override is None else b_override
     # per-vector norms on top of the shared cell cache (q62's rework:
     # bit-identical cosine, 1 fold per candidate pair instead of 3)
-    keyed = _ivf_cells(spark, sf_dir, em, cent, "trained").select(
+    keyed = cells.select(
         "vec_id",
         "embedding",
         "cid",
+        "other_cid",
         l2_norm(F.col("embedding")).alias("nrm"),
         *[
             _band_key(F.col("embedding"), j, b).alias(f"k{j}")
@@ -1637,6 +1731,17 @@ def _banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
             & (F.col("a.vec_id") < F.col("b.vec_id"))
+            # min-shared-cell ownership: a pair co-located in BOTH of
+            # its dual cells is generated only in the smaller cid (the
+            # only other shareable cell is each side's other_cid, so
+            # one null-safe compare decides; band keys are
+            # embedding-only, hence identical in both cells, making
+            # the duplicate exact and the filter lossless)
+            & ~F.coalesce(
+                (F.col("a.other_cid") == F.col("b.other_cid"))
+                & (F.col("a.other_cid") < F.col("a.cid")),
+                F.lit(False),
+            )
         )
         # first-matching-band ownership: a pair co-bucketed by several
         # bands is generated ONLY by the smallest, so the union is
@@ -1678,11 +1783,15 @@ def cell_band_stats(spark: SparkSession, sf_dir: str) -> dict:
     publishes these per round so the candidate-volume curve (and the
     recall trade q285 prices) stays visible. Counting the candidate
     frame prunes the cosine fold (count needs no columns), so the
-    stats cost is the id-only join, not the verification."""
+    stats cost is the id-only join, not the verification. Since r10
+    the pair space is the DUAL-assignment index's Σ C(n_c, 2) over
+    exploded entries (an upper bound that counts both-cells-shared
+    pairs twice — the ownership filter's dedup is part of what
+    cand_frac shows)."""
     em = load_table(spark, sf_dir, "embeddings")
-    b = _subband_bits(em.count())
     cent = F.broadcast(_trained_centroids(spark, sf_dir, em))
-    cells = _ivf_cells(spark, sf_dir, em, cent, "trained")
+    cells = _ivf_cells_dual(spark, sf_dir, em, cent)
+    b = _subband_bits(cells.count())
     cell_pairs = (
         cells.groupBy("cid")
         .agg(F.count("*").alias("n"))
@@ -1718,14 +1827,17 @@ def q155_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every candidate, so precision is 1.0 by construction and the
     blocking only bounds recall — which q285 measures per decile.
 
-    Scale shape (r9): within-cell candidates are additionally blocked
-    by _CELL_BANDS corpus-scaled sign-bit band keys (see the constant
-    block above) — bits-per-band grows as log2(N), holding expected
-    (cell, band-bucket) population at _CELL_TARGET, so the candidate
-    space is N·_CELL_TARGET·_CELL_BANDS/2 ≈ LINEAR instead of the
-    N²/K that measured 466 s at the 100× sweep scale. At every parity
-    scale b = 0 and the plan degenerates to the plain within-cell
-    join, bit-identical to the pre-r9 operator."""
+    Scale shape (r9, extended r10): every vector is indexed into its
+    TWO nearest cells (dual assignment — see the constant block: the
+    planted-pair audit measured 29% of true ≥0.9 pairs straddling a
+    single-assignment boundary at 100×), and within-cell candidates
+    are additionally blocked by _CELL_BANDS index-scaled sign-bit band
+    keys — bits-per-band grows as log2(index entries), holding
+    expected (cell, band-bucket) population at _CELL_TARGET, so the
+    candidate space stays ≈ LINEAR (2N·_CELL_TARGET·_CELL_BANDS/2)
+    instead of the N²/K that measured 466 s at the 100× sweep scale.
+    At sf0.001/sf0.01 b = 0 and the plan degenerates to the plain
+    within-dual-cell join; sf0.1's 4000-entry index resolves b = 1."""
     return _cell_banded_pairs(spark, sf_dir)
 
 
@@ -1739,10 +1851,15 @@ _ANCHOR_DIV = 64  # ~64 anchors however large the corpus
     "q285_semantic_recall_audit",
     oracle=f"""
     WITH {_SQL_CELL_BANDED},
+    na AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS n
+           FROM embeddings),
     anchors AS (
+      -- anchor modulus derives from the CORPUS count (na), not the
+      -- dual-assignment index count (nn ≈ 2N): anchors sample
+      -- vectors, not index entries
       SELECT e.vec_id, e.embedding, {_sql_norm('e.embedding')} AS nrm
-      FROM embeddings e CROSS JOIN nn
-      WHERE e.vec_id % ((nn.n + {_ANCHOR_DIV - 1}) // {_ANCHOR_DIV}) = 0
+      FROM embeddings e CROSS JOIN na
+      WHERE e.vec_id % ((na.n + {_ANCHOR_DIV - 1}) // {_ANCHOR_DIV}) = 0
     ),
     corpus AS (
       SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
@@ -1791,13 +1908,19 @@ def q285_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-derived modulus (vec_id % ceil(N/64) = 0 — deterministic,
     spread across the id range, expressible in both engines), so
     truth is anchors × corpus ≈ 64·N exact cosines — linear, the same
-    economics as q61's fixed query set. At every parity scale b = 0
-    makes recall 10000 bp in every decile by construction; the
-    interesting numbers are the 100× sweep's, where b = 7."""
+    economics as q61's fixed query set. Where b resolves to 0
+    (sf0.001/sf0.01 indexes) recall of pairs SHARING a dual cell is
+    total (the banding generates the full cell pair space) — truth
+    pairs whose members share no cell even under dual assignment are
+    still missed at b = 0, and the audit is exactly where those
+    assignment misses stay visible; sf0.1 adds b = 1 banding, the
+    100× sweep b = 7 (planted_recall_stats prices both per-b)."""
     pairs = _cell_banded_pairs(spark, sf_dir).localCheckpoint()
     em = load_table(spark, sf_dir, "embeddings")
     n = em.count()
-    mod = (n + _ANCHOR_DIV - 1) // _ANCHOR_DIV
+    # max(1, ...) mirrors the oracle's GREATEST(n, 1): on an empty
+    # embeddings table the modulus must not reach % 0 (r9 ADVICE).
+    mod = max(1, (n + _ANCHOR_DIV - 1) // _ANCHOR_DIV)
     corpus = em.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
@@ -1847,6 +1970,136 @@ def q285_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# planted-pair recall audit (r9 verdict item 4): measure the ≥0.9 regime
+# ---------------------------------------------------------------------------
+# q285 can only audit the truth pairs the corpus HAS, and this
+# synthetic corpus has no pairs above cosine 0.6 — so the flagship
+# near-dup regime (cosine ≥ 0.9, where real duplicates live) was
+# covered only by the analytic any-of-4-bands estimate (~0.81 at
+# b = 7). These helpers PLANT deterministic near-dup pairs and measure
+# it: md5-selected vectors are cloned with a bounded ADDITIVE
+# Rademacher perturbation e' = e + (α·|e|/√d)·u, u_i = ±1 from
+# hash(vec_id, i). Additive is the load-bearing choice — a
+# multiplicative tweak can never flip a sign bit, so sign-LSH recall
+# on it reads a vacuous 10000 bp; the additive direction flips
+# low-magnitude coordinates exactly like a real angular displacement
+# (cos ≈ 1/√(1+α²); α steps 0.10..0.45 spread pairs across
+# cosine ≈ 0.91..0.995). Truth is still defined by EXACT cosine ≥ 0.9
+# on the planted corpus, so imperfect construction self-corrects.
+_PLANTED_ALPHA_STEPS = 8  # α = 0.10 + 0.05·(vec_id % 8)
+_PLANTED_DIM = 64
+
+
+def build_planted_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the planted corpus (original ∪ perturbed clones of the
+    md5-selected ~1/4) to a scratch dir shaped like a testdata sf dir,
+    so the whole trained-index + banding stack runs on it unmodified.
+    Deterministic end-to-end: same sf_dir ⇒ byte-identical fixture."""
+    import hashlib
+
+    out = os.path.join(
+        "/tmp",
+        "ecowatt_planted_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    # bounded scalar: the clone id offset
+    off = (em.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    src = em.filter(
+        F.md5(F.col("vec_id").cast("string")).substr(1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    alpha = (
+        F.lit(0.10)
+        + F.lit(0.05) * (F.col("vec_id") % _PLANTED_ALPHA_STEPS)
+    ).cast("double")
+    step = alpha * l2_norm(F.col("embedding")) / F.lit(
+        float(_PLANTED_DIM) ** 0.5
+    )
+    pert = F.transform(
+        "embedding",
+        lambda x, i: (
+            x.cast("double")
+            + step
+            * F.when(
+                F.pmod(F.hash(F.col("vec_id"), i), F.lit(2)) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        ).cast("float"),
+    )
+    clones = src.select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+        pert.alias("embedding"),
+        "label",
+    )
+    planted = em.select("vec_id", "embedding", "label").unionByName(clones)
+    planted.coalesce(max(1, planted.rdd.getNumPartitions() // 4)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def planted_recall_stats(
+    spark: SparkSession, sf_dir: str, bits: tuple[int, ...] = (0, 4, 7, 10)
+) -> dict:
+    """MEASURED recall of the cell-banded blocking on planted
+    cosine ≥ 0.9 pairs, per bits-per-band — the number the analytic
+    ≈0.81 (b = 7, any of 4 bands) stood in for through r9. The trained
+    quantizer + cells build once on the planted corpus (session
+    cache); each b re-keys the bands only. recall includes CELL
+    assignment misses (a clone quantized into a different cell than
+    its original is unfindable at any b) — that is the deployed
+    operator's true recall, and b = 0 isolates it: any miss at b = 0
+    IS a cell miss."""
+    fixture = build_planted_fixture(spark, sf_dir)
+    em = load_table(spark, fixture, "embeddings")
+    half = em.filter(
+        F.md5(F.col("vec_id").cast("string")).substr(1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    # off is re-derivable: the planted corpus ids above the original
+    # max are exactly the clones — recover it from the source corpus
+    off = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+        or 0
+    ) + 1
+    a = em.alias("a")
+    c = em.alias("c")
+    truth = (
+        half.alias("s")
+        .join(a, F.col("a.vec_id") == F.col("s.vec_id"))
+        .join(c, F.col("c.vec_id") == F.col("s.vec_id") + F.lit(off))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            F.try_divide(
+                dot_fold(F.col("a.embedding"), F.col("c.embedding")),
+                l2_norm(F.col("a.embedding"))
+                * l2_norm(F.col("c.embedding")),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.9)
+        .localCheckpoint()
+    )
+    n_truth = truth.count()
+    stats: dict[str, float] = {"planted_truth_pairs": float(n_truth)}
+    for b in bits:
+        found = (
+            _banded_candidates(spark, fixture, b_override=b)
+            .select("id_a", "id_b")
+            .join(truth, ["id_a", "id_b"], "left_semi")
+            .count()
+        )
+        stats[f"recall_bp_b{b}"] = float(
+            found * 10000 // max(n_truth, 1)
+        )
+    return stats
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,13 @@ _CANDIDATES = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
 
-_resolved: bool | None = None
+# Runtime memo-state lives in a DICT, not bare module scalars: the
+# evidence ledger fingerprints simple module constants reached by a
+# query closure, and a scalar that flips at runtime (None -> True
+# after the first vendored import) would make q277's fingerprint
+# depend on WHEN it was computed (the r10 mid-suite window flake).
+# Dicts are runtime state by repo convention and are not hashed.
+_MEMO: dict = {"resolved": None, "zip_path": None}
 
 
 def _roundtrip_ok() -> bool:
@@ -63,14 +69,13 @@ def _roundtrip_ok() -> bool:
 def ensure_protobuf() -> bool:
     """Idempotent; True iff google.protobuf is usable for the
     transformWithState protocol after this call."""
-    global _resolved
-    if _resolved is not None:
-        return _resolved
+    if _MEMO["resolved"] is not None:
+        return _MEMO["resolved"]
     try:
         import google.protobuf  # noqa: F401
 
-        _resolved = _roundtrip_ok()
-        return _resolved
+        _MEMO["resolved"] = _roundtrip_ok()
+        return _MEMO["resolved"]
     except ImportError:
         pass
     for root in _CANDIDATES:
@@ -90,14 +95,11 @@ def ensure_protobuf() -> bool:
         except ImportError:
             sys.path.remove(root)
             continue
-        _resolved = _roundtrip_ok()
-        if _resolved:
+        _MEMO["resolved"] = _roundtrip_ok()
+        if _MEMO["resolved"]:
             return True
-    _resolved = False
+    _MEMO["resolved"] = False
     return False
-
-
-_zip_path: str | None = None
 
 
 def _patched_zip() -> str | None:
@@ -112,9 +114,9 @@ def _patched_zip() -> str | None:
     hatch has to travel with the code. Same 6.33-gencode/6.32-runtime
     minor skew, same proto3-stable wire format, same proof
     (``_roundtrip_ok``) before anything trusts it."""
-    global _zip_path
-    if _zip_path is not None:
-        return _zip_path if os.path.isfile(_zip_path) else None
+    if _MEMO["zip_path"] is not None:
+        zp = _MEMO["zip_path"]
+        return zp if os.path.isfile(zp) else None
     import tempfile
     import zipfile
 
@@ -156,7 +158,7 @@ def _patched_zip() -> str | None:
                 else:
                     z.write(p, arc)
     os.replace(tmp, dest)  # atomic: concurrent builders converge
-    _zip_path = dest
+    _MEMO["zip_path"] = dest
     return dest
 
 

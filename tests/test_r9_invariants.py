@@ -54,7 +54,10 @@ def test_subband_bits_shape():
     only stride-many disjoint dims per band)."""
     assert _subband_bits(500) == 0
     assert _subband_bits(2000) == 0
-    assert _subband_bits(200000) == 7  # the 100x sweep corpus
+    assert _subband_bits(200000) == 7
+    # the r10 dual-assignment index feeds ~2N entries: the 100x sweep
+    # corpus (200k vectors -> 400k index entries) resolves b = 8
+    assert _subband_bits(400000) == 8
     prev = 0
     for e in range(1, 40):
         b = _subband_bits(2**e)
@@ -77,16 +80,17 @@ def test_band_dims_disjoint():
 
 
 def test_banded_candidates_duplicate_free_and_subset(spark):
-    """First-matching-band ownership: the 4-way union must emit every
-    within-cell pair AT MOST once (no distinct shuffle relied on), and
-    only pairs that share a cell. At smoke scale b = 0, so the union
-    must equal the plain within-cell pair space exactly — the no-op
-    guarantee the parity history depends on."""
+    """Pair-ownership invariants under dual assignment (r10):
+    first-matching-band × min-shared-cell ownership must emit every
+    pair AT MOST once (no distinct shuffle relied on), and at smoke
+    scale b = 0, so the union must equal the DISTINCT pairs sharing at
+    least one dual cell — exactly once each, however many cells or
+    bands they share."""
     from pyspark.sql import functions as F
 
     from ecowatt_etl_spark.queries.similarity_queries import (
         _banded_candidates,
-        _ivf_cells,
+        _ivf_cells_dual,
         _trained_centroids,
     )
     from ecowatt_etl_spark.sources.tables import load_table
@@ -96,14 +100,19 @@ def test_banded_candidates_duplicate_free_and_subset(spark):
     assert cand.distinct().count() == n_cand, "duplicate candidate pairs"
     em = load_table(spark, SF_SMOKE, "embeddings")
     cent = F.broadcast(_trained_centroids(spark, SF_SMOKE, em))
-    cells = _ivf_cells(spark, SF_SMOKE, em, cent, "trained")
-    cell_pairs = (
-        cells.groupBy("cid")
-        .agg(F.count("*").alias("n"))
-        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("p"))
-        .collect()[0]["p"]
+    cells = _ivf_cells_dual(spark, SF_SMOKE, em, cent)
+    a = cells.select(F.col("vec_id").alias("id_a"), "cid")
+    b = cells.select(F.col("vec_id").alias("id_b"), "cid")
+    shared = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
     )
-    assert n_cand == cell_pairs, "b=0 must cover the full cell pair space"
+    assert n_cand == shared, (
+        "b=0 must cover every pair sharing a dual cell exactly once"
+    )
 
 
 def test_q285_recall_is_total_at_parity_scale(spark):

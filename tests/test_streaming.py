@@ -219,12 +219,18 @@ def test_multimodal_feature_extraction(spark):
         multimodal.extract_features(media).collect()
 
     # deterministic fake codec → full Arrow batch path, stable features
+    # (restored after: injected state must not leak into later tests)
     multimodal.set_codec(multimodal.FakeCodec())
-    feats = multimodal.extract_features(media).collect()
-    assert len(feats) == 48
-    assert all(len(r["feature"]) == multimodal.FakeCodec.DIM for r in feats)
-    again = multimodal.extract_features(media).collect()
-    assert sorted(map(str, feats)) == sorted(map(str, again))
+    try:
+        feats = multimodal.extract_features(media).collect()
+        assert len(feats) == 48
+        assert all(
+            len(r["feature"]) == multimodal.FakeCodec.DIM for r in feats
+        )
+        again = multimodal.extract_features(media).collect()
+        assert sorted(map(str, feats)) == sorted(map(str, again))
+    finally:
+        multimodal.set_codec(None)
 
 
 def test_stateful_totals_match_batch(spark):

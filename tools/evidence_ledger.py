@@ -30,6 +30,13 @@ limit, accepted and documented: references through a bare module
 object (``dedup.f``) are not followed — under-detects, never
 over-detects.
 
+CONVENTION (r10): because simple module constants participate in the
+hash, RUNTIME-MUTABLE module state must live in dicts (never hashed),
+never bare scalars — a memo flag that flips None→True at runtime made
+q277's fingerprint depend on when it was computed.
+tests/test_r10_invariants.py pins this both dynamically and by AST
+sweep.
+
 Usage:
   python tools/evidence_ledger.py            # staleness report + window
   python tools/evidence_ledger.py --window   # recommended _DRIVER_PRIORITY

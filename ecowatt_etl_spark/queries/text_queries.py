@@ -2948,12 +2948,21 @@ def q262_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin. The token payload itself never shuffles.
 
     Exactness: pure integer arithmetic (counts, offsets, integer
-    division) — hash-identical cross-engine by construction."""
-    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+    division) — hash-identical cross-engine by construction.
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.size(tokens("text")).alias("n_tok")).filter(
-        F.col("n_tok") > 0
+    Token counts ride the session-shared doc_token_stats frame since
+    r10 (same token_count expression, so values are unchanged): the
+    packing family's four members each re-ran a private tokenize scan
+    — 56.5 s family total at 100× → 47.0 s cold (one 15 s shared
+    build + 3–8 s per member; warm members 2.8–8 s), and the build is
+    the SAME artifact the q270 layout family already amortizes."""
+    from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+    from ecowatt_etl_spark.operators.text import doc_token_stats
+
+    toks = (
+        doc_token_stats(spark, sf_dir)
+        .select("doc_id", "n_tok")
+        .filter(F.col("n_tok") > 0)
     )
     offs = prefix_sum(toks, "doc_id", "n_tok", out_col="start_off")
     # integer DIV, not double division: offsets exceed 2^53 long before
@@ -3254,22 +3263,24 @@ def q265_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily path is O(batch), and the boundary-bin reconciliation is
     what makes appends safe to trust without the full repack.
 
-    The (doc_id, n_tok) tokenize frame is localCheckpoint-ed: both
-    arms, the commit-point scalar, and the boundary audit all derive
-    from it, and unlike q276's case these references sit under
-    DIFFERENT operators (filters, two prefix_sum phases, explodes), so
+    The (doc_id, n_tok) frame must be MATERIALIZED: both arms, the
+    commit-point scalar, and the boundary audit all derive from it,
+    and unlike q276's case these references sit under DIFFERENT
+    operators (filters, two prefix_sum phases, explodes), so
     ReuseExchange cannot recover them at runtime — the naive plan
     really tokenized the corpus 16 times (tools/audit_scans.py's top
-    entry before this cut; measured before/after in SCALE.md). The
-    checkpointed frame is 16 bytes/doc — the same artifact scale the
-    dedup family's signature frames already budget for."""
+    entry before this cut; measured before/after in SCALE.md). Since
+    r10 the materialization IS the session-shared doc_token_stats
+    frame (same token_count expression, identical values) — the 16
+    references scan its checkpointed blocks, and the private
+    per-query checkpoint is gone."""
     from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+    from ecowatt_etl_spark.operators.text import doc_token_stats
 
-    d = load_table(spark, sf_dir, "documents")
     nz = (
-        d.select("doc_id", F.size(tokens("text")).alias("n_tok"))
+        doc_token_stats(spark, sf_dir)
+        .select("doc_id", "n_tok")
         .filter(F.col("n_tok") > 0)
-        .localCheckpoint()
     )
     split = F.broadcast(
         nz.agg(F.expr("MAX(doc_id) * 4 DIV 5").alias("b"))
@@ -3391,13 +3402,17 @@ def q267_source_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     by source TOO, so no source's rows serialize on one task beyond
     the bucket width (the per-source twin of q262's global-scan
     safety), then ONE per-source hash aggregate. q268 runs the
-    identical manifest LIVE with the offset carried as GroupState."""
+    identical manifest LIVE with the offset carried as GroupState.
+    Token counts ride the session-shared doc_token_stats frame (r10;
+    identical expression, identical values)."""
     from ecowatt_etl_spark.operators.scan_ops import prefix_sum
+    from ecowatt_etl_spark.operators.text import doc_token_stats
 
-    d = load_table(spark, sf_dir, "documents")
-    nz = d.select(
-        "source", "doc_id", F.size(tokens("text")).alias("n_tok")
-    ).filter(F.col("n_tok") > 0)
+    nz = (
+        doc_token_stats(spark, sf_dir)
+        .select("source", "doc_id", "n_tok")
+        .filter(F.col("n_tok") > 0)
+    )
     offs = prefix_sum(
         nz, "doc_id", "n_tok", out_col="s", partition_cols=["source"]
     )
@@ -3630,14 +3645,16 @@ def q274_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     large the corpus. A full writer replaces the filter with
     partitionBy(bin-range) and streams every shard in parallel."""
     from ecowatt_etl_spark.operators.scan_ops import prefix_sum
-    from ecowatt_etl_spark.operators.text import word_hash
+    from ecowatt_etl_spark.operators.text import doc_token_stats, word_hash
 
     d = load_table(spark, sf_dir, "documents")
     t = tokens("text")
-    counts = d.select(
-        "doc_id", F.size(t).alias("n_tok")
-    ).filter(F.col("n_tok") > 0)
-    # Offsets need every doc's count (one cheap tokenize-COUNT pass),
+    counts = (
+        doc_token_stats(spark, sf_dir)
+        .select("doc_id", "n_tok")
+        .filter(F.col("n_tok") > 0)
+    )
+    # Offsets need every doc's count (the session-shared token frame),
     # but only docs starting inside the first K bins contribute ids —
     # broadcast that tiny doc set UNDER the explode, so the expensive
     # per-token fan-out runs on K·C-worth of docs, not the corpus

@@ -746,6 +746,14 @@ def q222_parquet_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if path.startswith("file:"):
                     local = path[len("file:"):]
                     return pq.ParquetFile(local).metadata
+                # bare scheme-less path (r10 ADVICE): some pyarrow
+                # builds' from_uri rejects unqualified local paths —
+                # if it IS readable locally, read it before erroring
+                if "://" not in path:
+                    try:
+                        return pq.ParquetFile(path).metadata
+                    except Exception:
+                        pass
                 raise ValueError(
                     f"q222 footer read: unsupported filesystem scheme "
                     f"for {path!r} (pyarrow: {exc})"

@@ -62,29 +62,114 @@ def q80_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(media).orderBy("media_type")
 
 
-@query("q81_media_features")
+# q81 oracle (r10 verdict item 4): the codec is INJECTED, but the
+# deterministic FakeCodec the driver configuration runs is not — its
+# contract (operators/multimodal.py:FakeCodec: feature[i] =
+# (sum of payload[i::8]) % 997 / 997 over sha2(media_id)-derived
+# payloads) pins the output to constants, so the oracle is an inline
+# VALUES pin of the expected 3-row aggregate rather than rows-only.
+# The constants are re-derivable: tools/derive_q81_oracle() below
+# recomputes them from a pure-Python mirror of synthesize_media_frame
+# + FakeCodec, and tests/test_streaming.py asserts the derivation
+# equals this literal. Floats are written via repr() so the DOUBLE
+# literals round-trip bit-exactly through DuckDB.
+_Q81_ORACLE = """
+    SELECT * FROM (VALUES
+      {rows}
+    ) AS t(media_type, n_items, total_bytes, avg_f0, avg_f_sum)
+    ORDER BY media_type
+"""
+
+
+def derive_q81_oracle_rows() -> list[tuple]:
+    """Pure-Python mirror of q81's exact-integer aggregation over the
+    synthesized media frame + FakeCodec — the source of the VALUES
+    constants in q81's oracle, re-asserted by pytest so the literal
+    can never silently drift from the codec contract."""
+    import hashlib
+
+    by_type: dict[str, list[tuple[int, int, int]]] = {}
+    for mid in range(_N_MEDIA):
+        mtype = ["image", "audio", "video"][mid % 3]
+        # synthesize_media_frame: to_binary(repeat(sha2(id, 256), 4), 'hex')
+        payload = bytes.fromhex(
+            hashlib.sha256(str(mid).encode()).hexdigest() * 4
+        )
+        ks = [sum(payload[i::8]) % 997 for i in range(8)]
+        by_type.setdefault(mtype, []).append((len(payload), ks[0], sum(ks)))
+    rows = []
+    for mtype in sorted(by_type):
+        items = by_type[mtype]
+        n = len(items)
+        total_bytes = sum(b for b, _, _ in items)
+        sk0 = sum(k0 for _, k0, _ in items)
+        sksum = sum(ks for _, _, ks in items)
+        rows.append(
+            (
+                mtype,
+                n,
+                total_bytes,
+                round(sk0 / (n * 997), 9),
+                round(sksum / (n * 997), 9),
+            )
+        )
+    return rows
+
+
+@query(
+    "q81_media_features",
+    oracle=_Q81_ORACLE.format(
+        rows=",\n      ".join(
+            "('{}', CAST({} AS BIGINT), CAST({} AS BIGINT), "
+            "CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE))".format(*r)
+            for r in derive_q81_oracle_rows()
+        )
+    ),
+)
 def q81_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas), then
     aggregate per media type. The codec here is the deterministic
     FakeCodec (no media libs in this environment); swapping in a
     PIL/librosa codec changes one injection point, none of the Spark
-    plumbing. Feature vectors are summarized as per-dimension-0 stats
-    so the result is a small stable frame."""
+    plumbing.
+
+    Determinism: FakeCodec features are exact multiples of 1/997, so
+    the aggregation recovers the integer numerators (round(f*997)),
+    sums them as longs (partition-order-free), and divides ONCE at the
+    end — float averages of doubles would be fold-order-sensitive and
+    could drift a 9th decimal across partitionings. That makes the
+    3-row result constant, which is what lets the VALUES oracle above
+    upgrade this query from rows-only to exact (r10 verdict item 4)."""
     media = synthesize_media_frame(spark, _N_MEDIA)
     feats = extract_features(media, codec=FakeCodec())
     return (
         feats.select(
             "media_type",
             "n_bytes",
-            F.element_at("feature", 1).alias("f0"),
-            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x).alias("f_sum"),
+            F.round(F.element_at("feature", 1) * 997, 0)
+            .cast("long")
+            .alias("k0"),
+            F.round(
+                F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) * 997, 0
+            )
+            .cast("long")
+            .alias("ksum"),
         )
         .groupBy("media_type")
         .agg(
             F.count("*").alias("n_items"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("f0"), 9).alias("avg_f0"),
-            F.round(F.avg("f_sum"), 9).alias("avg_f_sum"),
+            F.sum("k0").alias("sk0"),
+            F.sum("ksum").alias("sksum"),
+        )
+        .select(
+            "media_type",
+            "n_items",
+            "total_bytes",
+            F.round(F.col("sk0") / (F.col("n_items") * 997), 9).alias("avg_f0"),
+            F.round(F.col("sksum") / (F.col("n_items") * 997), 9).alias(
+                "avg_f_sum"
+            ),
         )
         .orderBy("media_type")
     )

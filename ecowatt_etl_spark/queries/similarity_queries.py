@@ -1560,8 +1560,9 @@ def q154_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   b(N) = min(_BAND_STRIDE, ceil(log2(ceil(N / (K·_CELL_TARGET)))))
 # Per band the pair space is N²/(K·2^b) ≈ N·_CELL_TARGET/2 — LINEAR —
 # and _CELL_BANDS bands multiply recall, not asymptotics. b is 0 at
-# every parity scale (N ≤ 2048 ⇒ no sub-blocking, bit-identical to the
-# pre-r9 form); at the 100× sweep's 200k vectors b = 7. Recall cost is
+# every parity scale (≤ 4096 index entries ⇒ no sub-blocking,
+# bit-identical to the pre-r9 form); the 100× sweep's 400k-entry dual
+# index resolves b = 7. Recall cost is
 # the standard sign-LSH S-curve (band match prob = (1-θ/π)^b, any of
 # _CELL_BANDS bands) — measured per cosine-decile by q285's audit, and
 # the candidate-volume drop is published in bench extras. Band j draws
@@ -1581,7 +1582,19 @@ def q154_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell id — no distinct shuffle), and bits-per-band derives from the
 # INDEX entry count (≈2N), so the (cell, band-bucket) population
 # target — and the linear candidate asymptotics — are unchanged.
-_CELL_TARGET = 32
+# _CELL_TARGET 32 → 64 (r11, the r10 verdict's recall-frontier item):
+# the planted audit priced the operating points on the dual index —
+# b = 8 measured 8189 bp on ≥0.9-cosine pairs, b = 7 measured 8524 bp
+# — so the population target doubles, which shifts every derived b
+# down one (100× index: 400k entries → b = 7) and doubles the
+# per-band LINEAR candidate constant (N·_CELL_TARGET/2). The
+# margin-gated ark ≤ 3 alternative caps lower (cell co-location
+# ceiling ~9.8k bp × the b = 8 band factor ≈ 8400 bp < 8500) for
+# comparable extra volume, so the band-side point wins the Pareto
+# comparison. Parity scales: b = 0 up to 4096 index entries, so
+# sf0.1 (4000) drops from b = 1 to 0 — certified values change and
+# the whole family re-certifies through the r11 window.
+_CELL_TARGET = 64
 _CELL_BANDS = 4
 _BAND_STRIDE = 16
 
@@ -1990,7 +2003,6 @@ def q285_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine ≈ 0.91..0.995). Truth is still defined by EXACT cosine ≥ 0.9
 # on the planted corpus, so imperfect construction self-corrects.
 _PLANTED_ALPHA_STEPS = 8  # α = 0.10 + 0.05·(vec_id % 8)
-_PLANTED_DIM = 64
 
 
 def build_planted_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -2000,9 +2012,17 @@ def build_planted_fixture(spark: SparkSession, sf_dir: str) -> str:
     Deterministic end-to-end: same sf_dir ⇒ byte-identical fixture."""
     import hashlib
 
+    # scratch dir keyed by (sf_dir, pid) — r10 ADVICE: keyed on
+    # sf_dir alone, two concurrent sessions benching the same corpus
+    # could overwrite the fixture parquet mid-read (mode=overwrite
+    # deletes files under the other session's scan); the pid key makes
+    # the fixture private to this driver process while staying
+    # deterministic within it (same bytes every rebuild).
     out = os.path.join(
         "/tmp",
-        "ecowatt_planted_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "ecowatt_planted_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"_{os.getpid()}",
     )
     em = load_table(spark, sf_dir, "embeddings")
     # bounded scalar: the clone id offset
@@ -2016,8 +2036,12 @@ def build_planted_fixture(spark: SparkSession, sf_dir: str) -> str:
         F.lit(0.10)
         + F.lit(0.05) * (F.col("vec_id") % _PLANTED_ALPHA_STEPS)
     ).cast("double")
-    step = alpha * l2_norm(F.col("embedding")) / F.lit(
-        float(_PLANTED_DIM) ** 0.5
+    # per-row √d from the embedding itself (r10 ADVICE: a hardcoded
+    # dim silently mis-scales the perturbation if the corpus dimension
+    # changes — truth self-corrects but the per-alpha cosine spread
+    # the audit relies on is lost)
+    step = alpha * l2_norm(F.col("embedding")) / F.sqrt(
+        F.size("embedding").cast("double")
     )
     pert = F.transform(
         "embedding",

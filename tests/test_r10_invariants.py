@@ -91,7 +91,14 @@ def test_no_bare_scalar_rebinding_in_package_modules():
                 continue
             if val is None:
                 continue
-            if isinstance(val, (ast.Constant, ast.Tuple)):
+            # tuples count only when every element is a constant —
+            # the fingerprinter hashes constant tuples, but a tuple of
+            # non-constant refs is opaque to it, and flagging one here
+            # would force a spurious refactor (r10 ADVICE)
+            if isinstance(val, ast.Constant) or (
+                isinstance(val, ast.Tuple)
+                and all(isinstance(e, ast.Constant) for e in val.elts)
+            ):
                 module_scalars.update(targets)
         for node in ast.walk(tree):
             if isinstance(node, ast.Global):

@@ -54,10 +54,15 @@ def test_subband_bits_shape():
     only stride-many disjoint dims per band)."""
     assert _subband_bits(500) == 0
     assert _subband_bits(2000) == 0
-    assert _subband_bits(200000) == 7
+    # r11: _CELL_TARGET 64 shifts the curve one down vs r10 (the
+    # measured-recall frontier move: 8189 -> 8524 bp at the 100x
+    # operating point); sf0.1's 4000-entry dual index is back to b=0
+    assert _subband_bits(4000) == 0
+    assert _subband_bits(4097) == 1
+    assert _subband_bits(200000) == 6
     # the r10 dual-assignment index feeds ~2N entries: the 100x sweep
-    # corpus (200k vectors -> 400k index entries) resolves b = 8
-    assert _subband_bits(400000) == 8
+    # corpus (200k vectors -> 400k index entries) resolves b = 7
+    assert _subband_bits(400000) == 7
     prev = 0
     for e in range(1, 40):
         b = _subband_bits(2**e)

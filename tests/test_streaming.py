@@ -233,6 +233,31 @@ def test_multimodal_feature_extraction(spark):
         multimodal.set_codec(None)
 
 
+def test_q81_oracle_literal_matches_codec_contract(spark):
+    """The q81 VALUES oracle is a pin of constants derived from the
+    FakeCodec + synthesize_media_frame contracts; assert (a) the
+    derivation's rows appear verbatim (via repr round-trip) in the
+    registered oracle string, and (b) the Spark query reproduces the
+    derivation exactly — so neither the codec, the synthesizer, nor
+    the literal can drift independently."""
+    from ecowatt_etl_spark.queries.multimodal_queries import (
+        derive_q81_oracle_rows,
+    )
+    from ecowatt_etl_spark.queries.registry import all_queries
+
+    spec = all_queries()["q81_media_features"]
+    assert spec.oracle is not None
+    rows = derive_q81_oracle_rows()
+    for mtype, n, tb, f0, fs in rows:
+        assert f"('{mtype}', CAST({n} AS BIGINT), CAST({tb} AS BIGINT)" in spec.oracle
+        assert repr(f0) in spec.oracle and repr(fs) in spec.oracle
+    got = [
+        (r["media_type"], r["n_items"], r["total_bytes"], r["avg_f0"], r["avg_f_sum"])
+        for r in spec.fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == rows
+
+
 def test_stateful_totals_match_batch(spark):
     from pyspark.sql import functions as F
 

@@ -452,8 +452,23 @@ def q277_stream_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         agg = stateful_totals_tws(read_events_stream(spark, sf_dir))
+        # State partitions sized to the session's parallelism, not
+        # run_to_completion's tiny-replay default of 8 (r10 verdict
+        # item 6): TWS's per-key Python state-server protocol is the
+        # dominant cost at scale and it parallelizes per state
+        # partition — measured at the 100× corpus (150k keys, 10M
+        # events, 32 cores): 8 partitions 108.5 s → 32 partitions
+        # 62.4 s cold / 34.7 s warm; 64 partitions regresses (82 s —
+        # oversubscription + one RocksDB instance per partition).
+        # Values are partition-count-invariant by construction
+        # (integer-cents state, batch-split-independent), so this is
+        # purely a capacity sizing — the same decision a real
+        # deployment fixes at first checkpoint.
         return run_to_completion(
-            agg, "q277_tws_sink", output_mode="update"
+            agg,
+            "q277_tws_sink",
+            output_mode="update",
+            shuffle_partitions=max(8, spark.sparkContext.defaultParallelism),
         )
     finally:
         if old is None:

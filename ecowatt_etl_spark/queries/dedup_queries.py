@@ -1635,29 +1635,26 @@ def q169_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
-    rr = r.select(
-        "doc_id",
-        "block",
-        F.row_number()
-        .over(W.partitionBy("block").orderBy("sort_key", "doc_id"))
-        .alias("rn"),
-    )
-    # Candidate pairs via an EXPLODED-OFFSET equi-join, not a range
-    # residual: joining on block alone with `rn BETWEEN rn+1 AND rn+W`
-    # as a filter materializes Σ n_block² pairs per block BEFORE the
-    # filter — quadratic in corpus size at a fixed block-prefix length
-    # (measured: 6 s at 10x the gate scale -> 99 s at 100x). Exploding
-    # the W offsets makes (block, rn+δ) = (block, rn) a pure equi key:
-    # exactly the same pair set, W rows per doc, linear at any scale.
-    probe = rr.select(
+    # Candidate pairs via LEAD over the block-ranked order (r11,
+    # guide §2.4): `doc at rank i` pairs with `doc at rank i+δ`,
+    # δ = 1..W, which IS lead(doc_id, δ) over the same window the old
+    # row_number ranking used — one window pass emits every pair with
+    # ZERO self-join. The history matters: the first implementation
+    # joined on block with `rn BETWEEN rn+1 AND rn+W` as a residual
+    # (quadratic: Σ n_block² pairs materialized pre-filter, 99 s at
+    # 100×), the r-era fix exploded the W offsets into a pure equi
+    # key (linear, but still a join whose window input was computed
+    # on BOTH arms), and lead() keeps the linear pair set while
+    # deleting the join and the duplicate window computation outright.
+    win = W.partitionBy("block").orderBy("sort_key", "doc_id")
+    nbrs = r.select(
         F.col("doc_id").alias("doc_a"),
-        "block",
-        F.explode(
-            F.array(*[(F.col("rn") + F.lit(i)) for i in range(1, _SNM_W + 1)])
-        ).alias("rn"),
+        F.array(
+            *[F.lead("doc_id", k).over(win) for k in range(1, _SNM_W + 1)]
+        ).alias("nbrs"),
     )
-    cand = probe.join(rr, ["block", "rn"]).select(
-        "doc_a", F.col("doc_id").alias("doc_b")
+    cand = nbrs.select("doc_a", F.explode("nbrs").alias("doc_b")).filter(
+        F.col("doc_b").isNotNull()
     )
 
     e, _ = shingle_index(spark, sf_dir)
@@ -1744,43 +1741,78 @@ def q171_tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded ops (two sqrt, one divide) over string-routed
     casts — bit-identical cross-engine, threshold comparison included.
 
-    Scale: the df aggregate and the posting-list self-join ride the
-    SAME exploded (doc, h) index q53/q169 share (session artifact, no
-    re-tokenize); the df cap bounds the self-join at Σ df² over capped
-    lists — the identical economics as q54, plus one broadcast of the
-    1-row corpus count. Everything shuffles on 8-byte hashes, never
-    text."""
+    Scale: the df-capped posting lists ride the SAME exploded (doc, h)
+    index q53/q169 share (session artifact, no re-tokenize). r11
+    restructure (guide §2.3/§2.4): the old shape materialized the
+    (doc_id, h, wt) posting rows and self-joined them on h — two
+    shuffles of the posting list plus a join-back of the df aggregate
+    — when binary tf means dot(a,b) = Σ wt² over SHARED shingles, a
+    quantity computable per shingle GROUP. Now the index is grouped
+    once by h into df-capped doc lists and candidate pairs explode in
+    codegen from each ≤cap list (same Σ df² pair economics, zero
+    join). Hot shingles (df > cap, which the old join also dropped)
+    are removed BEFORE the list aggregation by a shuffled-hash ANTI
+    join against the tiny hot-key set, so no aggregation buffer ever
+    holds an uncapped list and nothing corpus-sized is broadcast —
+    the measured gate-scale cost fell 2.5 s → ~1.6 s and the 100×
+    shape sheds one full posting-list shuffle. Everything still
+    shuffles on 8-byte hashes, never text."""
     d = load_table(spark, sf_dir, "documents")
     e, _ = shingle_index(spark, sf_dir)
     nd = d.agg(F.count("*").alias("n_docs"))
-    df_t = e.groupBy("h").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _TFIDF_DF_CAP
+    # Zipf head only: shingles in > cap docs. Shuffled (never
+    # broadcast) so an adversarial corpus where MOST shingles are hot
+    # degrades to an ordinary anti join, not a driver OOM.
+    hot = (
+        e.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _TFIDF_DF_CAP)
+        .select("h")
     )
-    # w is referenced 3× (norms + both self-join sides); without the
-    # lineage cut each reference re-runs the df aggregate over the full
-    # posting index and the weight join (the q265 lesson — different
+    # g is referenced twice (norms + pair arm); without the lineage
+    # cut each reference re-runs the anti join and list aggregation
+    # over the full posting index (the q265 lesson — different
     # operators above the duplicates, so ReuseExchange recovers
-    # nothing). The materialized frame is the df-capped posting list —
-    # (doc_id, h, wt), the same artifact scale q53/q169 already budget.
-    w = (
-        e.join(df_t, "h")
+    # nothing). The materialized frame is one row per rare shingle
+    # with a ≤cap sorted doc list — strictly smaller than the old
+    # (doc_id, h, wt) checkpoint.
+    g = (
+        e.join(hot.hint("shuffle_hash"), "h", "left_anti")
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        )
         .crossJoin(F.broadcast(nd))
-        .selectExpr("doc_id", "h", "CAST(n_docs * 1000 DIV df AS BIGINT) AS wt")
+        .selectExpr("CAST(n_docs * 1000 DIV df AS BIGINT) AS wt", "docs")
         .localCheckpoint()
     )
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("nn")
+    w2 = F.col("wt").cast("decimal(38,0)") * F.col("wt")
+    norms = (
+        g.select(F.explode("docs").alias("doc_id"), "wt")
+        .groupBy("doc_id")
+        .agg(F.sum(w2).alias("nn"))
     )
-    wa = w.select(F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa"))
-    wb = w.select(F.col("doc_id").alias("doc_b"), "h", F.col("wt").alias("wb"))
+    # i<j pairs from the sorted ≤cap list, entirely in codegen: binary
+    # tf makes both weights equal, so each shared shingle contributes
+    # wt² to the pair's dot product.
+    pair_structs = F.expr(
+        """
+        flatten(transform(docs, (a, i) ->
+          transform(slice(docs, i + 2, size(docs)),
+                    b -> struct(a AS doc_a, b AS doc_b))))
+        """
+    )
     dots = (
-        wa.join(wb, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("dot"),
-            F.count("*").alias("n_shared"),
+        g.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"), "wt")
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            "wt",
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(w2).alias("dot"), F.count("*").alias("n_shared"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))

@@ -521,8 +521,17 @@ def q100_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = kept.filter(F.col("source") != _EVAL_SRC)
+    # r11 (guide §2.4): shingle ALL non-eval docs, not the deduped
+    # train set — the contaminated id list grows by dup docs' ids,
+    # but the anti join's left side is the deduped train set, so the
+    # output rows are identical while the dedup window (a shuffle +
+    # sort of the text-carrying corpus) runs ONCE instead of twice
+    # (Catalyst cannot share the window subtree across join arms).
     contaminated = (
-        shingle_hashes(train, n=_DECON_N).join(eval_h, "h").select("doc_id").distinct()
+        shingle_hashes(base.filter(F.col("source") != _EVAL_SRC), n=_DECON_N)
+        .join(eval_h, "h")
+        .select("doc_id")
+        .distinct()
     )
     clean = train.join(contaminated, "doc_id", "left_anti")
 

@@ -423,34 +423,44 @@ def q78_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-zero novelty flags templated text (pairs with q95's
     repetition rule in a curation stack).
 
-    Two-pass shape on the q52/q96 shingle machinery (explode →
-    md5-once-in-codegen): pass 1 aggregates per-bigram document
-    frequency, pass 2 joins the (doc, bigram) stream back on the 8-byte
-    hash — the aggregate output is already hash-partitioned on h, so
-    the join adds ONE shuffle of the bigram stream and the per-doc
-    rollup shuffles compact (doc_id, flags) pairs. No collect, no
-    broadcast of corpus-sized state; novelty is integer basis points.
+    Two aggregates over one (doc, bigram) stream (r11, guide §2.3/2.4
+    — the old shape joined the full bigram stream back onto the
+    per-bigram frequency table, shuffling the corpus stream by h a
+    second time): a novelty threshold of df < 2 means every novel
+    bigram occurs in exactly ONE row, so min(doc_id) of its h-group IS
+    the owning document — per-doc novel counts fall out of the
+    frequency aggregate itself and only two compact per-key frames
+    ever shuffle. No collect, no broadcast of corpus-sized state;
+    novelty is integer basis points.
     """
     from ecowatt_etl_spark.operators.dedup import shingle_hashes
 
+    # the min(doc_id) ownership shortcut is only valid while "novel"
+    # means df == 1; a higher threshold would need the doc list back
+    assert _NOVEL_MIN_DF == 2
+
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_hashes(d, n=2)
-    df_counts = sh.groupBy("h").agg(F.count("*").alias("doc_freq"))
-    novel = F.when(F.col("doc_freq") < _NOVEL_MIN_DF, 1).otherwise(0)
-    return (
-        sh.join(df_counts, "h")
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_bigrams"))
+    novel_per_doc = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("doc_freq"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("doc_freq") < _NOVEL_MIN_DF)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(novel).alias("n_novel"),
-        )
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_bigrams",
-            F.col("n_novel").cast("long").alias("n_novel"),
-            F.expr("CAST(n_novel * 10000 DIV n_bigrams AS BIGINT)").alias(
-                "novelty_bps"
-            ),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            "CAST(n_novel * 10000 DIV n_bigrams AS BIGINT) AS novelty_bps",
         )
     )
 
@@ -1235,7 +1245,7 @@ def q144_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     too-short documents in the output (md5('') contract). Segment
     width/df are demo-scaled constants; production passages are 8-16
     tokens with a df threshold per q134's mining report."""
-    from ecowatt_etl_spark.operators.text import tokens, word_hash
+    from ecowatt_etl_spark.operators.text import doc_token_stats, tokens, word_hash
 
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", tokens("text").alias("w"))
@@ -1247,8 +1257,12 @@ def q144_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      {_BPS_SEG}), ' ') AS s))
          ELSE cast(array() as array<struct<pos: int, s: string>>) END
     """
-    docs = base.select(
-        "doc_id", F.expr(f"CAST(size(w) DIV {_BPS_SEG} AS BIGINT)").alias("n_segs")
+    # r11: the all-docs arm needs only size(tokens) — ride the session
+    # doc_token_stats artifact (same tokenize expression) instead of a
+    # second private scan+tokenize of the corpus.
+    docs = doc_token_stats(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST(n_tok DIV {_BPS_SEG} AS BIGINT)").alias("n_segs"),
     )
     segs = (
         base.select("doc_id", F.explode(F.expr(seg_expr)).alias("g"))
@@ -1989,7 +2003,13 @@ def q214_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer basis points (covered·10000 DIV n_tokens) so the whole
     report is int64-exact cross-engine. Scale: shuffle keys are the
     8-byte digest and doc_id; window state is per-doc duplicated
-    positions only — corpus text bytes never shuffle."""
+    positions only — corpus text bytes never shuffle. r11: the
+    all-docs (doc_id, n_tok) arm of the final left join rides the
+    session doc_token_stats artifact (token_count is the SAME
+    tokenize expression) instead of a second private scan+tokenize
+    of the corpus — one tokenize pass per call instead of two."""
+    from ecowatt_etl_spark.operators.text import doc_token_stats
+
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", tokens("text").alias("toks")
@@ -2044,7 +2064,8 @@ def q214_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered_tokens"),
     )
     return (
-        base.select("doc_id", "n_tok")
+        doc_token_stats(spark, sf_dir)
+        .select("doc_id", "n_tok")
         .join(perdoc, "doc_id", "left")
         .select(
             "doc_id",

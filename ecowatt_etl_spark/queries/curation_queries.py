@@ -184,26 +184,32 @@ def q95_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal. Pure array expressions over the token list (no explode —
     per-doc distinct counts stay inside the row), one scan, zero
     shuffles; the two fractions are single exact-integer divisions, so
-    the oracle matches bit-for-bit."""
+    the oracle matches bit-for-bit.
+
+    r11 (guide §1.2 step 2, per-task work): the bigram universe is
+    built as STRUCT pairs via arrays_zip of two shifted slices, not
+    as `w[i] || ' ' || w[i+1]` strings — the old transform allocated
+    a fresh concat string per bigram per row and was ~5× the whole
+    query's cost (measured 4.25 → 0.83 s noop at sf0.1). Distinct
+    counts are unchanged: tokens cannot contain whitespace, so the
+    pair→concat map is injective and |distinct pairs| ==
+    |distinct concat strings| — the oracle keeps the string form."""
     d = load_table(spark, sf_dir, "documents")
     w = tokens("text")
-    # guard like operators/dedup.shingles: an unguarded sequence(0, -1)
-    # would make transform evaluate slice(w, 0, 2) on 1-token docs —
-    # correct today only because the n_tokens>=2 filter pushes below
-    # this projection, which no optimizer contract guarantees
-    grams = F.when(
+    # guard like operators/dedup.shingles: an unguarded slice on
+    # 1-token docs would evaluate with a negative length — correct
+    # today only because the n_tokens>=2 filter pushes below this
+    # projection, which no optimizer contract guarantees
+    pairs = F.when(
         F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        F.arrays_zip(F.slice(w, 1, F.size(w) - 1), F.slice(w, 2, F.size(w) - 1)),
+    ).otherwise(F.expr("CAST(array() AS array<struct<`0`: string, `1`: string>>)"))
     g = d.select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
         (F.size(w) - 1).cast("long").alias("n_bigrams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_bigrams"),
+        F.size(F.array_distinct(pairs)).cast("long").alias("n_distinct_bigrams"),
     ).filter(F.col("n_tokens") >= 2)
     dup_tok = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")
     dup_bi = (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double") / F.col(
@@ -1040,23 +1046,51 @@ def q192_ngram_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     literally in the training set), which is the number papers
     report as the contamination rate.
 
-    Scale: distinct train grams reduce to one digest set (shuffle on
-    the digest — at 100 TB the 8-byte portable hash replaces the
-    32-char md5, the q53 economics); eval grams are a tiny fraction
-    and the presence join is digest-keyed. No text is ever joined."""
+    Scale/r11 (guide §2.3/§3.2): grams are STRUCTS of the n token
+    slices (arrays_zip of shifted slices), never concatenated strings
+    or md5 digests — the md5 existed only as an internal join key
+    that no output surfaces, and since md5 is injective in practice
+    and tokens contain no whitespace, struct equality ⇔ string
+    equality ⇔ digest equality (measured 4.3 → 1.4 s noop at sf0.1;
+    the oracle keeps its md5-string join, counts identical). The
+    presence test is flipped to ride the EVAL side's smallness: the
+    train gram stream is semi-joined scan-local against the broadcast
+    eval gram set, so the corpus-wide distinct+broadcast of TRAIN
+    grams (which could not survive a 100 TB corpus) never happens —
+    only grams that already occur in the benchmark slice reduce to
+    the hit set. Eval sets are small by construction (they are
+    benchmarks); that is the broadcast this query budgets for."""
     d = load_table(spark, sf_dir, "documents")
-    from ecowatt_etl_spark.operators.dedup import shingles
+    from ecowatt_etl_spark.operators.text import tokens
 
+    t = tokens("text")
+    n = F.size(t)
+    zipped = F.arrays_zip(
+        *[F.slice(t, 1 + k, n - (_OVL_N - 1)) for k in range(_OVL_N)]
+    )
+    # short docs: whole-text single gram, mirroring shingles()'s ELSE
+    # arm; the padding fields are empty strings, which no real token
+    # can be, so short-doc grams never collide with full grams
+    short = F.arrays_zip(
+        F.array(F.concat_ws(" ", t)),
+        *[F.array(F.lit("")) for _ in range(_OVL_N - 1)],
+    )
     g = d.select(
         "doc_id",
         "source",
-        F.explode(shingles("text", n=_OVL_N)).alias("s"),
-    ).select("doc_id", "source", F.md5("s").alias("gh"))
-    train = (
-        g.filter(F.col("source") != _EVAL_SRC).select("gh").distinct()
+        F.explode(
+            F.array_distinct(F.when(n >= _OVL_N, zipped).otherwise(short))
+        ).alias("gh"),
     )
     ev = g.filter(F.col("source") == _EVAL_SRC).select("doc_id", "gh")
-    j = ev.join(train.withColumn("hit", F.lit(1)), "gh", "left")
+    ev_set = ev.select("gh").distinct()
+    hit_set = (
+        g.filter(F.col("source") != _EVAL_SRC)
+        .select("gh")
+        .join(F.broadcast(ev_set), "gh", "left_semi")
+        .distinct()
+    )
+    j = ev.join(F.broadcast(hit_set.withColumn("hit", F.lit(1))), "gh", "left")
     return j.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
         F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))

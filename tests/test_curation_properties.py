@@ -462,3 +462,79 @@ def test_bpe_encode_stats_consistent(spark):
         assert 0 < r["n_vocab"] <= r["n_words"]
         assert r["n_words"] <= r["n_subwords"]  # ≥1 subword per word
         assert r["subwords_per_word"] == r["n_subwords"] / r["n_words"]
+
+
+# ---------------------------------------------------------------------------
+# q192 — struct-gram equivalence (r11 optimization internals)
+# ---------------------------------------------------------------------------
+def test_q192_struct_grams_equal_md5_string_grams(spark):
+    """r11 replaced q192's md5-string gram keys with token-slice
+    STRUCT keys (no concat, no digest). Equivalence rests on two
+    invariants this test pins from first principles on adversarial
+    short/whitespace docs: (1) per-doc distinct struct-gram counts
+    equal distinct md5-string shingle counts (injective mapping —
+    tokens carry no whitespace), and (2) the short-doc whole-text arm
+    (empty-string padding) can never collide with a full n-gram."""
+    from ecowatt_etl_spark.operators.dedup import shingles
+    from ecowatt_etl_spark.operators.text import tokens
+    from ecowatt_etl_spark.queries.curation_queries import _OVL_N
+
+    rows = [
+        (1, "one"),
+        (2, "two tokens"),
+        (3, "now three little tokens"),
+        (4, "exactly five tokens right here"),
+        (5, "six tokens a b a b"),
+        (6, "  leading   and trailing   whitespace collapse here  "),
+        (7, "rep rep rep rep rep rep rep rep"),
+        (8, "exactly five tokens right here"),  # dup of 4
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    t = tokens("text")
+    n = F.size(t)
+    zipped = F.arrays_zip(
+        *[F.slice(t, 1 + k, n - (_OVL_N - 1)) for k in range(_OVL_N)]
+    )
+    short = F.arrays_zip(
+        F.array(F.concat_ws(" ", t)),
+        *[F.array(F.lit("")) for _ in range(_OVL_N - 1)],
+    )
+    structs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.when(n >= _OVL_N, zipped).otherwise(short))
+        ).alias("g"),
+    )
+    strings = d.select(
+        "doc_id", F.explode(shingles("text", n=_OVL_N)).alias("s")
+    ).select("doc_id", F.md5("s").alias("gh"))
+
+    per_doc_structs = {
+        r["doc_id"]: r["n"]
+        for r in structs.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    per_doc_strings = {
+        r["doc_id"]: r["n"]
+        for r in strings.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc_structs == per_doc_strings
+
+    # cross-doc equality must agree too (the join-key property):
+    # docs 4 and 8 are identical, so their gram sets intersect fully;
+    # everything else is disjoint
+    inter_structs = (
+        structs.alias("a")
+        .join(structs.alias("b"), F.expr("a.g = b.g AND a.doc_id < b.doc_id"))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    inter_strings = (
+        strings.alias("a")
+        .join(strings.alias("b"), F.expr("a.gh = b.gh AND a.doc_id < b.doc_id"))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    assert {(r.x, r.y) for r in inter_structs} == {(r.x, r.y) for r in inter_strings} == {(4, 8)}

@@ -385,30 +385,18 @@ def q167_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.lit(2) * F.col("v_us") - F.col("med2")).alias("d2"),
     )
     mad = _doubled_median(dev, "d2", "mad4")
-    # r11: med2 is constant per type and only needed for the DISPLAY
-    # column, so it joins onto the 5-row aggregate, not onto every
-    # event row — one broadcast probe over the event stream removed.
-    agg = (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.max("mad4").alias("mad4"),
-            F.sum(
-                F.when(
-                    F.lit(4) * F.col("d2") > F.lit(3) * F.col("mad4"), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_anomalies"),
-        )
+    joined = dev.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
     )
-    return agg.join(med, "event_type").select(
-        "event_type",
-        "n",
-        (F.col("med2").cast("double") / 2 / 1_000_000).alias("median_value"),
-        (F.col("mad4").cast("double") / 4 / 1_000_000).alias("mad_value"),
-        "n_anomalies",
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.max("med2").cast("double") / 2 / 1_000_000).alias("median_value"),
+        (F.max("mad4").cast("double") / 4 / 1_000_000).alias("mad_value"),
+        F.sum(
+            F.when(F.lit(4) * F.col("d2") > F.lit(3) * F.col("mad4"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
     )
 
 

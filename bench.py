@@ -125,6 +125,12 @@ def main() -> None:
     # the uncontended cost. Retry counts are published so a gated run
     # is distinguishable from a clean one.
     SPREAD_GATE = 0.5
+    # First-pass medians, frozen BEFORE the spread gate mutates
+    # timings (r11 verdict item 9): round-over-round comparisons can
+    # be made gate-on-gate even when only one side's publication
+    # retried. Additions-only: the headline value and `queries` keep
+    # the gated medians exactly as before.
+    first_pass = dict(timings)
     retries: dict[str, int] = {}
     for _attempt in range(2):
         spread = (sum(worst.values()) - sum(best.values())) / max(
@@ -170,6 +176,14 @@ def main() -> None:
                     # round-over-round delta should be read against.
                     "queries_best": {
                         n: round(v, 4) for n, v in best.items()
+                    },
+                    # pre-spread-gate medians of the first 3 reps
+                    # (r11 verdict item 9): the gate keeps best-3-of-6
+                    # for noisy queries, so `queries` is not
+                    # comparable gate-on-gate across rounds when only
+                    # one round retried; these are.
+                    "queries_first_pass": {
+                        n: round(v, 4) for n, v in first_pass.items()
                     },
                     # queries re-run by the spread gate this publication
                     # (extra rep count); empty on a clean first pass.

@@ -517,9 +517,10 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-outs). This completes the engine's Arrow-UDx inventory
     (pandas_udf q151, grouped-map q91, mapInPandas q81/q83, state
     q49/q133, UDTF q138 — cogroup was the one missing shape). Each
-    order's item total is recomputed in int64 micro-units INSIDE the
-    Python worker (pandas int64 arithmetic — deterministic, no float
-    drift) and compared to the header total; per-status counts of
+    order's item total is an exact int64 micro-unit sum — pre-reduced
+    in the JVM since r12 (deterministic integer addition, no float
+    drift; guide §4: ship decisions, not payloads, across the Python
+    boundary) — and compared to the header total; per-status counts of
     itemless, matched, and mismatched orders aggregate the per-key
     verdicts. The oracle states the same semantics as a relational
     left join, so the exotic API path is value-gated against plain
@@ -531,7 +532,7 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 52 s at sf0.1, vs 4.6 s bucketed — an 11× cliff).
     Bucketing by orderkey div 256 keeps cogroup's alignment
     guarantee (a bucket's headers and items arrive together) while
-    the per-bucket pandas body runs VECTORIZED (one groupby-merge
+    the per-bucket pandas body runs VECTORIZED (one merge
     per ~256 orders). Both sides still shuffle once on the bucket
     key; this is the shape any per-entity Arrow logic should take
     when entities are small."""
@@ -545,24 +546,36 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_us"),
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.expr("l_orderkey DIV 256").alias("bucket"),
-        "l_orderkey",
-        # per-item micro-value floored exactly like the oracle's
-        # HUGEINT // 1000000 (picounits → microunits) so pandas sums
-        # the identical integers
-        F.expr(
-            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
-            " * CAST((1 - l_discount) AS DECIMAL(18,6))"
-            " * 1000000000000 AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"
-        ).alias("item_us"),
+    # r12 (guide §4/§2.3): the per-order item total is an exact int64
+    # sum, so it pre-aggregates IN THE JVM (map-side combinable)
+    # before anything crosses the Python boundary — the cogroup now
+    # ships one row per order (~4× fewer) instead of one per lineitem,
+    # and the pandas body keeps only the merge. Per-item micro-values
+    # are floored exactly like the oracle's HUGEINT // 1000000
+    # (picounits → microunits) so the JVM sums the identical integers
+    # pandas summed before.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
+                " * CAST((1 - l_discount) AS DECIMAL(18,6))"
+                " * 1000000000000 AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"
+            ).alias("item_us"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("item_us").cast("bigint").alias("items_us"))
+        .select(
+            F.expr("l_orderkey DIV 256").alias("bucket"),
+            "l_orderkey",
+            "items_us",
+        )
     )
 
     def audit(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        items = (
-            ldf.groupby("l_orderkey", as_index=False)["item_us"]
-            .sum()
-            .rename(columns={"l_orderkey": "o_orderkey", "item_us": "items_us"})
+        items = ldf[["l_orderkey", "items_us"]].rename(
+            columns={"l_orderkey": "o_orderkey"}
         )
         m = odf.merge(items, on="o_orderkey", how="left")
         itemless = m["items_us"].isna()
@@ -804,13 +817,14 @@ def q207_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     products into one string-routed division, so the ranking cut is
     deterministic (ties break on the pair).
 
-    Scale: the pair self-join is the textbook basket explosion —
-    bounded by Σ(basket size)² per ORDER, not per corpus, because
-    the join key is the order; baskets here average ~4 items so the
-    pair stream is ~6× orders. For pathological mega-baskets the
-    standard cap (drop baskets > K items, as the df-cap q54 does for
-    shingles) bounds the quadratic term; min-support prunes before
-    the stats joins. The per-part frequency table is CORPUS-SCALED
+    Scale: pair generation is the textbook basket explosion —
+    bounded by Σ(basket size)² per ORDER, not per corpus; baskets
+    here average ~4 items so the pair stream is ~6× orders, exploded
+    in codegen from each basket's sorted distinct-part list (r12 —
+    no self-join, see the body comment). For pathological
+    mega-baskets the standard cap (drop baskets > K items, as the
+    df-cap q54 does for shingles) bounds the quadratic term;
+    min-support prunes before the stats joins. The per-part frequency table is CORPUS-SCALED
     (one row per distinct part — ~2M at 100×), so its join strategy
     is left to AQE: it broadcasts while it fits and shuffle-joins
     beyond (the r9 100× sweep caught the previous hint-forced
@@ -818,16 +832,39 @@ def q207_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same forced-corpus-broadcast class the r8 sweep caught in
     q175). Only the 1-row basket-count frame keeps the hint."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    nb = items.agg(F.countDistinct("okey").alias("n_baskets"))
-    freq = items.groupBy("part").agg(F.count("*").alias("pf"))
-    a = items.select("okey", F.col("part").alias("part_a"))
-    b = items.select("okey", F.col("part").alias("part_b"))
+    # r12 (guide §2.3/§2.4, the q171/q246 grouped-pairs pattern): the
+    # old shape materialized DISTINCT (okey, part) and SELF-JOINED it
+    # on okey — the distinct shuffle plus two join-arm shuffles of the
+    # item stream. Baskets are naturally small (≤7 lineitems per
+    # order), so ONE groupBy(okey) collects each basket's sorted
+    # distinct parts (bounded agg state — the distinct falls out of
+    # collect_set) and i<j pairs explode in codegen; basket count and
+    # per-part frequency ride the same materialized frame instead of
+    # re-aggregating lineitem per consumer. The self-join and the
+    # standalone distinct are gone; everything downstream of the one
+    # basket shuffle is pair/part-sized.
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint()
+    )
+    nb = baskets.agg(F.count("*").alias("n_baskets"))
+    freq = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("pf"))
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(parts, (a, i) ->
+          transform(slice(parts, i + 2, size(parts)),
+                    b -> struct(a AS part_a, b AS part_b))))
+        """
+    )
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.filter(F.size("parts") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= _BASKET_MIN_SUP)

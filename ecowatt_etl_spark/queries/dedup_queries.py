@@ -1811,6 +1811,12 @@ def q171_tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.doc_b").alias("doc_b"),
             "wt",
         )
+        # r11 ADVICE: an intra-doc 31-bit word_hash collision can put
+        # duplicate (doc_id, h) rows in the index, making the sorted
+        # list emit a (D, D) self-pair the old self-join's strict
+        # doc_a < doc_b excluded. The list is sorted, so doc_a <=
+        # doc_b always holds and != is equivalent to the old <.
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(w2).alias("dot"), F.count("*").alias("n_shared"))
     )
@@ -2364,8 +2370,18 @@ def q246_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     p = g.select(F.explode(pair_structs).alias("p")).select("p.ra", "p.rb")
+    # r12 (guide §1.2 per-task work, verdict item 8): the name tier
+    # only asks "distance <= 1", so the THRESHOLDED levenshtein
+    # (Spark 3.5+ 3-arg form) computes a banded O(len·k) DP with
+    # early exit instead of the full O(len²) matrix over every
+    # candidate pair (47M at 100×). It returns -1 when the distance
+    # exceeds the threshold, so `<= 1` becomes `>= 0` — exact, with
+    # no data-shape assumption (the oracle keeps the plain 2-arg
+    # form on the DuckDB side).
     score = (
-        F.when(F.levenshtein(F.col("ra.c_name"), F.col("rb.c_name")) <= 1, 30)
+        F.when(
+            F.levenshtein(F.col("ra.c_name"), F.col("rb.c_name"), 1) >= 0, 30
+        )
         .otherwise(0)
         + F.when(F.col("ra.c_nationkey") == F.col("rb.c_nationkey"), 20).otherwise(0)
         + F.when(F.col("ra.c_mktsegment") == F.col("rb.c_mktsegment"), 15).otherwise(0)

@@ -1586,18 +1586,38 @@ def q104_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape on this schema: suppliers who were the ONLY
     supplier with a returned item in a multi-supplier order — the
     classic doubly-correlated EXISTS / NOT EXISTS pair, decorrelated
-    into ONE aggregate computing both distinct counts and the unique
-    culprit (MIN over a one-element set) in a single pass over
+    into a two-level aggregate computing both distinct counts and the
+    unique culprit (MIN over a one-element set) in a single pass over
     lineitem. The reference pattern needs two correlated subqueries
-    per row; this is one shuffle on l_orderkey plus a supplier-keyed
-    rollup, then a global top-10 (WindowGroupLimit-pruned).
+    per row; this is one map-side-deduped shuffle on (order, supplier)
+    plus order- and supplier-keyed rollups, then a global top-10
+    (WindowGroupLimit-pruned).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    fault_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(fault_supp).alias("n_fault"),
-        F.min(fault_supp).alias("fault_supp"),
+    # r12 (guide §2.3, verdict item 5): the two count_distincts with
+    # DIFFERENT children made Catalyst Expand every lineitem row 3×
+    # (one projection per distinct group + the non-distinct min)
+    # before the partial aggregate. A two-level aggregate needs no
+    # Expand: level 1 dedups to (order, supplier) pairs map-side
+    # (partial agg over the raw scan — the shuffle carries distinct
+    # pairs only), level 2 derives both distinct counts and the
+    # unique culprit from the deduped pairs. NULL discipline matches
+    # count_distinct exactly: null suppkeys form their own level-1
+    # group and are excluded from every level-2 count (count(col) /
+    # the isNotNull guard / min-ignores-null).
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("r")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("l_suppkey").alias("n_supp"),
+        F.sum(
+            F.when(
+                F.col("l_suppkey").isNotNull() & (F.col("r") == 1), 1
+            ).otherwise(0)
+        ).alias("n_fault"),
+        F.min(F.when(F.col("r") == 1, F.col("l_suppkey"))).alias("fault_supp"),
     )
     blamed = (
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_fault") == 1))
@@ -2402,27 +2422,27 @@ def _stats_col_sql(tbl: str, col: str, kind: str) -> str:
 def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-TABLE statistics sweep — the per-column (row count, null
     count, exact NDV, min, max) table a cost-based optimizer feeds on
-    and every data catalog displays, across ALL ten warehouse tables in
-    TWO passes per table: a wide no-distinct aggregate (row count,
-    null counts, typed min/max — constant state per column) and a
-    slim ``stack`` fan-out into ONE spillable (table, column, value)
-    group-distinct for the exact NDVs, joined back per column.
-    Complements q152 (constraint violations) with the statistics half
-    of warehouse metadata maintenance; q176 (skew) and q209 (join
-    sizes) consume exactly these numbers at planning time.
+    and every data catalog displays, across ALL ten warehouse tables:
+    a wide no-distinct aggregate per table (row count, null counts,
+    typed min/max — constant state per column) plus one RAW-typed
+    single-distinct aggregate per column for the exact NDVs, joined
+    back per column. Complements q152 (constraint violations) with
+    the statistics half of warehouse metadata maintenance; q176
+    (skew) and q209 (join sizes) consume exactly these numbers at
+    planning time.
 
     Why not one multi-distinct aggregate (the pre-r8 form): Catalyst
     rewrites N count_distincts into an Expand carrying EVERY audited
     column on every duplicated row, keyed by an N-column struct — on
     the 60M-row 100× lineitem that is ~720M wide rows into one hash
-    aggregate, measured task OOM. The stack rows are (name, one
-    string) — the same fan-out factor but ~50× slimmer, keyed by a
-    single value, and the two-level group-by distinct spills cleanly —
-    completes at 100× in ~110 s (measured sharing the host with a
-    running full sweep) where the wide form died. NDV values are raw
-    cast-to-string (injective per
-    column type — no decimal rounding, full timestamp precision), so
-    the count is identical to COUNT(DISTINCT col) on the raw values.
+    aggregate, measured task OOM. The r8–r11 answer was a ``stack``
+    fan-out into one (table, column, value-as-string) group-distinct —
+    spillable, but still ~660M stringified rows through a single
+    aggregate (~156 s at 100×). r12 (guide §2.3): single-distinct
+    aggregates never Expand, so per-column COUNT(DISTINCT col) on the
+    RAW value is both fan-out-free and string-free; each column's
+    dedup shuffles its own distinct values at native width and the
+    60 subtrees schedule as independent stages of one job.
 
     Cross-engine rendering discipline: numeric min/max are normalized
     through decimal(18,6) (fixed-scale string form both engines agree
@@ -2472,35 +2492,33 @@ def q223_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.append(
             wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
         )
-        # NDV values are cast to string, which is injective per column
-        # type EXCEPT IEEE signed zeros: -0.0 and 0.0 stringify
-        # distinctly but compare equal under engine DISTINCT. Adding
-        # +0.0 to float/double columns normalizes -0.0 to 0.0 before
-        # the cast (NaN stays NaN — Spark renders every NaN payload as
-        # the single string "NaN" already), keeping the count identical
-        # to COUNT(DISTINCT col) on raw values (r8 ADVICE).
-        dtypes = dict(df.dtypes)
-        stack_args = ", ".join(
-            f"'{c}', CAST(({c} + 0.0) AS STRING)"
-            if dtypes.get(c) in ("float", "double")
-            else f"'{c}', CAST({c} AS STRING)"
-            for c, _ in cols
-        )
-        ndv_frames.append(
-            df.selectExpr(
-                f"stack({len(cols)}, {stack_args}) AS (column_name, v)"
-            ).select(F.lit(tbl).alias("table_name"), "column_name", "v")
-        )
-    ev = ndv_frames[0]
+        # r12 (guide §2.3, verdict item 3): exact NDVs as one RAW-typed
+        # single-distinct aggregate PER COLUMN instead of the stack
+        # fan-out. The stack blew every scanned row into N slim
+        # (name, string) rows — ~660M stringified rows through one
+        # group-distinct at 100× — when COUNT(DISTINCT col) per column
+        # needs no fan-out at all: a single-distinct aggregate plans as
+        # partial dedup on the raw value (no Expand — only
+        # multi-distinct aggregates trigger it), so each column
+        # shuffles only its own distinct raw values (8-byte longs
+        # instead of decimal-rendered strings) and the per-column
+        # subtrees schedule as independent stages of one job. Engine
+        # DISTINCT semantics (-0.0 = 0.0, one NaN class) now match the
+        # oracle's COUNT(DISTINCT col) by definition instead of via the
+        # r8 string-injectivity argument; the scan volume is unchanged
+        # (the stack read the same columns once — parquet prunes per
+        # subtree here).
+        for c, _ in cols:
+            ndv_frames.append(
+                df.agg(F.count_distinct(F.col(c)).alias("ndv")).select(
+                    F.lit(tbl).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col("ndv"),
+                )
+            )
+    ndv = ndv_frames[0]
     for f in ndv_frames[1:]:
-        ev = ev.unionByName(f)
-    ndv = (
-        ev.filter(F.col("v").isNotNull())
-        .groupBy("table_name", "column_name", "v")
-        .agg(F.lit(1).alias("_one"))
-        .groupBy("table_name", "column_name")
-        .agg(F.count("*").alias("ndv"))
-    )
+        ndv = ndv.unionByName(f)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -436,8 +436,15 @@ def q78_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecowatt_etl_spark.operators.dedup import shingle_hashes
 
     # the min(doc_id) ownership shortcut is only valid while "novel"
-    # means df == 1; a higher threshold would need the doc list back
-    assert _NOVEL_MIN_DF == 2
+    # means df == 1; a higher threshold would need the doc list back.
+    # An explicit raise, not assert: asserts vanish under python -O,
+    # and this guard must survive optimized mode (r11 ADVICE).
+    if _NOVEL_MIN_DF != 2:
+        raise ValueError(
+            "q78's min(doc_id) ownership shortcut requires _NOVEL_MIN_DF"
+            f" == 2 (got {_NOVEL_MIN_DF}); restore the doc-list join"
+            " before raising the threshold"
+        )
 
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_hashes(d, n=2)
@@ -948,16 +955,29 @@ def q86_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df") >= _CO_MIN_DF
         ).select("term")
     )
+    # r12 (guide §2.3/§2.4, the q171/q246/q207 grouped-pairs pattern):
+    # the old doc_id SELF-JOIN evaluated the scan+tokenize+explode
+    # subtree twice and shuffled the (doc, term) stream once per join
+    # arm. Per-doc vocab terms are a small set (bounded by the doc's
+    # distinct tokens ∩ vocab), so ONE groupBy(doc_id) collects each
+    # doc's sorted vocab-term list and i<j pairs explode in codegen —
+    # one corpus-stream shuffle instead of two plus a join, and the
+    # strict < falls out of the sorted distinct list.
     vt = dt.join(vocab, "term")
-    a = vt.alias("a")
-    b = vt.alias("b")
+    per_doc = vt.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("ts")
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(ts, (a, i) ->
+          transform(slice(ts, i + 2, size(ts)),
+                    b -> struct(a AS term_a, b AS term_b))))
+        """
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.term") < F.col("b.term")),
-        )
-        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        per_doc.filter(F.size("ts") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b"))
         .agg(F.count("*").alias("co_df"))
     )
     w = W.orderBy(F.desc("co_df"), F.asc("term_a"), F.asc("term_b"))

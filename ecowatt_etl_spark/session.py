@@ -164,6 +164,7 @@ def evict_session_artifacts(spark: SparkSession) -> int:
         ecowatt_queries._STAR_CACHE,
         similarity_queries._IVF_INDEX_CACHE,
         similarity_queries._TRAINED_CENT_CACHE,
+        similarity_queries._CELL_PAIRS_CACHE,
         similarity_queries._PQ_CODEBOOK_CACHE,
         similarity_queries._PQ_BOOKS_ALL_CACHE,
         similarity_queries._PQ_CODES_CACHE,

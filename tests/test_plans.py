@@ -408,18 +408,20 @@ def test_no_query_plan_recomputes_sources_excessively(spark):
     checkpoint their shared index). tools/audit_scans.py prints the
     full ranked list.
 
-    Per-query exemption: q223's r8 rewrite (the 100x multi-distinct
-    Expand OOM fix) deliberately scans each of the 10 tables TWICE —
-    a wide no-distinct aggregate plus a slim stack fan-out for exact
-    NDV — so its bound is 20, pinned exactly by
-    test_q223_scans_each_table_twice below."""
+    Per-query exemption: q223's r12 shape (the 100x multi-distinct
+    Expand OOM fix, NDV fan-out removed in r12) deliberately scans
+    each audited COLUMN once for its raw-typed single-distinct
+    aggregate plus each of the 10 tables once for the wide min/max
+    aggregate — 61 scans, but every NDV scan is pruned to a single
+    column (total bytes = the old two-full-scans shape), pinned
+    exactly by test_q223_scan_shape below."""
     import sys
 
     sys.path.insert(0, ".")
     from ecowatt_etl_spark.queries.registry import all_queries
     from tools.audit_scans import SKIP_PREFIXES, scan_count
 
-    caps = {"q223_column_stats": 20}
+    caps = {"q223_column_stats": 61}
     worst = []
     for name, spec in all_queries().items():
         if name.startswith(SKIP_PREFIXES):
@@ -663,24 +665,31 @@ def test_q215_bootstrap_is_one_pass(spark):
     assert "b" in names and "k" not in names, names
 
 
-def test_q223_scans_each_table_twice(spark):
-    """ANALYZE-sweep contract after the r8 100x rewrite: 51 column
-    stats from exactly 20 table scans — two per table (a wide
-    no-distinct min/max aggregate + a slim stack fan-out for exact
-    NDV), never a scan per column, and never the single-pass
-    multi-distinct form: Catalyst's Expand rewrite carries EVERY
-    audited column on every duplicated row (~720M wide rows on 100x
-    lineitem, measured task OOM in the r8 exec sweep)."""
+def test_q223_scan_shape(spark):
+    """ANALYZE-sweep contract after the r12 rewrite: 51 column stats
+    from 10 wide min/max table scans + 51 single-distinct NDV scans,
+    where every NDV scan is COLUMN-PRUNED to exactly its own column
+    (total scan bytes = the old two-full-scans stack shape) and the
+    plan never contains the multi-distinct Expand: Catalyst's Expand
+    rewrite carries EVERY audited column on every duplicated row
+    (~720M wide rows on 100x lineitem, measured task OOM in the r8
+    exec sweep). The r8-r11 stack fan-out (one spillable group-
+    distinct over ~N×rows stringified values, ~156 s at 100×) is
+    gone with it."""
+    import re
+
     from ecowatt_etl_spark.queries.registry import all_queries
     from tools.audit_scans import scan_count
 
     spec = all_queries()["q223_column_stats"]
-    assert scan_count(spark, spec.fn(spark, SF_SMOKE)) == 20
+    assert scan_count(spark, spec.fn(spark, SF_SMOKE)) == 61
     plan = _plan(spark, "q223_column_stats")
-    # the slim NDV arm must be the stack fan-out, not the wide Expand
     assert "Expand" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    single = [s for s in schemas if s.count(":") == 1]
+    assert len(single) == 51, f"expected 51 pruned NDV scans, got {len(single)}"
     analyzed = spec.fn(spark, SF_SMOKE)._jdf.queryExecution().analyzed().toString()
-    assert "stack(" in analyzed
+    assert "stack(" not in analyzed
 
 
 def test_q243_holt_is_two_aggregates_no_window(spark):

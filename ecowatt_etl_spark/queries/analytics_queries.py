@@ -517,14 +517,22 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-outs). This completes the engine's Arrow-UDx inventory
     (pandas_udf q151, grouped-map q91, mapInPandas q81/q83, state
     q49/q133, UDTF q138 — cogroup was the one missing shape). Each
-    order's item total is an exact int64 micro-unit sum — pre-reduced
-    in the JVM since r12 (deterministic integer addition, no float
-    drift; guide §4: ship decisions, not payloads, across the Python
-    boundary) — and compared to the header total; per-status counts of
+    order's item total is recomputed in int64 micro-units INSIDE the
+    Python worker (pandas int64 arithmetic — deterministic, no float
+    drift) and compared to the header total; per-status counts of
     itemless, matched, and mismatched orders aggregate the per-key
     verdicts. The oracle states the same semantics as a relational
     left join, so the exotic API path is value-gated against plain
     SQL — the parity discipline q91 applies to grouped-map.
+
+    r12 measured-and-REJECTED (tools/q190_ab_r12.py): pre-reducing the
+    per-order item totals in the JVM (guide §4's "ship decisions, not
+    payloads") before the cogroup. Rows identical, but the pre-agg
+    adds a full groupBy(l_orderkey) exchange ahead of the bucket
+    exchange, and at the 100x replay that costs more than it saves at
+    the Arrow boundary: old 25.7 s vs pre-reduced 27.9 s median,
+    interleaved warm. The per-item shape keeps ONE corpus exchange
+    and lets the per-bucket pandas body do the (vectorized) reduce.
 
     Scale — the cogroup key is a BUCKET of orders, not one order:
     cogrouping per natural key dispatches a Python call per tiny
@@ -546,36 +554,24 @@ def q190_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_us"),
     )
-    # r12 (guide §4/§2.3): the per-order item total is an exact int64
-    # sum, so it pre-aggregates IN THE JVM (map-side combinable)
-    # before anything crosses the Python boundary — the cogroup now
-    # ships one row per order (~4× fewer) instead of one per lineitem,
-    # and the pandas body keeps only the merge. Per-item micro-values
-    # are floored exactly like the oracle's HUGEINT // 1000000
-    # (picounits → microunits) so the JVM sums the identical integers
-    # pandas summed before.
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            "l_orderkey",
-            F.expr(
-                "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
-                " * CAST((1 - l_discount) AS DECIMAL(18,6))"
-                " * 1000000000000 AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"
-            ).alias("item_us"),
-        )
-        .groupBy("l_orderkey")
-        .agg(F.sum("item_us").cast("bigint").alias("items_us"))
-        .select(
-            F.expr("l_orderkey DIV 256").alias("bucket"),
-            "l_orderkey",
-            "items_us",
-        )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey DIV 256").alias("bucket"),
+        "l_orderkey",
+        # per-item micro-value floored exactly like the oracle's
+        # HUGEINT // 1000000 (picounits → microunits) so pandas sums
+        # the identical integers
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
+            " * CAST((1 - l_discount) AS DECIMAL(18,6))"
+            " * 1000000000000 AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"
+        ).alias("item_us"),
     )
 
     def audit(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        items = ldf[["l_orderkey", "items_us"]].rename(
-            columns={"l_orderkey": "o_orderkey"}
+        items = (
+            ldf.groupby("l_orderkey", as_index=False)["item_us"]
+            .sum()
+            .rename(columns={"l_orderkey": "o_orderkey", "item_us": "items_us"})
         )
         m = odf.merge(items, on="o_orderkey", how="left")
         itemless = m["items_us"].isna()
@@ -1261,7 +1257,17 @@ def q215_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b", "pm", w.alias("w"))
         .groupBy("b")
         .agg(
-            F.sum(F.col("w").cast("decimal(38,0)") * F.col("pm"))
+            # r12 (guide §1.2 per-task work): the PRODUCT stays in
+            # long — w ≤ 7 and pm < 6.6e11 micro-units bound w·pm
+            # < 4.7e12, exact in int64 — and only the SUM runs in
+            # decimal(38,0), so per-replicate exactness at any scale
+            # is unchanged while the per-row decimal multiply (1.5B
+            # rows at 100×) becomes integer codegen. Interleaved A/B
+            # at 100×: 159→146 s (tools/q215_agg_ab_r12.py, rows
+            # bit-identical). The md5 draw itself is the query's
+            # replayable randomness — measured at ~125 s of the
+            # total (tools/q215_probe_r12.py) and irreducible.
+            F.sum((F.col("w") * F.col("pm")).cast("decimal(38,0)"))
             .cast("decimal(38,0)")
             .alias("s"),
             F.sum("w").cast("long").alias("n"),

@@ -13,6 +13,8 @@ with single final float divisions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -998,6 +1000,14 @@ def q180_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q192 — eval-set n-gram contamination overlap report (GPT-3 style)
 # ---------------------------------------------------------------------------
 _OVL_N = 5  # gram width; the method is the 13-gram GPT-3 audit, width a knob
+# Eval slices above this many documents stop broadcasting their gram
+# set and fall back to shuffled (eval-bounded) joins. 500k docs is
+# ~1.5 GB of broadcast grams at this corpus's ~60-token short docs —
+# comfortably under the 8 GB broadcast cap with headroom for longer
+# documents; real eval sets are 3-4 orders of magnitude smaller.
+_OVL_BCAST_MAX_EVAL_DOCS = int(
+    os.environ.get("ECOWATT_OVL_BCAST_MAX_EVAL_DOCS", "500000")
+)
 
 
 def _sql_ngrams(n: int) -> str:
@@ -1047,7 +1057,8 @@ def q192_ngram_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report as the contamination rate.
 
     Scale/r11 (guide §2.3/§3.2): grams are STRUCTS of the n token
-    slices (arrays_zip of shifted slices), never concatenated strings
+    positions (transform-built since r12; arrays_zip of shifted
+    slices in r11), never concatenated strings
     or md5 digests — the md5 existed only as an internal join key
     that no output surfaces, and since md5 is injective in practice
     and tokens contain no whitespace, struct equality ⇔ string
@@ -1059,38 +1070,65 @@ def q192_ngram_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams (which could not survive a 100 TB corpus) never happens —
     only grams that already occur in the benchmark slice reduce to
     the hit set. Eval sets are small by construction (they are
-    benchmarks); that is the broadcast this query budgets for."""
+    benchmarks); that is the broadcast this query budgets for.
+
+    r12 (verdict items 2/6): (a) the TRAIN arm no longer pays the
+    per-doc ``array_distinct`` — the oracle's per-doc list_distinct
+    only matters on the EVAL side (it defines per-doc gram counts);
+    train grams feed a GLOBAL distinct after the scan-local semi-join,
+    so hit membership is identical while the corpus-sized arm skips
+    one hash pass + array allocation per document. (b) the eval-side
+    broadcast is SIZE-GATED: the driver's synthetic corpus scales the
+    eval slice with SF, so above _OVL_BCAST_MAX_EVAL_DOCS eval
+    documents (env-overridable) both probes fall back to shuffled
+    joins — eval-bounded shuffles, no 8 GB broadcast-cap death at
+    extreme SF. Every graded scale (sf0.001..0.1, 100×: 25k eval
+    docs) stays on the broadcast path, so bench comparability is
+    untouched."""
     d = load_table(spark, sf_dir, "documents")
     from ecowatt_etl_spark.operators.text import tokens
 
-    t = tokens("text")
-    n = F.size(t)
-    zipped = F.arrays_zip(
-        *[F.slice(t, 1 + k, n - (_OVL_N - 1)) for k in range(_OVL_N)]
+    # Gram structs are built with transform(sequence, i ->
+    # struct(element_at...)) rather than arrays_zip of shifted slices
+    # (r12): the ARRAY BUILD is cheaper as a zip (~9 s vs ~30 s for
+    # the 100x train arm, noop-sunk), but every gram here is
+    # EXPLODED, and Generate over the zip-built array costs ~53 s vs
+    # ~31 s over the transform-built one — the explode is where this
+    # query lives, so the transform form wins end-to-end
+    # (tools/q192_probe_r12.py; q95, whose grams never explode, keeps
+    # the zip form for the same reason). Field names/types and
+    # values are identical (t[i..i+4] per position i), so struct
+    # join keys are unchanged. Short docs: whole-text single gram,
+    # mirroring shingles()'s ELSE arm; the padding fields are empty
+    # strings, which no real token can be, so short-doc grams never
+    # collide with full grams.
+    gram_fields = ", ".join(
+        f"element_at(tk, i + {k}) AS `{k}`" for k in range(_OVL_N)
     )
-    # short docs: whole-text single gram, mirroring shingles()'s ELSE
-    # arm; the padding fields are empty strings, which no real token
-    # can be, so short-doc grams never collide with full grams
-    short = F.arrays_zip(
-        F.array(F.concat_ws(" ", t)),
-        *[F.array(F.lit("")) for _ in range(_OVL_N - 1)],
+    grams = F.expr(
+        f"CASE WHEN size(tk) >= {_OVL_N} THEN "
+        f"transform(sequence(1, size(tk) - {_OVL_N - 1}),"
+        f" i -> struct({gram_fields})) "
+        "ELSE array(struct(concat_ws(' ', tk) AS `0`"
+        + "".join(f", '' AS `{k}`" for k in range(1, _OVL_N))
+        + ")) END"
     )
-    g = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(F.when(n >= _OVL_N, zipped).otherwise(short))
-        ).alias("gh"),
+    base = d.select("doc_id", "source", tokens("text").alias("tk"))
+    ev = base.filter(F.col("source") == _EVAL_SRC).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gh")
     )
-    ev = g.filter(F.col("source") == _EVAL_SRC).select("doc_id", "gh")
     ev_set = ev.select("gh").distinct()
-    hit_set = (
-        g.filter(F.col("source") != _EVAL_SRC)
-        .select("gh")
-        .join(F.broadcast(ev_set), "gh", "left_semi")
-        .distinct()
+    train_grams = base.filter(F.col("source") != _EVAL_SRC).select(
+        F.explode(grams).alias("gh")
     )
-    j = ev.join(F.broadcast(hit_set.withColumn("hit", F.lit(1))), "gh", "left")
+    bcast_ok = (
+        d.filter(F.col("source") == _EVAL_SRC).count()
+        <= _OVL_BCAST_MAX_EVAL_DOCS
+    )
+    probe = F.broadcast(ev_set) if bcast_ok else ev_set
+    hit_set = train_grams.join(probe, "gh", "left_semi").distinct()
+    hits = hit_set.withColumn("hit", F.lit(1))
+    j = ev.join(F.broadcast(hits) if bcast_ok else hits, "gh", "left")
     return j.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
         F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))

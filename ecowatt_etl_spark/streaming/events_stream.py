@@ -14,6 +14,8 @@ changes).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -94,6 +96,41 @@ def read_events_stream(
     if isinstance(ts_type, T.TimestampNTZType):
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
+
+
+def replay_state_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    per_partition_bytes: int = 4 << 20,
+) -> int:
+    """Scale-adaptive state-store partition count for a bounded replay
+    (r12, verdict item 7): ceil(replay bytes / 4 MB) clamped to
+    [8, defaultParallelism].
+
+    The applyInPandasWithState streams (q49/q133/q252) pay a per-key
+    Python state-server round that parallelizes per STATE PARTITION,
+    so a constant partition count is wrong at one end or the other:
+    measured interleaved at the 100x replay (164 MB, 150k keys,
+    32 cores) 8 partitions → 32 gives q133 73.7 → 26.4 s and q252
+    70.9 → 22.9 s (tools/stream_ab_r12.py), while at gate scale
+    (2 MB) the r11 invariant note measured default-8 WINNING — extra
+    partitions are pure per-micro-batch overhead on tiny batches.
+    4 MB/partition puts the crossover between those two measured
+    points (gate stays at the floor of 8; 100x saturates to the core
+    count). Values are partition-count-invariant by construction —
+    per-key state, batch-split-independent folds (the q277 argument)
+    — so this is purely a capacity sizing; a real deployment fixes it
+    at first checkpoint from expected key cardinality."""
+    import fnmatch
+
+    total = sum(
+        os.path.getsize(os.path.join(sf_dir, n))
+        for n in os.listdir(sf_dir)
+        if fnmatch.fnmatch(n, glob)
+    )
+    par = spark.sparkContext.defaultParallelism
+    return max(8, min(par, -(-total // per_partition_bytes)))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
